@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 scripts/crosscheck.py <sfDir> <verifyOutDir>
+
+Reads each `<verifyOutDir>/<name>` parquet (written by graft.Verify), runs
+the matching oracle SQL from `<verifyOutDir>/oracle_sql.json` in DuckDB with
+every test table registered as a view, and compares row counts, column-name
+sets, and (column-name-sorted) cell values.
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> list:
+    df = df[sorted(df.columns)]
+    rows = []
+    for tup in df.itertuples(index=False):
+        row = []
+        for v in tup:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                row.append("NULL")
+            elif isinstance(v, float):
+                row.append(repr(v))
+            else:
+                row.append(str(v))
+        rows.append(tuple(row))
+    return sorted(rows)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_df = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: no spark output ({e})")
+            failures += 1
+            continue
+        try:
+            duck_df = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            failures += 1
+            continue
+        if sorted(spark_df.columns) != sorted(duck_df.columns):
+            print(f"FAIL {name}: columns spark={sorted(spark_df.columns)} "
+                  f"duck={sorted(duck_df.columns)}")
+            failures += 1
+            continue
+        s, d = normalize(spark_df), normalize(duck_df)
+        if len(s) != len(d):
+            print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
+            failures += 1
+        elif s != d:
+            bad = next(i for i, (a, b) in enumerate(zip(s, d)) if a != b)
+            print(f"FAIL {name}: values differ at sorted-row {bad}:\n"
+                  f"  spark={s[bad]}\n  duck ={d[bad]}")
+            failures += 1
+        else:
+            print(f"OK   {name}: {len(s)} rows")
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,13 +1,50 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator in SURVEY.md §2 is exposed here as a named query over a
+  * scale-factor directory, paired (when SQL-expressible) with an ANSI-SQL
+  * oracle that DuckDB runs on the same parquet tables.
+  */
 object SparkEntry {
+  import analytics.{EventOps, Relational}
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q3Join(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 relational analytics
+    "q1_agg"             -> (Relational.q1Agg(_, _)),
+    "q3_join"            -> (Relational.q3Join(_, _)),
+    "q5_join"            -> (Relational.q5Join(_, _)),
+    "q_window_topk"      -> (Relational.windowTopK(_, _)),
+    "q_anti_join"        -> (Relational.antiJoin(_, _)),
+    "q_semi_join"        -> (Relational.semiJoin(_, _)),
+    "q_rollup"           -> (Relational.rollupAgg(_, _)),
+    "q_distinct_agg"     -> (Relational.distinctAgg(_, _)),
+    "events_windowed_agg" -> (EventOps.windowedAgg(_, _)),
+    "events_sessionize"  -> (EventOps.sessionize(_, _)),
+    "asof_join"          -> (EventOps.asofJoin(_, _)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg"             -> Relational.q1AggSql,
+    "q3_join"            -> Relational.q3JoinSql,
+    "q5_join"            -> Relational.q5JoinSql,
+    "q_window_topk"      -> Relational.windowTopKSql,
+    "q_anti_join"        -> Relational.antiJoinSql,
+    "q_semi_join"        -> Relational.semiJoinSql,
+    "q_rollup"           -> Relational.rollupAggSql,
+    "q_distinct_agg"     -> Relational.distinctAggSql,
+    "events_windowed_agg" -> EventOps.windowedAggSql,
+    "events_sessionize"  -> EventOps.sessionizeSql,
+    "asof_join"          -> EventOps.asofJoinSql,
+  )
 }

@@ -1,0 +1,112 @@
+package graft.analytics
+
+import graft.Tables
+import graft.Tables.cents
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators in their batch form (SURVEY.md §2.2 #16-18).
+  *
+  * The `events` table carries nanosecond timestamps, which Spark's parquet
+  * reader only surfaces as raw longs (`nanosAsLong`, see
+  * [[graft.Tables.events]]) — convenient here, because all event-time
+  * arithmetic is then exact integer math that the DuckDB oracle reproduces
+  * bit-for-bit. Streaming variants of the same transforms live in
+  * `graft.ingest.IngestPipeline`.
+  */
+object EventOps {
+
+  /** Nanosecond-long ts → epoch seconds (floor). */
+  private def withSec(df: DataFrame): DataFrame =
+    df.withColumn("sec", expr("ts div 1000000000"))
+
+  /** Tumbling 1h event-time window aggregation per event type — the batch
+    * shape of a streaming windowed agg. One shuffle, map-side combine.
+    */
+  def windowedAgg(spark: SparkSession, dir: String): DataFrame = {
+    withSec(Tables.events(spark, dir))
+      .select(
+        date_format(timestamp_seconds(expr("sec div 3600 * 3600")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"),
+        cents(col("value")).as("v_c"))
+      .groupBy("hour", "event_type")
+      .agg(count(lit(1)).as("n"), (sum(col("v_c")) / 100.0).as("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  val windowedAggSql: String =
+    """SELECT strftime(make_timestamp((((epoch_ns(ts)//1000000000)//3600)*3600)*1000000),
+      |                '%Y-%m-%d %H:%M:%S') AS hour,
+      |       event_type,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** Gap-based sessionization (30 min inactivity closes a session): the
+    * classic lag → new-session flag → running sum pattern. Partitioned by
+    * user, so the single shuffle is on the session key.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    withSec(Tables.events(spark, dir))
+      .select(col("user_id"), col("event_id"), col("sec"))
+      .withColumn("new_sess",
+        when(col("sec") - lag(col("sec"), 1).over(byUser) > 1800 ||
+             lag(col("sec"), 1).over(byUser).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        Window.partitionBy("user_id").orderBy("sec", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(timestamp_seconds(min(col("sec"))), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
+        date_format(timestamp_seconds(max(col("sec"))), "yyyy-MM-dd HH:mm:ss").as("end_ts"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS sec FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, sec,
+      |         CASE WHEN sec - lag(sec) OVER w > 1800 OR lag(sec) OVER w IS NULL
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |sess AS (
+      |  SELECT user_id, sec,
+      |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       strftime(make_timestamp(min(sec)*1000000), '%Y-%m-%d %H:%M:%S') AS start_ts,
+      |       strftime(make_timestamp(max(sec)*1000000), '%Y-%m-%d %H:%M:%S') AS end_ts
+      |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  /** As-of join: each purchase matched to the user's most recent prior (or
+    * same-instant) click. Formulated as a single window pass over the
+    * event log — no range-join explosion, no per-key driver loop; scales as
+    * one shuffle on user_id.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withSec(Tables.events(spark, dir))
+      .select(col("user_id"), col("event_id"), col("sec"), col("event_type"))
+      .withColumn("prior_click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("prior_click_id"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinSql: String =
+    """SELECT event_id, user_id, prior_click_id FROM (
+      |  SELECT event_id, user_id, event_type,
+      |         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id
+      |                 ORDER BY epoch_ns(ts)//1000000000, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_click_id
+      |  FROM events) t
+      |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+}

@@ -1,0 +1,222 @@
+package graft.analytics
+
+import graft.Tables
+import graft.Tables.{cents, tsStr}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics suite — the engine's general-purpose query surface
+  * (SURVEY.md §2.2).
+  *
+  * Scale notes (100 TB posture):
+  *  - Dim tables (region/nation/customer-filtered) are `broadcast()` so fact
+  *    scans never shuffle for the dim side.
+  *  - Money math is exact integer cents (see [[graft.Tables.cents]]); sums
+  *    are map-side partially aggregated longs.
+  *  - Top-k uses `orderBy().limit()` which Spark plans as
+  *    TakeOrderedAndProject — no global sort materialization.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: wide grouped aggregation over the fact table.
+    * One shuffle, partial aggregation on the map side.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.filter(col("l_shipdate") <= lit("1998-09-01"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_quantity")).as("qty_c"),
+        cents(col("l_extendedprice")).as("price_c"),
+        cents(col("l_discount")).as("disc_c"),
+        cents(col("l_tax")).as("tax_c"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        (sum(col("qty_c")) / 100.0).as("sum_qty"),
+        (sum(col("price_c")) / 100.0).as("sum_base_price"),
+        (sum(col("price_c") * (lit(100L) - col("disc_c"))) / 10000.0).as("sum_disc_price"),
+        (sum(col("price_c") * (lit(100L) - col("disc_c")) * (lit(100L) + col("tax_c"))) / 1000000.0).as("sum_charge"),
+        (sum(col("qty_c")) / (lit(100.0) * count(lit(1)))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1AggSql: String =
+    """WITH l AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |         CAST(round(l_quantity*100) AS BIGINT)      AS qty_c,
+      |         CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+      |         CAST(round(l_discount*100) AS BIGINT)      AS disc_c,
+      |         CAST(round(l_tax*100) AS BIGINT)           AS tax_c
+      |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00')
+      |SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(qty_c) AS BIGINT)/100.0 AS sum_qty,
+      |       CAST(sum(price_c) AS BIGINT)/100.0 AS sum_base_price,
+      |       CAST(sum(price_c*(100-disc_c)) AS BIGINT)/10000.0 AS sum_disc_price,
+      |       CAST(sum(price_c*(100-disc_c)*(100+tax_c)) AS BIGINT)/1000000.0 AS sum_charge,
+      |       CAST(sum(qty_c) AS BIGINT)/(100.0*count(*)) AS avg_qty,
+      |       count(*) AS count_order
+      |FROM l GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 shape: selective dim filter → 3-way join → agg → top-k.
+    * Customer side is broadcast after its segment filter.
+    */
+  def q3Join(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-01-01"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-01-01"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), tsStr(col("o_orderdate")).as("orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3JoinSql: String =
+    """SELECT l_orderkey,
+      |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS revenue,
+      |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+      |       o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape: snowflake join over the full dim chain with broadcast
+    * dims; revenue by nation.
+    */
+  def q5Join(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey") && c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5JoinSql: String =
+    """SELECT n_name,
+      |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Ranked window top-k per group: top 3 orders per customer by price.
+    * Exact-cents ordering with orderkey tiebreak keeps ranks deterministic.
+    */
+  def windowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("price_c").desc, col("o_orderkey"))
+    o.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("o_custkey"), col("rank"), col("o_orderkey"), (col("price_c") / 100.0).as("totalprice"))
+      .orderBy("o_custkey", "rank")
+  }
+
+  val windowTopKSql: String =
+    """SELECT o_custkey, rank, o_orderkey, price_c/100.0 AS totalprice FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |         CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS rank
+      |  FROM orders) t
+      |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin
+
+  /** Anti join: customers with no order above $100k. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val big = Tables.orders(spark, dir).filter(col("o_totalprice") > 100000.0)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Semi join: customers holding at least one urgent order. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val urgent = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"), (cents(col("c_acctbal")) / 100.0).as("acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  val semiJoinSql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |       CAST(round(c_acctbal*100) AS BIGINT)/100.0 AS acctbal
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Hierarchical ROLLUP over (returnflag, linestatus); rollup nulls are
+    * rendered as 'ALL' so ordering/NULL semantics can't diverge.
+    */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"), cents(col("l_quantity")).as("qty_c"))
+    l.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg((sum(col("qty_c")) / 100.0).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  val rollupAggSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |       CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_qty,
+      |       count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Multiple distinct aggregates in one pass. */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  val distinctAggSql: String =
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_partkey) AS n_parts,
+      |       count(DISTINCT l_suppkey) AS n_supps,
+      |       count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+}
