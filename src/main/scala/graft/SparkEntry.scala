@@ -17,6 +17,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 clueso-equivalent core
+    "mvcc_snapshot"      -> (analytics.CluesoOps.mvccSnapshot(_, _)),
+    "metadata_search"    -> (analytics.CluesoOps.metadataSearch(_, _)),
+    "search_pagination"  -> (analytics.CluesoOps.searchPagination(_, _)),
+    "ingest_parse"       -> (analytics.CluesoOps.ingestParse(_, _)),
+    "compaction_groups"  -> (analytics.CluesoOps.compactionGroups(_, _)),
+    "compaction_merge"   -> (analytics.CluesoOps.compactionMerge(_, _)),
+    "storage_info"       -> (analytics.CluesoOps.storageInfo(_, _)),
     // §2.2 relational analytics
     "q1_agg"             -> (Relational.q1Agg(_, _)),
     "q3_join"            -> (Relational.q3Join(_, _)),
@@ -35,6 +43,13 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    "mvcc_snapshot"      -> analytics.CluesoOps.mvccSnapshotSql,
+    "metadata_search"    -> analytics.CluesoOps.metadataSearchSql,
+    "search_pagination"  -> analytics.CluesoOps.searchPaginationSql,
+    "ingest_parse"       -> analytics.CluesoOps.ingestParseSql,
+    "compaction_groups"  -> analytics.CluesoOps.compactionGroupsSql,
+    "compaction_merge"   -> analytics.CluesoOps.compactionMergeSql,
+    "storage_info"       -> analytics.CluesoOps.storageInfoSql,
     "q1_agg"             -> Relational.q1AggSql,
     "q3_join"            -> Relational.q3JoinSql,
     "q5_join"            -> Relational.q5JoinSql,

@@ -1,0 +1,195 @@
+package graft.analytics
+
+import graft.Tables
+import graft.Tables.cents
+import graft.ops.LatestState
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Clueso-core semantics exercised over the shared `events` test table
+  * (SURVEY.md §2.1), so the DuckDB oracle can gate them.
+  *
+  * Mapping: `events` is the op-log; the logical object key is
+  * `user_id:k` (k from the JSON props), the op index is `event_id`, and
+  * `event_type='error'` plays the tombstone (`delete`) role. The real
+  * object-event pipeline (JSON envelopes, landing/staging zones,
+  * compactor, streaming) is exercised on its native schema in the
+  * ScalaTest specs.
+  */
+object CluesoOps {
+
+  /** events → op-log view with exact-integer value/time columns. */
+  private def opLog(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      concat(col("user_id").cast("string"), lit(":"),
+        get_json_object(col("props"), "$.k")).as("object_key"),
+      col("event_id"),
+      col("event_type"),
+      cents(col("value")).as("v_c"),
+      expr("ts div 1000000000").as("sec"))
+
+  private val opLogSql =
+    """SELECT CAST(user_id AS VARCHAR) || ':' || json_extract_string(props, '$.k') AS object_key,
+      |         event_id, event_type,
+      |         CAST(round(value*100) AS BIGINT) AS v_c,
+      |         epoch_ns(ts)//1000000000 AS sec
+      |  FROM events""".stripMargin
+
+  /** #1 mvcc_snapshot: latest event per key, tombstoned keys dropped —
+    * [[LatestState.snapshot]] (aggregation form) vs the oracle's window
+    * formulation (the reference's own plan shape).
+    */
+  def mvccSnapshot(spark: SparkSession, dir: String): DataFrame =
+    LatestState.snapshot(opLog(spark, dir),
+        keyCols = Seq("object_key"), versionCol = "event_id",
+        isDelete = col("event_type") === "error")
+      .select(
+        col("object_key"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"),
+        (col("v_c") / 100.0).as("value"),
+        date_format(timestamp_seconds(col("sec")), "yyyy-MM-dd HH:mm:ss").as("ts"))
+      .orderBy("object_key")
+
+  val mvccSnapshotSql: String =
+    s"""WITH ev AS (
+      |$opLogSql)
+      |SELECT object_key, event_id AS last_event_id, event_type AS last_type,
+      |       v_c/100.0 AS value,
+      |       strftime(make_timestamp(sec*1000000), '%Y-%m-%d %H:%M:%S') AS ts
+      |FROM (SELECT *, row_number() OVER (PARTITION BY object_key ORDER BY event_id DESC) AS rn
+      |      FROM ev) t
+      |WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY object_key""".stripMargin
+
+  /** #2 metadata_search: snapshot + arbitrary SQL WHERE + ordered page
+    * (reference: MetadataQueryExecutor.execute).
+    */
+  def metadataSearch(spark: SparkSession, dir: String): DataFrame =
+    mvccSnapshot(spark, dir)
+      .where("last_type = 'purchase' AND value > 50.0")
+      .orderBy("object_key")
+      .limit(100)
+
+  val metadataSearchSql: String =
+    s"""SELECT * FROM (${mvccSnapshotSql.replace("ORDER BY object_key", "")}) s
+      |WHERE last_type = 'purchase' AND value > 50.0
+      |ORDER BY object_key LIMIT 100""".stripMargin
+
+  /** #3 search_pagination: keyset cursor `key > start_key`, next page. */
+  def searchPagination(spark: SparkSession, dir: String): DataFrame =
+    mvccSnapshot(spark, dir)
+      .filter(col("object_key") > lit("5:"))
+      .orderBy("object_key")
+      .limit(50)
+
+  val searchPaginationSql: String =
+    s"""SELECT * FROM (${mvccSnapshotSql.replace("ORDER BY object_key", "")}) s
+      |WHERE object_key > '5:'
+      |ORDER BY object_key LIMIT 50""".stripMargin
+
+  /** #4 ingest_parse: JSON payload parse + typed extraction + garbage/
+    * system-topic filtering (the gate-able core of [[graft.ingest.EventParser]]).
+    */
+  def ingestParse(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("props").isNotNull && length(col("props")) > 3)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("event_type"))
+      .filter(col("k").isNotNull && !col("event_type").isin("view"))
+      .orderBy("event_id")
+
+  val ingestParseSql: String =
+    """SELECT event_id,
+      |       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |       event_type
+      |FROM events
+      |WHERE props IS NOT NULL AND length(props) > 3
+      |  AND CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
+      |  AND event_type NOT IN ('view')
+      |ORDER BY event_id""".stripMargin
+
+  /** #5 compaction_groups: op index → compaction group (round-up to
+    * interval; reference: MetadataIngestionPipeline.findNextMaxOpIndexFun).
+    */
+  def compactionGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("op_group",
+        when(col("event_id") % 1000 === 0, col("event_id"))
+          .otherwise(col("event_id") + 1000 - (col("event_id") % 1000)))
+      .groupBy("op_group")
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_op"),
+        max(col("event_id")).as("max_op"))
+      .orderBy("op_group")
+
+  val compactionGroupsSql: String =
+    """SELECT CASE WHEN event_id % 1000 = 0 THEN event_id
+      |            ELSE event_id + 1000 - (event_id % 1000) END AS op_group,
+      |       count(*) AS n, min(event_id) AS min_op, max(event_id) AS max_op
+      |FROM events GROUP BY 1 ORDER BY op_group""".stripMargin
+
+  /** #6 compaction_merge: collapse all *closed* op-groups (every group but
+    * the newest) to latest-per-key, tombstones out — exactly what
+    * [[graft.compact.Compactor]] writes to staging.
+    */
+  def compactionMerge(spark: SparkSession, dir: String): DataFrame = {
+    val withGroup = opLog(spark, dir)
+      .withColumn("op_group",
+        when(col("event_id") % 1000 === 0, col("event_id"))
+          .otherwise(col("event_id") + 1000 - (col("event_id") % 1000)))
+    val maxGroup = withGroup.agg(max(col("op_group")).as("max_group"))
+    val closed = withGroup
+      .join(broadcast(maxGroup))
+      .filter(col("op_group") < col("max_group"))
+      .drop("max_group")
+    LatestState.snapshot(closed,
+        keyCols = Seq("object_key"), versionCol = "event_id",
+        isDelete = col("event_type") === "error")
+      .select(col("object_key"), col("event_id").as("last_event_id"), col("op_group"))
+      .orderBy("object_key")
+  }
+
+  val compactionMergeSql: String =
+    s"""WITH ev AS (
+      |$opLogSql),
+      |grouped AS (
+      |  SELECT *, CASE WHEN event_id % 1000 = 0 THEN event_id
+      |                 ELSE event_id + 1000 - (event_id % 1000) END AS op_group
+      |  FROM ev),
+      |closed AS (
+      |  SELECT * FROM grouped WHERE op_group < (SELECT max(op_group) FROM grouped))
+      |SELECT object_key, event_id AS last_event_id, op_group
+      |FROM (SELECT *, row_number() OVER (PARTITION BY object_key ORDER BY event_id DESC) AS rn
+      |      FROM closed) t
+      |WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY object_key""".stripMargin
+
+  /** #7 storage_info: per-table record/key statistics (the SQL-gateable
+    * face of [[graft.tools.StorageInfo]], which also reports parquet file
+    * counts/bytes via the filesystem).
+    */
+  def storageInfo(spark: SparkSession, dir: String): DataFrame = {
+    def one(name: String, df: DataFrame, keyCol: String): DataFrame =
+      df.agg(count(lit(1)).as("records"),
+          countDistinct(col(keyCol)).as("distinct_keys"))
+        .select(lit(name).as("tbl"), col("records"), col("distinct_keys"))
+    one("events", Tables.events(spark, dir), "user_id")
+      .unionByName(one("documents", Tables.documents(spark, dir), "doc_id"))
+      .unionByName(one("lineitem", Tables.lineitem(spark, dir), "l_orderkey"))
+      .unionByName(one("orders", Tables.orders(spark, dir), "o_orderkey"))
+      .orderBy("tbl")
+  }
+
+  val storageInfoSql: String =
+    """SELECT 'events' AS tbl, count(*) AS records, count(DISTINCT user_id) AS distinct_keys FROM events
+      |UNION ALL
+      |SELECT 'documents', count(*), count(DISTINCT doc_id) FROM documents
+      |UNION ALL
+      |SELECT 'lineitem', count(*), count(DISTINCT l_orderkey) FROM lineitem
+      |UNION ALL
+      |SELECT 'orders', count(*), count(DISTINCT o_orderkey) FROM orders
+      |ORDER BY tbl""".stripMargin
+}
