@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * oracle that DuckDB runs on the same parquet tables.
   */
 object SparkEntry {
-  import analytics.{EventOps, Relational}
+  import analytics.{Dedup, EventOps, Multimodal, Relational, Similarity, TextOps}
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -37,6 +37,24 @@ object SparkEntry {
     "events_windowed_agg" -> (EventOps.windowedAgg(_, _)),
     "events_sessionize"  -> (EventOps.sessionize(_, _)),
     "asof_join"          -> (EventOps.asofJoin(_, _)),
+    // §2.3 deduplication
+    "dedup_exact"         -> (Dedup.dedupExact(_, _)),
+    "dedup_fingerprint"   -> (Dedup.dedupFingerprint(_, _)),
+    "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard(_, _)),
+    "dedup_minhash_lsh"   -> (Dedup.dedupMinhashLsh(_, _)),
+    "dedup_simhash"       -> (Dedup.dedupSimhash(_, _)),
+    "dedup_embedding"     -> (Dedup.dedupEmbedding(_, _)),
+    // §2.4 similarity search
+    "knn_brute"           -> (Similarity.knnBrute(_, _)),
+    "knn_lsh"             -> (Similarity.knnLsh(_, _)),
+    "centroid_ivf"        -> (Similarity.centroidIvf(_, _)),
+    // §2.5 text analysis
+    "text_tokens"         -> (TextOps.textTokens(_, _)),
+    "text_quality"        -> (TextOps.textQuality(_, _)),
+    "text_langid"         -> (TextOps.textLangid(_, _)),
+    "text_ngram_stats"    -> (TextOps.textNgramStats(_, _)),
+    // §2.6 multimodal plumbing
+    "mm_binary_stats"     -> (Multimodal.mmBinaryStats(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -61,5 +79,19 @@ object SparkEntry {
     "events_windowed_agg" -> EventOps.windowedAggSql,
     "events_sessionize"  -> EventOps.sessionizeSql,
     "asof_join"          -> EventOps.asofJoinSql,
+    "dedup_exact"         -> Dedup.dedupExactSql,
+    "dedup_fingerprint"   -> Dedup.dedupFingerprintSql,
+    "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
+    "dedup_minhash_lsh"   -> Dedup.dedupMinhashLshSql,
+    "dedup_simhash"       -> Dedup.dedupSimhashSql,
+    "dedup_embedding"     -> Dedup.dedupEmbeddingSql,
+    "knn_brute"           -> Similarity.knnBruteSql,
+    "knn_lsh"             -> Similarity.knnLshSql,
+    "centroid_ivf"        -> Similarity.centroidIvfSql,
+    "text_tokens"         -> TextOps.textTokensSql,
+    "text_quality"        -> TextOps.textQualitySql,
+    "text_langid"         -> TextOps.textLangidSql,
+    "text_ngram_stats"    -> TextOps.textNgramStatsSql,
+    "mm_binary_stats"     -> Multimodal.mmBinaryStatsSql,
   )
 }

@@ -1,0 +1,273 @@
+package graft.analytics
+
+import graft.Tables
+import graft.functions.Portable._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication suite for training-data curation (SURVEY §2.3).
+  *
+  * All pipelines are shuffle-lean: per-doc signatures (shingles, MinHash,
+  * SimHash, hyperplane buckets) are computed map-side inside one
+  * whole-stage-codegen projection — no explode before the signature, no
+  * UDFs — and only the (few) signature keys per doc are shuffled to form
+  * candidate pairs. Pair generation is always a key-equality join (never a
+  * cross join or a driver-side loop), so each pipeline scales linearly in
+  * corpus size + candidate count.
+  *
+  * Determinism: all signatures use [[graft.functions.Portable]] integer
+  * hashes, so the DuckDB oracle reproduces them bit-for-bit and even the
+  * "approximate" pipelines get exact-hash gating.
+  */
+object Dedup {
+
+  /** Documents with their distinct word-3-gram shingle sets. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      shingles3(split(col("text"), " ")).as("sh"))
+
+  private val shingledSql =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |shingled AS (SELECT doc_id, ${shingles3Sql("t")} AS sh FROM toks)""".stripMargin
+
+  // ------------------------------------------------------------ #19 exact
+  /** Exact dedup over a corpus with genuine duplicates: the documents table
+    * unioned with a simulated re-crawl of itself (ids offset by 1e6).
+    * Grouping key is `md5(text)` — hashing, not raw-text comparison, is
+    * what survives 100 TB (the shuffle carries 16-byte keys, not docs).
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = docs.unionByName(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    corpus
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("keeper_id"),
+        max(col("doc_id")).as("dup_id"))
+      .filter(col("n_copies") > 1)
+      .orderBy("content_hash")
+  }
+
+  val dedupExactSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+      |SELECT md5(text) AS content_hash, count(*) AS n_copies,
+      |       min(doc_id) AS keeper_id, max(doc_id) AS dup_id
+      |FROM corpus GROUP BY 1 HAVING count(*) > 1
+      |ORDER BY content_hash""".stripMargin
+
+  // ------------------------------------------------------ #20 fingerprint
+  /** Canonical-token-set fingerprint dedup: docs whose *sorted distinct
+    * token sets* coincide are duplicates even when word order differs.
+    */
+  def dedupFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", sort_array(array_distinct(split(col("text"), " ")))))
+          .as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("keeper_id"),
+        max(col("doc_id")).as("max_dup_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy("fingerprint")
+
+  val dedupFingerprintSql: String =
+    """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+      |       count(*) AS n_docs, min(doc_id) AS keeper_id, max(doc_id) AS max_dup_id
+      |FROM documents GROUP BY 1 HAVING count(*) > 1
+      |ORDER BY fingerprint""".stripMargin
+
+  // ---------------------------------------------------- #21 n-gram jaccard
+  /** Exact shingle-Jaccard near-dup pairs (threshold 0.5) via the
+    * inverted-index join: explode shingles, self-join on shingle, count
+    * shared per pair. Exact (any pair with jaccard>0 shares a shingle) yet
+    * scalable — work is proportional to Σ posting-list², not corpus².
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).cache()
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val shared = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+    val jac = col("shared") / (col("na") + col("nb") - col("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .filter(jac >= 0.5)
+      .select(col("a_id"), col("b_id"), round(jac, 6).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH $shingledSql,
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+      |shared AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, len(sh) AS n FROM shingled)
+      |SELECT a_id, b_id, round(shared / (sa.n + sb.n - shared), 6) AS jaccard
+      |FROM shared
+      |JOIN sizes sa ON a_id = sa.doc_id
+      |JOIN sizes sb ON b_id = sb.doc_id
+      |WHERE shared / (sa.n + sb.n - shared) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------- #22 minhash + LSH
+  /** MinHash(32) signatures folded map-side (no explode), banded 8×4 for
+    * LSH candidate generation, candidates confirmed with exact Jaccard.
+    * Only 8 (band, key) rows per doc are shuffled — at 100 TB that is the
+    * whole trick: signature cost is linear scan work, candidate cost is
+    * proportional to true collisions.
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sh = shingled(spark, dir).cache()
+    val sig = sh.select(col("doc_id"), col("sh"),
+      graft.functions.GraftFunctions.minhash32(col("sh")).as("sig"))
+    def bandKey(b: Int): Column =
+      (0 until 4).foldLeft(lit(0L)) { (acc, r) =>
+        acc * 31L + element_at(col("sig"), b * 4 + r + 1)
+      }
+    val bands = sig.select(col("doc_id"),
+        explode(array((0 until 8).map(b =>
+          struct(lit(b).as("band"), bandKey(b).as("bkey"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val withSets = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+    val jac = col("inter") / (size(col("sha")) + size(col("shb")) - col("inter"))
+    withSets
+      .filter(jac >= 0.5)
+      .select(col("a_id"), col("b_id"), round(jac, 6).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val dedupMinhashLshSql: String = {
+    val sigExpr = s"list_transform(range(32), j -> " +
+      s"list_min(list_transform(hs, h -> ${hashJSql("h", "j")})))"
+    val bkey = "((((sig[4*b+1]) * 31 + sig[4*b+2]) * 31 + sig[4*b+3]) * 31 + sig[4*b+4])"
+    s"""WITH $shingledSql,
+      |hashed AS (SELECT doc_id, sh,
+      |  list_transform(sh, s -> ${polyHashSql("s")}) AS hs FROM shingled),
+      |sig AS (SELECT doc_id, sh, $sigExpr AS sig FROM hashed),
+      |bands AS (
+      |  SELECT doc_id, b, $bkey AS bkey
+      |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) bb),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT a_id, b_id,
+      |         len(list_intersect(sa.sh, sb.sh)) AS inter,
+      |         len(sa.sh) AS na, len(sb.sh) AS nb
+      |  FROM cand
+      |  JOIN shingled sa ON a_id = sa.doc_id
+      |  JOIN shingled sb ON b_id = sb.doc_id)
+      |SELECT a_id, b_id, round(inter / (na + nb - inter), 6) AS jaccard
+      |FROM pairs WHERE inter / (na + nb - inter) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // --------------------------------------------------------- #23 simhash
+  /** 63-bit SimHash over distinct tokens; near-dups = hamming ≤ 3 found by
+    * 16-bit chunk banding (pigeonhole: 4 chunks, ≤3 differing bits ⇒ at
+    * least one chunk equal — so the banding is *exact* for this radius).
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sh = Tables.documents(spark, dir).select(col("doc_id"),
+      graft.functions.GraftFunctions
+        .simhash63(array_distinct(split(col("text"), " "))).as("simhash"))
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(lit(65535L)).as("ck"))): _*)).as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.c").as("c"), col("cc.ck").as("ck"))
+    val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.ck") === col("b.ck") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        ham.cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
+  }
+
+  val dedupSimhashSql: String = {
+    val bitSum = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(th, h -> (${hashJSql("h", "b")}) % 2 * 2 - 1)), (acc, x) -> acc + x)"
+    val simhash = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(62, -1, -1), b -> " +
+      s"CASE WHEN $bitSum > 0 THEN 1 ELSE 0 END)), (acc, bit) -> acc * 2 + bit)"
+    s"""WITH th AS (
+      |  SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+      |                                t -> ${polyHashSql("t")}) AS th
+      |  FROM documents),
+      |sh AS (SELECT doc_id, $simhash AS simhash FROM th),
+      |chunks AS (
+      |  SELECT doc_id, simhash, c, (simhash >> (c * 16)) & 65535 AS ck
+      |  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) cc)
+      |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+      |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |FROM chunks a JOIN chunks b
+      |  ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // ----------------------------------------------- #24 embedding near-dup
+  /** Embedding-cosine near-dup pairs, LSH-bucketed: 8 deterministic ±1
+    * hyperplanes → 256 sign buckets; only same-bucket pairs are compared
+    * (the join is a bucket-key equality join, never all-pairs), then
+    * confirmed at cosine ≥ 0.4.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"),
+      toDouble(col("embedding")).as("ed"))
+    val bv = base.select(col("vec_id"), col("ed"),
+      sqrt(graft.functions.GraftFunctions.dotp(col("ed"), col("ed"))).as("nrm"),
+      graft.functions.GraftFunctions.hyperplaneBucket8(col("ed")).as("bucket"))
+    val cos = graft.functions.GraftFunctions.dotp(col("a.ed"), col("b.ed")) /
+      (col("a.nrm") * col("b.nrm"))
+    bv.as("a").join(bv.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        cos.as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val dedupEmbeddingSql: String = {
+    def projSql(p: Int): String =
+      seqSumSql(s"list_transform(range(64), i -> " +
+        s"CAST(emb[i+1] AS DOUBLE) * ${planeSignSql(p, "i")})")
+    val bucket = (0 until 8).foldLeft("CAST(0 AS BIGINT)") { (acc, p) =>
+      s"($acc * 2 + (CASE WHEN ${projSql(p)} > 0 THEN 1 ELSE 0 END))"
+    }
+    val cos = s"${dotSql("a.emb", "b.emb", 64)} / (a.nrm * b.nrm)"
+    s"""WITH bv AS (
+      |  SELECT vec_id, embedding AS emb, ${l2normSql("embedding", 64)} AS nrm,
+      |         $bucket AS bucket
+      |  FROM embeddings)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id, round($cos, 6) AS cosine
+      |FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |WHERE $cos >= 0.4
+      |ORDER BY a_id, b_id""".stripMargin
+  }
+}

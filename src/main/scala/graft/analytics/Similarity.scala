@@ -1,0 +1,196 @@
+package graft.analytics
+
+import graft.Tables
+import graft.functions.Portable._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY §2.4).
+  *
+  * Query vectors are always the tiny side and always `broadcast()` — the
+  * big vector table is scanned once, map-side, with the dot products
+  * folded inside whole-stage codegen; top-k uses a per-query window over
+  * the (small) scored set, and ranking ties break on `vec_id` after
+  * rounding scores to 6 dp so rank assignment is engine-deterministic.
+  */
+object Similarity {
+  private val K = 5
+  private val NQueries = 10
+
+  /** Embeddings with double-cast vectors and precomputed L2 norms. */
+  private def normed(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("label"),
+      toDouble(col("embedding")).as("ed"))
+      .withColumn("nrm",
+        sqrt(graft.functions.GraftFunctions.dotp(col("ed"), col("ed"))))
+  }
+
+  private val normedSql =
+    s"""normed AS (
+      |  SELECT vec_id, label, embedding AS emb,
+      |         ${l2normSql("embedding", 64)} AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  private def cosAB: Column =
+    graft.functions.GraftFunctions.dotp(col("q.ed"), col("c.ed")) /
+      (col("q.nrm") * col("c.nrm"))
+
+  private val cosABSql = s"${dotSql("q.emb", "c.emb", 64)} / (q.nrm * c.nrm)"
+
+  // -------------------------------------------------------- #25 brute kNN
+  /** Brute-force cosine top-k: the exact-baseline scan. Queries (10 rows)
+    * broadcast against the full table — one pass, no shuffle of the big
+    * side; `row_number` runs per query key.
+    */
+  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val base = normed(spark, dir)
+    val queries = base.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("ed"), col("nrm"))
+    val scored = base.as("c")
+      .join(broadcast(queries.as("q")), col("q.q_id") =!= col("c.vec_id"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
+        round(cosAB, 6).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  val knnBruteSql: String =
+    s"""WITH $normedSql,
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |         round($cosABSql, 6) AS cosine
+      |  FROM normed q JOIN normed c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id),
+      |ranked AS (
+      |  SELECT q_id, n_id, cosine,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= $K
+      |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------- #26 LSH ANN
+  /** Random-hyperplane LSH ANN: 8 deterministic ±1 planes → 256 buckets;
+    * each query only scores its own bucket (the scale path: bucket-key
+    * equality join instead of a full scan per query).
+    */
+  def knnLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val base = normed(spark, dir)
+    val bv = base.withColumn("bucket",
+      graft.functions.GraftFunctions.hyperplaneBucket8(col("ed")))
+    val queries = bv.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("ed"), col("nrm"), col("bucket"))
+    val scored = bv.as("c")
+      .join(broadcast(queries.as("q")),
+        col("q.bucket") === col("c.bucket") && col("q.q_id") =!= col("c.vec_id"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
+        round(cosAB, 6).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  val knnLshSql: String = {
+    def projSql(p: Int): String =
+      seqSumSql(s"list_transform(range(64), i -> " +
+        s"CAST(emb[i+1] AS DOUBLE) * ${planeSignSql(p, "i")})")
+    val bucket = (0 until 8).foldLeft("CAST(0 AS BIGINT)") { (acc, p) =>
+      s"($acc * 2 + (CASE WHEN ${projSql(p)} > 0 THEN 1 ELSE 0 END))"
+    }
+    s"""WITH $normedSql,
+      |bv AS (SELECT *, $bucket AS bucket FROM normed
+      |       -- alias emb for the bucket expr
+      |       ),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |         round($cosABSql, 6) AS cosine
+      |  FROM bv q JOIN bv c
+      |    ON q.vec_id < $NQueries AND q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+      |ranked AS (
+      |  SELECT q_id, n_id, cosine,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= $K
+      |ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ------------------------------------------------------ #27 IVF probing
+  /** IVF-style coarse quantizer: per-`label` centroids (the "inverted
+    * lists"), each query probes its 2 nearest centroids and searches only
+    * those lists. Centroid dims are rounded to 3 dp in both engines so the
+    * (order-dependent) float aggregation can't leak into results.
+    */
+  def centroidIvf(spark: SparkSession, dir: String): DataFrame = {
+    val base = normed(spark, dir)
+    val centAggs = (0 until 64).map(i =>
+      round(avg(element_at(col("ed"), i + 1)), 3).as(s"c$i"))
+    val cents = base.groupBy("label")
+      .agg(centAggs.head, centAggs.tail: _*)
+      .select(col("label"),
+        array((0 until 64).map(i => col(s"c$i")): _*).as("ed"))
+      .withColumn("nrm",
+        sqrt(graft.functions.GraftFunctions.dotp(col("ed"), col("ed"))))
+    val queries = base.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("ed"), col("nrm"))
+    val qc = cents.as("c").crossJoin(broadcast(queries.as("q")))
+      .select(col("q.q_id").as("q_id"), col("c.label").as("label"),
+        round(cosAB, 6).as("ccos"))
+    val wc = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("label"))
+    val probes = qc.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= 2)
+      .select(col("q_id"), col("label"))
+    val scored = base.as("c")
+      .join(broadcast(probes.join(queries.as("q"), "q_id")
+          .select(col("q_id"), col("label"), col("ed"), col("nrm")).as("q")),
+        col("q.label") === col("c.label") && col("q.q_id") =!= col("c.vec_id"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
+        round(cosAB, 6).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  val centroidIvfSql: String = {
+    val centDot = seqSumSql(s"list_transform(range(64), k -> " +
+      s"CAST(q.emb[k+1] AS DOUBLE) * c.ed[k+1])")
+    s"""WITH $normedSql,
+      |cent_long AS (
+      |  SELECT label, i, round(avg(CAST(emb[i+1] AS DOUBLE)), 3) AS c
+      |  FROM normed CROSS JOIN (SELECT unnest(range(64)) AS i) ii
+      |  GROUP BY label, i),
+      |cents AS (
+      |  SELECT label, list(c ORDER BY i) AS ed,
+      |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list(c * c ORDER BY i)), (acc, x) -> acc + x)) AS nrm
+      |  FROM cent_long GROUP BY label),
+      |queries AS (SELECT vec_id AS q_id, emb, nrm FROM normed WHERE vec_id < $NQueries),
+      |qc AS (
+      |  SELECT q.q_id, c.label, round($centDot / (q.nrm * c.nrm), 6) AS ccos
+      |  FROM cents c CROSS JOIN queries q),
+      |probes AS (
+      |  SELECT q_id, label FROM (
+      |    SELECT q_id, label,
+      |           row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, label) AS crank
+      |    FROM qc) t WHERE crank <= 2),
+      |scored AS (
+      |  SELECT q.q_id, c.vec_id AS n_id, round($cosABSql, 6) AS cosine
+      |  FROM probes p
+      |  JOIN queries q ON p.q_id = q.q_id
+      |  JOIN normed c ON c.label = p.label AND c.vec_id <> q.q_id),
+      |ranked AS (
+      |  SELECT q_id, n_id, cosine,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
+  }
+}

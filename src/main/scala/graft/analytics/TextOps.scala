@@ -1,0 +1,159 @@
+package graft.analytics
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis suite for corpus curation (SURVEY §2.5): token counting,
+  * quality scoring, stopword-profile language ID, and corpus n-gram
+  * statistics. Everything is a single codegen'd projection (+ one agg for
+  * the corpus stats) — per-document work never shuffles.
+  */
+object TextOps {
+
+  /** Word regex shared by both engines: runs of letters, runs of digits,
+    * or single other non-space symbols (a BPE-ish pre-tokenizer shape). */
+  private val WordRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  private val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  // ------------------------------------------------------- #28 token stats
+  /** Per-document token counts: whitespace tokens, regex word tokens, and
+    * distinct-token vocabulary size. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit(WordRe), lit(0))).as("n_words"),
+      size(array_distinct(split(col("text"), " "))).as("n_vocab"),
+      length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+
+  val textTokensSql: String =
+    s"""SELECT doc_id,
+      |       len(string_split(text, ' ')) AS n_ws_tokens,
+      |       len(regexp_extract_all(lower(text), '$WordRe')) AS n_words,
+      |       len(list_distinct(string_split(text, ' '))) AS n_vocab,
+      |       length(text) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------- #29 quality score
+  /** Heuristic quality scoring: stopword ratio, alphabetic-character
+    * ratio, and a length cap, combined with fixed weights. The arithmetic
+    * (and its association order) is written identically in both engines so
+    * the rounded score is bit-stable.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val stopCnt = size(filter(toks, t =>
+      Stopwords.map(s => t === s).reduce(_ || _)))
+    val alphaLen = length(regexp_replace(col("text"), "[^a-z]", ""))
+    val stopRatio = stopCnt / nTok
+    val alphaRatio = alphaLen / length(col("text"))
+    val lenCap = least(nTok / lit(100), lit(1.0))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(alphaRatio, 6).as("alpha_ratio"),
+      round((lit(0.4) * stopRatio + lit(0.3) * alphaRatio) + lit(0.3) * lenCap, 6)
+        .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val textQualitySql: String = {
+    val inList = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id,
+      |       len(string_split(text, ' ')) AS n_tokens,
+      |       round(len(list_filter(string_split(text, ' '), t -> t IN ($inList)))
+      |             / len(string_split(text, ' ')), 6) AS stop_ratio,
+      |       round(length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text), 6) AS alpha_ratio,
+      |       round((0.4 * (len(list_filter(string_split(text, ' '), t -> t IN ($inList)))
+      |                     / len(string_split(text, ' ')))
+      |              + 0.3 * (length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text)))
+      |             + 0.3 * least(len(string_split(text, ' ')) / 100, 1.0), 6) AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------- #30 language ID
+  /** Stopword-profile language ID: score each language by its marker-word
+    * hit count; highest score wins, ties broken by a fixed language
+    * priority. Reported next to the table's `lang` label (the synthetic
+    * corpus shares one vocabulary, so this gauges the *plumbing*, and the
+    * agreement flag is part of the checked output).
+    */
+  private val Profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "is", "of"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "es", "y"),
+    "fr" -> Seq("le", "les", "est", "et", "une"),
+    "zh" -> Seq("de5", "shi4", "le5", "he2", "zai4"))
+
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    def score(words: Seq[String]): Column =
+      size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
+    val withScores = Profiles.foldLeft(Tables.documents(spark, dir)) {
+      case (df, (l, words)) => df.withColumn(s"s_$l", score(words))
+    }
+    // argmax with fixed priority: first profile with score == max wins
+    val maxScore = greatest(Profiles.map { case (l, _) => col(s"s_$l") }: _*)
+    val predicted = Profiles.foldRight(lit("und")) { case ((l, _), els) =>
+      when(col(s"s_$l") === maxScore && maxScore > 0, lit(l)).otherwise(els)
+    }
+    withScores.select(
+      col("doc_id"), col("lang"),
+      predicted.as("predicted"),
+      (col("lang") === predicted).cast("int").as("agree"))
+      .orderBy("doc_id")
+  }
+
+  val textLangidSql: String = {
+    def scoreSql(words: Seq[String]): String = {
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($inList)))"
+    }
+    val scores = Profiles.map { case (l, ws) => s"${scoreSql(ws)} AS s_$l" }.mkString(",\n  ")
+    val maxExpr = "greatest(" + Profiles.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+    val predicted = Profiles.foldRight("'und'") { case ((l, _), els) =>
+      s"CASE WHEN s_$l = m AND m > 0 THEN '$l' ELSE $els END"
+    }
+    s"""WITH s AS (
+      |  SELECT doc_id, lang,
+      |  $scores
+      |  FROM documents),
+      |m AS (SELECT *, $maxExpr AS m FROM s)
+      |SELECT doc_id, lang, $predicted AS predicted,
+      |       CAST(lang = ($predicted) AS INT) AS agree
+      |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------- #31 n-gram stats
+  /** Corpus bigram frequency: top 100 bigrams with doc frequency and total
+    * count — the classic n-gram statistics sweep (map-side explode, one
+    * aggregation shuffle on the gram key).
+    */
+  def textNgramStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(bigrams).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(100)
+  }
+
+  val textNgramStatsSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS gram
+      |  FROM toks)
+      |SELECT gram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+      |FROM grams GROUP BY gram
+      |ORDER BY n DESC, gram LIMIT 100""".stripMargin
+}
