@@ -1,0 +1,130 @@
+package graft
+
+import graft.ingest.EventParser
+import graft.ops.LatestState
+import graft.tools.{Populator, StorageInfo}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventParserSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def envelope(opIndex: String, typ: String, bucket: String, key: String,
+                       value: String): String =
+    s"""{"opIndex":"$opIndex","type":"$typ","bucket":"$bucket","key":"$key","value":$value}"""
+
+  private val putValue =
+    """{"owner-id":"o-1","content-length":42,"x-amz-meta-color":"blue",
+      |"x-amz-meta-shape":"round","dataStoreName":"zone-1",
+      |"location":[{"key":"k1","size":7,"start":0,"dataStoreName":"file","dataStoreETag":"1:a"},
+      |            {"key":"k2","size":9,"start":7,"dataStoreName":"file","dataStoreETag":"2:b"}],
+      |"tags":{"env":"prod"}}""".stripMargin.replaceAll("\n", "")
+
+  test("parses envelope, hoists x-amz-meta-* into userMd, truncates location") {
+    val raw = Seq(envelope("000000000005_000001", "put", "b1", "obj1", putValue)).toDF("value")
+    val rows = EventParser.parse(raw, groupInterval = 1000L).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("bucket") == "b1")
+    assert(r.getAs[String]("key") == "obj1")
+    assert(r.getAs[Long]("opGroup") == 1000L) // 5 rounded up to interval
+    val msg = r.getStruct(r.fieldIndex("message"))
+    val userMd = msg.getMap[String, String](msg.fieldIndex("userMd"))
+    assert(userMd == Map("x-amz-meta-color" -> "blue", "x-amz-meta-shape" -> "round"))
+    assert(msg.getSeq[Any](msg.fieldIndex("location")).length == 1) // first element only
+    assert(msg.getAs[Int]("content-length") == 42)
+    assert(msg.getAs[String]("owner-id") == "o-1")
+  }
+
+  test("opGroup rounds UP to the interval; exact multiples stay") {
+    val raw = Seq(
+      envelope("000000010000_0", "put", "b", "k1", "{}"),
+      envelope("000000010001_0", "put", "b", "k2", "{}")).toDF("value")
+    val got = EventParser.parse(raw, groupInterval = 10000L)
+      .select("key", "opGroup").as[(String, Long)].collect().toMap
+    assert(got("k1") == 10000L)
+    assert(got("k2") == 20000L)
+  }
+
+  test("drops garbage, system buckets, shadow buckets and the excluded bucket") {
+    val raw = Seq(
+      "not json at all",
+      """{"broken""",
+      envelope("000000000001_0", "put", "__metastore", "k", "{}"),
+      envelope("000000000002_0", "put", "PENSIEVE", "k", "{}"),
+      envelope("000000000003_0", "put", "users..bucket", "k", "{}"),
+      envelope("000000000004_0", "put", "mpuShadowBucketabc", "k", "{}"),
+      envelope("000000000005_0", "put", "own-meta", "k", "{}"),
+      envelope("000000000006_0", "put", "keepme", "k", "{}")).toDF("value")
+    val kept = EventParser.parse(raw, excludeBucket = "own-meta").select("bucket")
+      .as[String].collect().toSeq
+    assert(kept == Seq("keepme"))
+  }
+
+  test("null-safe defaults: missing bucket -> NOBUCKET, missing key -> empty") {
+    val raw = Seq("""{"opIndex":"000000000001_0","type":"put","value":{}}""").toDF("value")
+    val r = EventParser.parse(raw).select("bucket", "key").as[(String, String)].collect().head
+    assert(r == ("NOBUCKET", ""))
+  }
+}
+
+class LatestStateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def opLog = Seq(
+    ("k1", 1L, "put", "v1"), ("k1", 3L, "put", "v3"), ("k1", 2L, "put", "v2"),
+    ("k2", 1L, "put", "a"), ("k2", 2L, "delete", ""),
+    ("k3", 7L, "put", "z"),
+    ("k4", 1L, "delete", ""), ("k4", 5L, "put", "resurrected"))
+    .toDF("key", "op", "type", "payload")
+
+  test("keeps only the highest-version event per key and drops tombstoned keys") {
+    val snap = LatestState.snapshot(opLog, Seq("key"), "op", col("type") === "delete")
+      .select("key", "payload").as[(String, String)].collect().toMap
+    assert(snap == Map("k1" -> "v3", "k3" -> "z", "k4" -> "resurrected"))
+  }
+
+  test("aggregation form matches the reference window form exactly") {
+    val a = LatestState.snapshot(opLog, Seq("key"), "op", col("type") === "delete")
+    val b = LatestState.snapshotWindowed(opLog, Seq("key"), "op", col("type") === "delete")
+    assert(a.select("key", "op", "type", "payload").collect().toSet ==
+      b.select("key", "op", "type", "payload").collect().toSet)
+  }
+
+  test("aggregation form combines map-side and never plans a window") {
+    val plan = LatestState.snapshot(opLog, Seq("key"), "op", col("type") === "delete")
+      .queryExecution.executedPlan.toString
+    // the scale property: duplicates collapse BEFORE the exchange...
+    assert(plan.contains("partial_max_by"), s"expected map-side partial agg:\n$plan")
+    // ...and no full-history rank window is materialized
+    assert(!plan.contains("Window"), s"snapshot plan must not window:\n$plan")
+  }
+}
+
+class PopulatorSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("journal lines are deterministic and parse losslessly") {
+    val a = Populator.journalLines(spark, "bx", 50).as[String].collect()
+    val b = Populator.journalLines(spark, "bx", 50).as[String].collect()
+    assert(a.toSeq == b.toSeq)
+    val parsed = EventParser.parse(Populator.journalLines(spark, "bx", 50))
+    assert(parsed.count() == 50)
+    val md = parsed.select(col("message.userMd")).as[Map[String, String]].collect()
+    assert(md.forall(m => m.contains("x-amz-meta-food") && m.contains("x-amz-meta-rand")))
+  }
+
+  test("populateLanding writes a partitioned landing zone StorageInfo can read") {
+    val dir = SparkTestSession.tempDir("landing")
+    Populator.populateLanding(spark, dir, "bp", 120, groupInterval = 50L)
+    val stats = StorageInfo.zoneStats(spark, dir)
+    assert(stats.records == 120)
+    assert(stats.parquetFiles > 0 && stats.totalBytes > 0)
+    // partition layout: bucket=bp/opGroup=… (id 0 is an exact multiple -> group 0)
+    val groups = new java.io.File(s"$dir/bucket=bp").list().toSeq.filter(_.startsWith("opGroup="))
+    assert(groups.toSet == Set("opGroup=0", "opGroup=50", "opGroup=100", "opGroup=150"))
+  }
+}

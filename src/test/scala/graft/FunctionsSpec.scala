@@ -1,0 +1,107 @@
+package graft
+
+import graft.functions.{GraftFunctions, Portable, Sig}
+import graft.ops.MediaPipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+class SigExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val asciiWord = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+
+  test("native minhash32 equals the declarative higher-order-function fold") {
+    GraftFunctions.register(spark)
+    val docs = Gen.listOfN(30, Gen.nonEmptyListOf(asciiWord).map(_.mkString(" ")))
+      .sample.get.toDF("text")
+    val sh = docs.select(Portable.shingles3(split(col("text"), " ")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val native = sh.select(GraftFunctions.minhash32(col("sh")).as("sig"))
+    val declarative = sh
+      .select(transform(col("sh"), s => Portable.polyHash(s)).as("hs"))
+      .select(transform(sequence(lit(0), lit(31)), j =>
+        array_min(transform(col("hs"), h => Portable.hashJ(h, j)))).as("sig"))
+    assert(native.as[Seq[Long]].collect().toSeq ==
+      declarative.as[Seq[Long]].collect().toSeq)
+  }
+
+  test("native simhash63 equals the declarative fold and is order-insensitive") {
+    GraftFunctions.register(spark)
+    val toks = Seq(Seq("alpha", "beta", "gamma"), Seq("gamma", "beta", "alpha"),
+      Seq("one"), Seq("lorem", "ipsum", "dolor", "sit", "amet"))
+      .toDF("toks")
+    val native = toks.select(GraftFunctions.simhash63(col("toks")).as("s")).as[Long].collect()
+    val declarative = toks.select(
+      aggregate(
+        transform(sequence(lit(62), lit(0), lit(-1)), b =>
+          when(aggregate(transform(col("toks"), t => Portable.polyHash(t)), lit(0L),
+            (acc, h) => acc + (Portable.hashJ(h, b) % 2) * 2L - 1L) > 0, 1L).otherwise(0L)),
+        lit(0L), (acc, bit) => acc * 2L + bit).as("s")).as[Long].collect()
+    assert(native.toSeq == declarative.toSeq)
+    assert(native(0) == native(1), "simhash must not depend on token order")
+    assert((0L until 63L).forall(b => native.forall(s => s >= 0)), "63-bit => non-negative")
+  }
+
+  test("native dot/bucket equal the declarative folds on random vectors") {
+    GraftFunctions.register(spark)
+    val vecs = Seq.tabulate(20)(i => Seq.tabulate(64)(d =>
+      math.sin(i * 64 + d).abs * (if ((i + d) % 3 == 0) -1 else 1))).toDF("ed")
+    val nat = vecs.select(
+      GraftFunctions.dotp(col("ed"), col("ed")).as("dot"),
+      GraftFunctions.hyperplaneBucket8(col("ed")).as("bucket"))
+    val dec = vecs.select(
+      Portable.seqSum(zip_with(col("ed"), col("ed"), (x, y) => x * y)).as("dot"),
+      (0 until 8).foldLeft(lit(0L)) { (acc, p) =>
+        acc * 2L + when(
+          aggregate(sequence(lit(0), lit(63)), lit(0.0),
+            (a, i) => a + element_at(col("ed"), i + 1) * Portable.planeSign(p, i)) > 0,
+          1L).otherwise(0L)
+      }.as("bucket"))
+    assert(nat.as[(Double, Long)].collect().toSeq == dec.as[(Double, Long)].collect().toSeq)
+  }
+
+  test("polyHashJvm matches the SQL polyHash column for ASCII strings") {
+    val samples = Gen.listOfN(50, asciiWord).sample.get.distinct
+    val sql = samples.toDF("s").select(col("s"), Portable.polyHash(col("s")))
+      .as[(String, Long)].collect().toMap
+    samples.foreach(s => assert(sql(s) == Portable.polyHashJvm(s), s"mismatch for '$s'"))
+  }
+}
+
+class MediaPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("typed media pipeline extracts deterministic features per partition batch") {
+    val media = Seq(
+      MediaPipeline.MediaRecord(1L, "srcA", "hello world".getBytes),
+      MediaPipeline.MediaRecord(2L, "srcA", "abc".getBytes),
+      MediaPipeline.MediaRecord(3L, "srcB", Array[Byte]())).toDS()
+      .repartition(2)
+    val feats = MediaPipeline.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(feats.map(_.byte_len).toSeq == Seq(11L, 3L, 0L))
+    val (w, h, f) = MediaPipeline.decodeStub("hello world".getBytes)
+    assert(feats(0).width == w && feats(0).height == h && feats(0).n_frames == f)
+    // the stub hash must agree with the portable polyhash (oracle contract)
+    assert(Portable.polyHashJvm("hello world") ==
+      "hello world".getBytes.foldLeft(Portable.Seed)((acc, b) =>
+        (acc * 31 + (b & 0xff)) % Portable.P))
+    // dims stay in the documented ranges
+    feats.foreach { ft =>
+      assert(ft.width >= 1 && ft.width <= 1920)
+      assert(ft.height >= 1 && ft.height <= 1080)
+      assert(ft.n_frames >= 1 && ft.n_frames <= 24)
+    }
+  }
+
+  test("asMedia carries documents as binary payloads losslessly") {
+    val dir = "/root/testdata/sf0.001"
+    val media = MediaPipeline.asMedia(spark, dir)
+    val one = media.filter(_.doc_id == 0L).collect().head
+    val text = Tables.documents(spark, dir).filter(col("doc_id") === 0)
+      .select("text").as[String].collect().head
+    assert(new String(one.payload) == text)
+  }
+}
