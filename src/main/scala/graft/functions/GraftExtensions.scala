@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** `SparkSessionExtensions` hook installing the `graft_*` native
+  * expressions at session build time — the deployment path for clusters
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`), equivalent to
+  * the programmatic [[GraftFunctions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_minhash32"),
+      info("graft_minhash32", "_FUNC_(array<string>) - 32-permutation MinHash signature"),
+      (args: Seq[Expression]) => MinHashSig(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_simhash63"),
+      info("graft_simhash63", "_FUNC_(array<string>) - 63-bit SimHash"),
+      (args: Seq[Expression]) => SimHash63(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_hyperplane_bucket8"),
+      info("graft_hyperplane_bucket8", "_FUNC_(array<double>) - 8-plane LSH bucket id"),
+      (args: Seq[Expression]) => HyperplaneBucket8(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "_FUNC_(array<double>, array<double>) - sequential dot product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+  }
+}

@@ -70,6 +70,29 @@ class SigExpressionsSpec extends AnyFunSuite {
   }
 }
 
+class GraftExtensionsSpec extends AnyFunSuite {
+  test("spark.sql.extensions-style injection exposes graft_* in SQL") {
+    import org.apache.spark.sql.SparkSession
+    val base = SparkTestSession.spark // ensure the shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT graft_simhash63(array('alpha','beta')) AS s, " +
+          "graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect().head
+      assert(r.getDouble(1) == 11.0)
+      assert(r.getLong(0) >= 0L)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
+
 class MediaPipelineSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._

@@ -1,0 +1,77 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Click
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+
+  test("watermarked tumbling window agg emits closed windows exactly once") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = StreamOps.windowedAgg(events, window = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("winagg")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(1), "click", 1.0), (2L, ts(4), "click", 2.0), (3L, ts(11), "view", 5.0))
+      q.processAllAvailable()
+      // watermark still at 0 → nothing final yet
+      assert(spark.table("winagg").count() == 0)
+      in.addData((4L, ts(30), "click", 1.0)) // watermark -> 25min, closes [0,10) and [10,20)
+      q.processAllAvailable()
+      val rows = spark.table("winagg")
+        .select(date_format(col("window_start"), "mm").cast("int"), col("event_type"), col("n"), col("sum_value"))
+        .as[(Int, String, Long, Double)].collect().toSet
+      assert(rows == Set((0, "click", 2L, 3.0), (10, "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedupes replays") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = StreamOps.dedupStream(events, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedupstream")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(1), "click", 1.0), (1L, ts(1), "click", 1.0), (2L, ts(2), "view", 2.0))
+      q.processAllAvailable()
+      in.addData((1L, ts(3), "click", 1.0)) // replay within watermark -> dropped
+      q.processAllAvailable()
+      assert(spark.table("dedupstream").select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap timeout") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Click]
+    val q = StreamOps.sessionize(in.toDS(), gapSeconds = 600) // 10 min gap
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 60 and 65 min (one session); user 2: event at 61 min
+      in.addData(Click(1, ts(60), 1.0), Click(1, ts(65), 2.0), Click(2, ts(61), 7.0))
+      q.processAllAvailable()
+      // advance watermark far past all gaps → sessions time out and emit
+      in.addData(Click(9, ts(180), 0.0))
+      q.processAllAvailable()
+      in.addData(Click(9, ts(300), 0.0)) // push watermark again to flush user 9
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select(col("user_id"), col("n_events"), col("sum_value"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got.contains((1L, 2L, 3.0)) && got.contains((2L, 1L, 7.0)))
+      // in-session gap split: user 1's two events 5min apart stayed ONE session
+      assert(spark.table("sessions").filter(col("user_id") === 1).count() == 1)
+    } finally q.stop()
+  }
+}
