@@ -21,11 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Documents with their distinct word-3-gram shingle sets. */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  /** Documents with their distinct word-3-gram shingle sets (native
+    * [[graft.functions.NGrams]] — same output as [[shingles3]], one
+    * compiled pass instead of interpreted lambda folds). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      shingles3(split(col("text"), " ")).as("sh"))
+      graft.functions.GraftFunctions
+        .ngrams(split(col("text"), " "), 3, distinct = true).as("sh"))
+  }
 
   private val shingledSql =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -135,11 +135,9 @@ object TextOps {
     * aggregation shuffle on the gram key).
     */
   def textNgramStats(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2), i =>
-        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.GraftFunctions.register(spark)
+    val bigrams = graft.functions.GraftFunctions
+      .ngrams(split(col("text"), " "), 2, distinct = false)
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(bigrams).as("gram"))
       .groupBy("gram")

@@ -122,6 +122,43 @@ case class HyperplaneBucket8(child: Expression)
   override protected def withNewChildInternal(c: Expression): HyperplaneBucket8 = copy(child = c)
 }
 
+/** `graft_ngrams(array<string>, n, distinct) -> array<string>`: word
+  * n-gram shingles joined with single spaces; `distinct = true` keeps the
+  * first occurrence of each shingle (same order contract as
+  * `array_distinct` over the declarative [[Portable.shingles3]] form).
+  * Returns an empty array when the doc has fewer than `n` tokens.
+  */
+case class NGrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val total = arr.numElements()
+    if (total < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](total)
+    var i = 0
+    while (i < total) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new java.util.ArrayList[Any](total - n + 1)
+    val seen = if (distinct) new java.util.HashSet[Any]() else null
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    i = 0
+    while (i <= total - n) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](2 * n - 1)
+      var k = 0
+      while (k < n) {
+        if (k > 0) parts(2 * k - 1) = space
+        parts(2 * k) = toks(i + k)
+        k += 1
+      }
+      val gram = org.apache.spark.unsafe.types.UTF8String.concat(parts: _*)
+      if (seen == null || seen.add(gram)) out.add(gram)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): NGrams = copy(child = c)
+}
+
 /** `graft_dot(array<double>, array<double>) -> double`: sequential
   * (index-order) dot product — one compiled loop, bit-identical to the
   * `zip_with`+`aggregate` fold and to the oracle's `list_reduce` sum.
@@ -157,10 +194,17 @@ object GraftFunctions {
       (args: Seq[Expression]) => HyperplaneBucket8(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_dot",
       (args: Seq[Expression]) => DotProduct(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_ngrams",
+      (args: Seq[Expression]) => NGrams(args(0),
+        args(1).eval().asInstanceOf[Int],
+        args(2).eval().asInstanceOf[Boolean]), "built-in")
   }
 
   def minhash32(c: Column): Column = call_function("graft_minhash32", c)
   def simhash63(c: Column): Column = call_function("graft_simhash63", c)
   def hyperplaneBucket8(c: Column): Column = call_function("graft_hyperplane_bucket8", c)
   def dotp(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def ngrams(toks: Column, n: Int, distinct: Boolean): Column =
+    call_function("graft_ngrams", toks,
+      org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(distinct))
 }

@@ -62,6 +62,26 @@ class SigExpressionsSpec extends AnyFunSuite {
     assert(nat.as[(Double, Long)].collect().toSeq == dec.as[(Double, Long)].collect().toSeq)
   }
 
+  test("native ngrams equals the declarative shingle builder (distinct and not)") {
+    GraftFunctions.register(spark)
+    val docs = (Gen.listOfN(40, Gen.nonEmptyListOf(asciiWord).map(_.mkString(" ")))
+      .sample.get ++ Seq("one", "two words", "a b a b a b")).toDF("text")
+    val toks = split(col("text"), " ")
+    val got = docs.select(
+      GraftFunctions.ngrams(toks, 3, distinct = true).as("n3d"),
+      GraftFunctions.ngrams(toks, 2, distinct = false).as("n2"),
+      Portable.shingles3(toks).as("ref3d"),
+      when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2), i =>
+          concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>")).as("ref2"))
+      .as[(Seq[String], Seq[String], Seq[String], Seq[String])].collect()
+    got.foreach { case (n3d, n2, ref3d, ref2) =>
+      assert(n3d == ref3d)
+      assert(n2 == ref2)
+    }
+  }
+
   test("polyHashJvm matches the SQL polyHash column for ASCII strings") {
     val samples = Gen.listOfN(50, asciiWord).sample.get.distinct
     val sql = samples.toDF("s").select(col("s"), Portable.polyHash(col("s")))
