@@ -44,6 +44,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> (Dedup.dedupMinhashLsh(_, _)),
     "dedup_simhash"       -> (Dedup.dedupSimhash(_, _)),
     "dedup_embedding"     -> (Dedup.dedupEmbedding(_, _)),
+    "dedup_clusters"      -> (Dedup.dedupClusters(_, _)),
     // §2.4 similarity search
     "knn_brute"           -> (Similarity.knnBrute(_, _)),
     "knn_lsh"             -> (Similarity.knnLsh(_, _)),
@@ -53,6 +54,7 @@ object SparkEntry {
     "text_quality"        -> (TextOps.textQuality(_, _)),
     "text_langid"         -> (TextOps.textLangid(_, _)),
     "text_ngram_stats"    -> (TextOps.textNgramStats(_, _)),
+    "sample_stratified"   -> (TextOps.sampleStratified(_, _)),
     // §2.6 multimodal plumbing
     "mm_binary_stats"     -> (Multimodal.mmBinaryStats(_, _)),
   )
@@ -85,6 +87,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> Dedup.dedupMinhashLshSql,
     "dedup_simhash"       -> Dedup.dedupSimhashSql,
     "dedup_embedding"     -> Dedup.dedupEmbeddingSql,
+    "dedup_clusters"      -> Dedup.dedupClustersSql,
     "knn_brute"           -> Similarity.knnBruteSql,
     "knn_lsh"             -> Similarity.knnLshSql,
     "centroid_ivf"        -> Similarity.centroidIvfSql,
@@ -92,6 +95,7 @@ object SparkEntry {
     "text_quality"        -> TextOps.textQualitySql,
     "text_langid"         -> TextOps.textLangidSql,
     "text_ngram_stats"    -> TextOps.textNgramStatsSql,
+    "sample_stratified"   -> TextOps.sampleStratifiedSql,
     "mm_binary_stats"     -> Multimodal.mmBinaryStatsSql,
   )
 }

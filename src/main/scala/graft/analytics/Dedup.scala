@@ -160,11 +160,14 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  val dedupMinhashLshSql: String = {
+  /** Shared oracle CTE chain ending in `confirmed(a_id, b_id, jaccard)` —
+    * the MinHash-LSH candidate pipeline with exact-Jaccard confirmation.
+    */
+  private val minhashPairsCtes: String = {
     val sigExpr = s"list_transform(range(32), j -> " +
       s"list_min(list_transform(hs, h -> ${hashJSql("h", "j")})))"
     val bkey = "((((sig[4*b+1]) * 31 + sig[4*b+2]) * 31 + sig[4*b+3]) * 31 + sig[4*b+4])"
-    s"""WITH $shingledSql,
+    s"""$shingledSql,
       |hashed AS (SELECT doc_id, sh,
       |  list_transform(sh, s -> ${polyHashSql("s")}) AS hs FROM shingled),
       |sig AS (SELECT doc_id, sh, $sigExpr AS sig FROM hashed),
@@ -181,11 +184,16 @@ object Dedup {
       |         len(sa.sh) AS na, len(sb.sh) AS nb
       |  FROM cand
       |  JOIN shingled sa ON a_id = sa.doc_id
-      |  JOIN shingled sb ON b_id = sb.doc_id)
-      |SELECT a_id, b_id, round(inter / (na + nb - inter), 6) AS jaccard
-      |FROM pairs WHERE inter / (na + nb - inter) >= 0.5
-      |ORDER BY a_id, b_id""".stripMargin
+      |  JOIN shingled sb ON b_id = sb.doc_id),
+      |confirmed AS (
+      |  SELECT a_id, b_id, round(inter / (na + nb - inter), 6) AS jaccard
+      |  FROM pairs WHERE inter / (na + nb - inter) >= 0.5)""".stripMargin
   }
+
+  val dedupMinhashLshSql: String =
+    s"""WITH $minhashPairsCtes
+      |SELECT a_id, b_id, jaccard FROM confirmed
+      |ORDER BY a_id, b_id""".stripMargin
 
   // --------------------------------------------------------- #23 simhash
   /** 63-bit SimHash over distinct tokens; near-dups = hamming ≤ 3 found by
@@ -233,6 +241,61 @@ object Dedup {
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
       |ORDER BY a_id, b_id""".stripMargin
   }
+
+  // ----------------------------------------- #33 duplicate-cluster labels
+  /** Connected components over the MinHash-confirmed near-dup pairs:
+    * every document in a duplicate cluster gets the cluster's minimum
+    * doc_id as its label, and the label-holder is the keeper — the actual
+    * decision step of a dedup pipeline (pairs alone don't dedupe;
+    * transitive closures do).
+    *
+    * Implementation is iterative min-label propagation: each round is one
+    * distributed join+aggregate (no driver-side graph), and the loop ends
+    * when no label changes — O(cluster diameter) rounds, each shuffling
+    * only the edge list. The oracle recomputes the closure with a
+    * recursive CTE.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(spark, dir).select("a_id", "b_id")
+    val edges = pairs.unionByName(
+      pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))).cache()
+    var labels = edges.select(col("a_id").as("id")).distinct()
+      .withColumn("lbl", col("id")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = edges.join(labels, edges("b_id") === labels("id"))
+        .groupBy(edges("a_id").as("nid")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .cache()
+      changed = next.join(labels.select(col("id").as("pid"), col("lbl").as("old")),
+          col("id") === col("pid"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    val out = labels
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("id") === col("lbl")).cast("int").as("is_keeper"))
+      .orderBy("doc_id")
+    edges.unpersist()
+    out
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+      |edges AS (
+      |  SELECT a_id AS u, b_id AS v FROM confirmed
+      |  UNION ALL SELECT b_id, a_id FROM confirmed),
+      |reach(u, v) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+      |SELECT u AS doc_id, min(v) AS cluster_id,
+      |       CAST(u = min(v) AS INT) AS is_keeper
+      |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------- #24 embedding near-dup
   /** Embedding-cosine near-dup pairs, LSH-bucketed: 8 deterministic ±1

@@ -129,6 +129,38 @@ object TextOps {
       |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------- #34 stratified sample
+  /** Deterministic stratified sampling: per-language keep rates applied by
+    * content-hash bucket (`polyhash(text) mod 10 < rate`). Hash-mod
+    * sampling is reproducible across runs, clusters and engines — the
+    * curation property rejection-sampling with RNGs can't give — and the
+    * per-stratum audit counts ride along in the same pass.
+    */
+  private val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 2, "de" -> 5, "es" -> 5, "fr" -> 5, "zh" -> 5) // of 10
+
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val rate = SampleRates.foldRight(lit(0)) { case ((l, r), els) =>
+      when(col("lang") === l, lit(r)).otherwise(els)
+    }
+    val bucket = pmod(graft.functions.Portable.polyHash(col("text")), lit(10L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("h10"), rate.as("rate"))
+      .filter(col("h10") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("h10").cast("long").as("h10"))
+      .orderBy("doc_id")
+  }
+
+  val sampleStratifiedSql: String = {
+    val rate = SampleRates.foldRight("0") { case ((l, r), els) =>
+      s"CASE WHEN lang = '$l' THEN $r ELSE $els END"
+    }
+    s"""SELECT doc_id, lang, (${graft.functions.Portable.polyHashSql("text")}) % 10 AS h10
+      |FROM documents
+      |WHERE (${graft.functions.Portable.polyHashSql("text")}) % 10 < ($rate)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------- #31 n-gram stats
   /** Corpus bigram frequency: top 100 bigrams with doc frequency and total
     * count — the classic n-gram statistics sweep (map-side explode, one
