@@ -1,0 +1,46 @@
+package graft
+
+import graft.compact.Compactor
+import graft.ingest.IngestPipeline
+import graft.search.{MetadataSearch, SearchQuery, SessionCache}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The assembled search engine: one object wiring ingestion, search,
+  * snapshot caching and compaction over a [[GraftConfig]] — the
+  * entrypoint a deployment (or a user migrating from the reference
+  * engine) drives.
+  */
+class GraftEngine(spark: SparkSession, val config: GraftConfig) {
+
+  val searcher = new MetadataSearch(spark, config.landingDir, config.stagingDir)
+  val compactor = new Compactor(spark, config.landingDir, config.stagingDir)
+  private val cache = new SessionCache(config.cacheTtlMillis)
+
+  /** Start continuous ingestion from a file journal (swap for a Kafka
+    * source in deployments with a broker — the transform is shared).
+    */
+  def startIngest(inputDir: String,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    IngestPipeline.fileJournalStream(spark, inputDir, config.landingDir,
+      config.checkpointDir, trigger, config.excludeBucket, config.groupInterval)
+
+  /** Search the live snapshot (landing ∪ staging merged per call). */
+  def search(q: SearchQuery): DataFrame = searcher.search(q)
+
+  /** Search against the TTL-cached materialized snapshot of the bucket —
+    * the hot-bucket path (reference: SessionCacheManager): repeated
+    * searches reuse one persisted merge until the TTL lapses.
+    */
+  def searchCached(q: SearchQuery): DataFrame =
+    searcher.searchSnapshot(cache.get(q.bucket)(searcher.bucketSnapshot(q.bucket)), q)
+
+  /** Invalidate a bucket's cached snapshot (e.g. after compaction). */
+  def invalidateCache(bucket: String): Unit = cache.invalidate(bucket)
+
+  /** Fold closed landing op-groups into staging for all buckets. */
+  def compact(numPartitions: Int, force: Boolean = false): Unit = {
+    compactor.compactAll(numPartitions, force)
+    cache.clear() // snapshots may now read stale landing paths
+  }
+}

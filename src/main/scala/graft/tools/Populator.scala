@@ -50,4 +50,23 @@ object Populator {
         excludeBucket = "", groupInterval = groupInterval)
       .write.partitionBy("bucket", "opGroup").mode("append").parquet(landingDir)
   }
+
+  /** CLI (reference: LandingMetadataPopulatorTool's main):
+    * `runMain graft.tools.Populator <landingDir> <bucket> <n> [numFiles] [groupInterval]`
+    */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: Populator <landingDir> <bucket> <nRecords> [numFiles] [groupInterval]")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-populator")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    populateLanding(spark, args(0), args(1), args(2).toLong,
+      if (args.length > 3) args(3).toInt else 1,
+      if (args.length > 4) args(4).toLong else 10000L)
+    spark.stop()
+  }
 }
