@@ -55,6 +55,7 @@ object SparkEntry {
     "text_langid"         -> (TextOps.textLangid(_, _)),
     "text_ngram_stats"    -> (TextOps.textNgramStats(_, _)),
     "sample_stratified"   -> (TextOps.sampleStratified(_, _)),
+    "text_fingerprint"    -> (TextOps.textFingerprint(_, _)),
     // §2.6 multimodal plumbing
     "mm_binary_stats"     -> (Multimodal.mmBinaryStats(_, _)),
   )
@@ -96,6 +97,7 @@ object SparkEntry {
     "text_langid"         -> TextOps.textLangidSql,
     "text_ngram_stats"    -> TextOps.textNgramStatsSql,
     "sample_stratified"   -> TextOps.sampleStratifiedSql,
+    "text_fingerprint"    -> TextOps.textFingerprintSql,
     "mm_binary_stats"     -> Multimodal.mmBinaryStatsSql,
   )
 }

@@ -161,6 +161,54 @@ object TextOps {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------- #35 winnowing fingerprint
+  /** Rolling-hash document fingerprinting (winnowing): hash every word
+    * 3-gram, slide a window of 4 consecutive hashes, keep each window's
+    * minimum — the classic plagiarism/near-dup fingerprint scheme whose
+    * selected-hash density is guaranteed ≥ 1 per window. Output is the
+    * per-document fingerprint profile; matching profiles across docs are
+    * containment near-dups.
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sh = graft.functions.GraftFunctions
+      .ngrams(split(col("text"), " "), 3, distinct = false)
+    val hs = transform(sh, s => graft.functions.Portable.polyHash(s))
+    val w = 4
+    val fps = array_distinct(
+      when(size(hs) >= w,
+        transform(sequence(lit(0), size(hs) - w), j =>
+          array_min(slice(hs, j + 1, lit(w)))))
+        .otherwise(when(size(hs) > 0, array(array_min(hs)))
+          .otherwise(array().cast("array<bigint>"))))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fps.as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).as("n_fps"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
+      .orderBy("doc_id")
+  }
+
+  val textFingerprintSql: String = {
+    val hs = s"list_transform(grams, s -> ${graft.functions.Portable.polyHashSql("s")})"
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                  for i in range(1, len(t) - 1)] AS grams
+      |  FROM toks),
+      |hashed AS (SELECT doc_id, $hs AS hs FROM grams),
+      |fps AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(hs) >= 4
+      |         THEN [list_min(hs[j:j+3]) for j in range(1, len(hs) - 2)]
+      |         WHEN len(hs) > 0 THEN [list_min(hs)]
+      |         ELSE [] END) AS fps
+      |  FROM hashed)
+      |SELECT doc_id, len(fps) AS n_fps, list_min(fps) AS min_fp, list_max(fps) AS max_fp
+      |FROM fps ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------- #31 n-gram stats
   /** Corpus bigram frequency: top 100 bigrams with doc frequency and total
     * count — the classic n-gram statistics sweep (map-side explode, one
