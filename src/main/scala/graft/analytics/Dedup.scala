@@ -261,17 +261,20 @@ object Dedup {
       pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))).cache()
     var labels = edges.select(col("a_id").as("id")).distinct()
       .withColumn("lbl", col("id")).cache()
-    var changed = 1L
+    // labels only ever decrease, so the label sum is a strictly-monotone
+    // convergence witness — one aggregate per round instead of a
+    // join-and-count against the previous state.
+    var prevSum = Long.MaxValue
+    var curSum = labels.agg(sum(col("lbl"))).as[Long](spark.implicits.newLongEncoder).first()
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (curSum != prevSum && iter < 20) {
       val nbrMin = edges.join(labels, edges("b_id") === labels("id"))
         .groupBy(edges("a_id").as("nid")).agg(min(col("lbl")).as("nlbl"))
       val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .cache()
-      changed = next.join(labels.select(col("id").as("pid"), col("lbl").as("old")),
-          col("id") === col("pid"))
-        .filter(col("lbl") =!= col("old")).count()
+      prevSum = curSum
+      curSum = next.agg(sum(col("lbl"))).as[Long](spark.implicits.newLongEncoder).first()
       labels.unpersist()
       labels = next
       iter += 1
