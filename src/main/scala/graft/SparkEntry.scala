@@ -58,6 +58,7 @@ object SparkEntry {
     "text_fingerprint"    -> (TextOps.textFingerprint(_, _)),
     // §2.6 multimodal plumbing
     "mm_binary_stats"     -> (Multimodal.mmBinaryStats(_, _)),
+    "mm_frame_sample"     -> (Multimodal.mmFrameSample(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -99,5 +100,6 @@ object SparkEntry {
     "sample_stratified"   -> TextOps.sampleStratifiedSql,
     "text_fingerprint"    -> TextOps.textFingerprintSql,
     "mm_binary_stats"     -> Multimodal.mmBinaryStatsSql,
+    "mm_frame_sample"     -> Multimodal.mmFrameSampleSql,
   )
 }

@@ -25,6 +25,35 @@ object Multimodal {
       .orderBy("source")
   }
 
+  /** #36 mm_frame_sample: per-object frame sampling — every 4th frame of
+    * each (stub-decoded) video payload becomes a row with a deterministic
+    * frame signature; the explode runs distributed after the batched
+    * decode stage, exactly how a real frame extractor fans out work.
+    */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val feats = MediaPipeline.extractFeatures(MediaPipeline.asMedia(spark, dir))
+    feats.toDF()
+      .select(col("doc_id"), col("source"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1L)).as("frame_idx"))
+      .filter(col("frame_idx") % 4 === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        md5(concat(col("source"), lit("#"), col("doc_id").cast("string"),
+          lit("#"), col("frame_idx").cast("string"))).as("frame_sig"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val mmFrameSampleSql: String = {
+    val h = polyHashSql("text")
+    s"""WITH feats AS (
+      |  SELECT doc_id, source, 1 + ($h) % 24 AS n_frames FROM documents),
+      |frames AS (
+      |  SELECT doc_id, source, unnest(range(n_frames)) AS frame_idx FROM feats)
+      |SELECT doc_id, frame_idx,
+      |       md5(source || '#' || CAST(doc_id AS VARCHAR) || '#' || CAST(frame_idx AS VARCHAR)) AS frame_sig
+      |FROM frames WHERE frame_idx % 4 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
   val mmBinaryStatsSql: String = {
     val h = polyHashSql("text")
     s"""WITH feats AS (
