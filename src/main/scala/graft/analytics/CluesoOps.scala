@@ -39,7 +39,9 @@ object CluesoOps {
     * [[LatestState.snapshot]] (aggregation form) vs the oracle's window
     * formulation (the reference's own plan shape).
     */
-  def mvccSnapshot(spark: SparkSession, dir: String): DataFrame =
+  /** Unordered snapshot core — callers that filter/paginate on top apply
+    * their own total order, so the sort happens once, at the top. */
+  private def mvccSnapshotCore(spark: SparkSession, dir: String): DataFrame =
     LatestState.snapshot(opLog(spark, dir),
         keyCols = Seq("object_key"), versionCol = "event_id",
         isDelete = col("event_type") === "error")
@@ -49,7 +51,9 @@ object CluesoOps {
         col("event_type").as("last_type"),
         (col("v_c") / 100.0).as("value"),
         date_format(timestamp_seconds(col("sec")), "yyyy-MM-dd HH:mm:ss").as("ts"))
-      .orderBy("object_key")
+
+  def mvccSnapshot(spark: SparkSession, dir: String): DataFrame =
+    mvccSnapshotCore(spark, dir).orderBy("object_key")
 
   val mvccSnapshotSql: String =
     s"""WITH ev AS (
@@ -66,7 +70,7 @@ object CluesoOps {
     * (reference: MetadataQueryExecutor.execute).
     */
   def metadataSearch(spark: SparkSession, dir: String): DataFrame =
-    mvccSnapshot(spark, dir)
+    mvccSnapshotCore(spark, dir)
       .where("last_type = 'purchase' AND value > 50.0")
       .orderBy("object_key")
       .limit(100)
@@ -78,7 +82,7 @@ object CluesoOps {
 
   /** #3 search_pagination: keyset cursor `key > start_key`, next page. */
   def searchPagination(spark: SparkSession, dir: String): DataFrame =
-    mvccSnapshot(spark, dir)
+    mvccSnapshotCore(spark, dir)
       .filter(col("object_key") > lit("5:"))
       .orderBy("object_key")
       .limit(50)
