@@ -49,6 +49,7 @@ object SparkEntry {
     "knn_brute"           -> (Similarity.knnBrute(_, _)),
     "knn_lsh"             -> (Similarity.knnLsh(_, _)),
     "centroid_ivf"        -> (Similarity.centroidIvf(_, _)),
+    "knn_filtered"        -> (Similarity.knnFiltered(_, _)),
     // §2.5 text analysis
     "text_tokens"         -> (TextOps.textTokens(_, _)),
     "text_quality"        -> (TextOps.textQuality(_, _)),
@@ -93,6 +94,7 @@ object SparkEntry {
     "knn_brute"           -> Similarity.knnBruteSql,
     "knn_lsh"             -> Similarity.knnLshSql,
     "centroid_ivf"        -> Similarity.centroidIvfSql,
+    "knn_filtered"        -> Similarity.knnFilteredSql,
     "text_tokens"         -> TextOps.textTokensSql,
     "text_quality"        -> TextOps.textQualitySql,
     "text_langid"         -> TextOps.textLangidSql,

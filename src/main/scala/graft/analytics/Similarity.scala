@@ -121,6 +121,50 @@ object Similarity {
       |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------- #37 filtered search
+  /** Pre-filtered vector search: a metadata predicate (documents in
+    * English with enough tokens) narrows the candidate set BEFORE the
+    * similarity scan — the filter join prunes the vector scan instead of
+    * post-filtering top-k results (which can return < k). The docs→vecs
+    * join is on the shared id, queries stay broadcast.
+    */
+  def knnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val base = normed(spark, dir)
+    val allowed = Tables.documents(spark, dir)
+      .filter(col("lang") === "en" && size(split(col("text"), " ")) >= 30)
+      .select(col("doc_id").as("vec_id"))
+    val cands = base.join(allowed, "vec_id")
+    val queries = base.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("ed"), col("nrm"))
+    val scored = cands.as("c")
+      .join(broadcast(queries.as("q")), col("q.q_id") =!= col("c.vec_id"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
+        round(cosAB, 6).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  val knnFilteredSql: String =
+    s"""WITH $normedSql,
+      |allowed AS (
+      |  SELECT doc_id AS vec_id FROM documents
+      |  WHERE lang = 'en' AND len(string_split(text, ' ')) >= 30),
+      |cands AS (SELECT n.* FROM normed n JOIN allowed a ON n.vec_id = a.vec_id),
+      |queries AS (SELECT vec_id AS q_id, emb, nrm FROM normed WHERE vec_id < $NQueries),
+      |scored AS (
+      |  SELECT q.q_id, c.vec_id AS n_id, round($cosABSql, 6) AS cosine
+      |  FROM cands c CROSS JOIN queries q
+      |  WHERE q.q_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT q_id, n_id, cosine,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
+
   // ------------------------------------------------------ #27 IVF probing
   /** IVF-style coarse quantizer: per-`label` centroids (the "inverted
     * lists"), each query probes its 2 nearest centroids and searches only
