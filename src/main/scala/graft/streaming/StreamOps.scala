@@ -44,6 +44,34 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  // ------------------------------------------- continuous latest-state
+  case class KeyedOp(key: String, opIndex: Long, opType: String, payload: String)
+  case class KeyedState(opIndex: Long, opType: String, payload: String)
+
+  /** Streaming twin of [[graft.ops.LatestState]]: maintain the
+    * latest-event-per-key state continuously with `mapGroupsWithState`
+    * and emit each key's new head whenever it advances (update-mode
+    * changelog of the MVCC snapshot — downstream can upsert it into a
+    * serving store instead of re-merging zones per query). Tombstones stay
+    * in state (they must keep shadowing older late arrivals) but are
+    * flagged for the consumer to delete.
+    */
+  def latestStateStream(ops: Dataset[KeyedOp]): Dataset[(String, Long, String, Boolean)] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.key)
+      .mapGroupsWithState[KeyedState, (String, Long, String, Boolean)](
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[KeyedOp], state: GroupState[KeyedState]) =>
+          val incoming = rows.maxBy(_.opIndex)
+          val cur = state.getOption
+          val best =
+            if (cur.exists(_.opIndex >= incoming.opIndex)) cur.get
+            else KeyedState(incoming.opIndex, incoming.opType, incoming.payload)
+          state.update(best)
+          (key, best.opIndex, best.payload, best.opType == "delete")
+      }
+  }
+
   // ------------------------------------------------------- sessionization
   case class Click(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)

@@ -50,6 +50,35 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("latestStateStream maintains the per-key head across batches, late events lose") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[StreamOps.KeyedOp]
+    val q = StreamOps.latestStateStream(in.toDS())
+      .toDF("key", "op_index", "payload", "deleted")
+      .writeStream.format("memory").queryName("lss")
+      .outputMode("update").start()
+    try {
+      in.addData(
+        StreamOps.KeyedOp("a", 1, "put", "a1"), StreamOps.KeyedOp("a", 3, "put", "a3"),
+        StreamOps.KeyedOp("b", 2, "put", "b2"))
+      q.processAllAvailable()
+      // batch 2: late event for a (ignored), delete for b (wins), new key c
+      in.addData(
+        StreamOps.KeyedOp("a", 2, "put", "late"),
+        StreamOps.KeyedOp("b", 9, "delete", ""),
+        StreamOps.KeyedOp("c", 5, "put", "c5"))
+      q.processAllAvailable()
+      import org.apache.spark.sql.functions.{col, max, struct}
+      val latest = spark.table("lss")
+        .groupBy("key")
+        .agg(max(struct(col("op_index"), col("payload"), col("deleted"))).as("s"))
+        .select(col("key"), col("s.payload"), col("s.deleted"))
+        .as[(String, String, Boolean)].collect().toSet
+      assert(latest == Set(("a", "a3", false), ("b", "", true), ("c", "c5", false)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap timeout") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
