@@ -19,7 +19,17 @@ object Bench {
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Force FULL evaluation of every output column: count() alone lets
+      // Catalyst prune the projections it doesn't need, which under-times
+      // projection-heavy queries. xxhash64 over all columns + bit_xor is a
+      // cheap total consumer (and overflow-free, unlike sum under ANSI).
+      try {
+        val df = fn(spark, sfDir)
+        df.agg(org.apache.spark.sql.functions.bit_xor(
+          org.apache.spark.sql.functions.xxhash64(
+            df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)))
+          .collect()
+      } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

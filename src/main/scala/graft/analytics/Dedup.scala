@@ -87,16 +87,34 @@ object Dedup {
       |ORDER BY fingerprint""".stripMargin
 
   // ---------------------------------------------------- #21 n-gram jaccard
-  /** Exact shingle-Jaccard near-dup pairs (threshold 0.5) via the
-    * inverted-index join: explode shingles, self-join on shingle, count
-    * shared per pair. Exact (any pair with jaccard>0 shares a shingle) yet
-    * scalable — work is proportional to Σ posting-list², not corpus².
+  /** Shingles with document frequency above this cap are treated as corpus
+    * boilerplate and dropped before the inverted-index self-join. Without
+    * the cap one ultra-frequent shingle (a boilerplate trigram) makes its
+    * posting list quadratic in the self-join — the classic Σ df² skew
+    * failure at 100 TB. The cap is part of the operator's semantics
+    * (Jaccard over non-boilerplate shingles) and is mirrored exactly in
+    * the oracle SQL.
+    */
+  val ShingleDfCap = 100
+
+  /** Shingle-Jaccard near-dup pairs (threshold 0.5) via the inverted-index
+    * join: explode shingles, drop shingles with document frequency above
+    * [[ShingleDfCap]], self-join on shingle, count shared per pair. Exact
+    * over the capped shingle sets (any surviving pair shares a sub-cap
+    * shingle) and skew-bounded — per-shingle work is ≤ cap².
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).cache()
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    // localCheckpoint (not cache): materializes once for the branches
+    // below and is auto-dropped by the ContextCleaner when unreferenced —
+    // no storage-block accumulation across invocations in a long session.
+    val sh = shingled(spark, dir).localCheckpoint()
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val shared = ex.as("a").join(ex.as("b"),
+    val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ShingleDfCap)
+      .select("s")
+    val exC = ex.join(rare, "s").select("doc_id", "s")
+    val sizes = exC.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = exC.as("a").join(exC.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("shared"))
@@ -112,11 +130,15 @@ object Dedup {
   val dedupNgramJaccardSql: String =
     s"""WITH $shingledSql,
       |ex AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+      |rare AS (
+      |  SELECT s FROM (SELECT s, count(*) AS df FROM ex GROUP BY s) t
+      |  WHERE df <= $ShingleDfCap),
+      |exc AS (SELECT doc_id, ex.s AS s FROM ex JOIN rare ON ex.s = rare.s),
       |shared AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
-      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
-      |sizes AS (SELECT doc_id, len(sh) AS n FROM shingled)
+      |sizes AS (SELECT doc_id, count(*) AS n FROM exc GROUP BY doc_id)
       |SELECT a_id, b_id, round(shared / (sa.n + sb.n - shared), 6) AS jaccard
       |FROM shared
       |JOIN sizes sa ON a_id = sa.doc_id
@@ -133,7 +155,8 @@ object Dedup {
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val sh = shingled(spark, dir).cache()
+    // localCheckpoint, not cache — see dedupNgramJaccard (no leaked blocks).
+    val sh = shingled(spark, dir).localCheckpoint()
     val sig = sh.select(col("doc_id"), col("sh"),
       graft.functions.GraftFunctions.minhash32(col("sh")).as("sig"))
     def bandKey(b: Int): Column =
@@ -255,36 +278,54 @@ object Dedup {
     * only the edge list. The oracle recomputes the closure with a
     * recursive CTE.
     */
+  /** Rounds after which non-convergence aborts loudly instead of silently
+    * truncating the closure (a cluster with diameter > MaxIters would
+    * otherwise diverge from the recursive-CTE oracle). */
+  private val MaxClusterIters = 50
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhashLsh(spark, dir).select("a_id", "b_id")
-    val edges = pairs.unionByName(
-      pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))).cache()
+    // localCheckpoint each round to TRUNCATE LINEAGE: the iterate's logical
+    // plan otherwise deepens every round, and Catalyst re-analyzes the
+    // whole tree per round — at cluster diameter ~20 that is analyzer
+    // blowup, not just slowness. Checkpointed RDD blocks are auto-dropped
+    // by the ContextCleaner once the superseded round's frame is
+    // unreferenced.
+    val edges = pairs
+      .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .localCheckpoint()
+    val emptyOut = edges.limit(0)
+      .select(col("a_id").as("doc_id"), col("a_id").as("cluster_id"),
+        lit(1).as("is_keeper"))
+    if (edges.isEmpty) return emptyOut
     var labels = edges.select(col("a_id").as("id")).distinct()
-      .withColumn("lbl", col("id")).cache()
+      .withColumn("lbl", col("id")).localCheckpoint()
     // labels only ever decrease, so the label sum is a strictly-monotone
     // convergence witness — one aggregate per round instead of a
     // join-and-count against the previous state.
+    def lblSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).first().getLong(0)
     var prevSum = Long.MaxValue
-    var curSum = labels.agg(sum(col("lbl"))).as[Long](spark.implicits.newLongEncoder).first()
+    var curSum = lblSum(labels)
     var iter = 0
-    while (curSum != prevSum && iter < 20) {
+    while (curSum != prevSum && iter < MaxClusterIters) {
       val nbrMin = edges.join(labels, edges("b_id") === labels("id"))
         .groupBy(edges("a_id").as("nid")).agg(min(col("lbl")).as("nlbl"))
       val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .cache()
+        .localCheckpoint()
       prevSum = curSum
-      curSum = next.agg(sum(col("lbl"))).as[Long](spark.implicits.newLongEncoder).first()
-      labels.unpersist()
+      curSum = lblSum(next)
       labels = next
       iter += 1
     }
-    val out = labels
+    if (curSum != prevSum)
+      throw new IllegalStateException(
+        s"dedup_clusters: min-label propagation did not converge in $MaxClusterIters rounds")
+    labels
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
         (col("id") === col("lbl")).cast("int").as("is_keeper"))
       .orderBy("doc_id")
-    edges.unpersist()
-    out
   }
 
   val dedupClustersSql: String =

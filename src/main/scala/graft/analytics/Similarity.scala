@@ -11,13 +11,29 @@ import org.apache.spark.sql.expressions.Window
   *
   * Query vectors are always the tiny side and always `broadcast()` — the
   * big vector table is scanned once, map-side, with the dot products
-  * folded inside whole-stage codegen; top-k uses a per-query window over
-  * the (small) scored set, and ranking ties break on `vec_id` after
-  * rounding scores to 6 dp so rank assignment is engine-deterministic.
+  * folded inside whole-stage codegen; top-k uses the bounded-heap
+  * `graft_topk` aggregate ([[graft.functions.TopKByScore]]): each map
+  * task keeps only k candidates per query (partial aggregation), so one
+  * query's candidate set never funnels through a single task's window
+  * sort — at 10k queries × big buckets the window form is a skew
+  * bottleneck, the aggregate shuffles ≤ k·partitions rows per query.
+  * Ties break on `vec_id` after rounding scores to 6 dp so ranking is
+  * engine-deterministic.
   */
 object Similarity {
   private val K = 5
   private val NQueries = 10
+
+  /** Bounded-heap top-k per `q_id` over `scored(q_id, n_id, cosine)`,
+    * ordered (cosine DESC, n_id ASC), emitted as ranked rows. */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("q_id")
+      .agg(graft.functions.GraftFunctions
+        .topk(struct(col("cosine"), col("n_id")), k).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"),
+        col("t.id").as("n_id"), col("t.score").as("cosine"))
+      .orderBy("q_id", "rank")
 
   /** Embeddings with double-cast vectors and precomputed L2 norms. */
   private def normed(spark: SparkSession, dir: String): DataFrame = {
@@ -43,7 +59,7 @@ object Similarity {
   // -------------------------------------------------------- #25 brute kNN
   /** Brute-force cosine top-k: the exact-baseline scan. Queries (10 rows)
     * broadcast against the full table — one pass, no shuffle of the big
-    * side; `row_number` runs per query key.
+    * side; top-k folds map-side in the bounded-heap aggregate.
     */
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
     val base = normed(spark, dir)
@@ -53,11 +69,7 @@ object Similarity {
       .join(broadcast(queries.as("q")), col("q.q_id") =!= col("c.vec_id"))
       .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
         round(cosAB, 6).as("cosine"))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
-      .orderBy("q_id", "rank")
+    topK(scored, K)
   }
 
   val knnBruteSql: String =
@@ -90,11 +102,7 @@ object Similarity {
         col("q.bucket") === col("c.bucket") && col("q.q_id") =!= col("c.vec_id"))
       .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
         round(cosAB, 6).as("cosine"))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
-      .orderBy("q_id", "rank")
+    topK(scored, K)
   }
 
   val knnLshSql: String = {
@@ -140,11 +148,7 @@ object Similarity {
       .join(broadcast(queries.as("q")), col("q.q_id") =!= col("c.vec_id"))
       .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
         round(cosAB, 6).as("cosine"))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
-      .orderBy("q_id", "rank")
+    topK(scored, 3)
   }
 
   val knnFilteredSql: String =
@@ -186,6 +190,10 @@ object Similarity {
     val qc = cents.as("c").crossJoin(broadcast(queries.as("q")))
       .select(col("q.q_id").as("q_id"), col("c.label").as("label"),
         round(cosAB, 6).as("ccos"))
+    // the probe-selection window runs over queries × centroids only (a few
+    // dozen rows — the coarse quantizer is tiny by construction), so the
+    // window form is fine here; the big scored set below uses the
+    // bounded-heap aggregate.
     val wc = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("label"))
     val probes = qc.withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= 2)
@@ -196,11 +204,7 @@ object Similarity {
         col("q.label") === col("c.label") && col("q.q_id") =!= col("c.vec_id"))
       .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
         round(cosAB, 6).as("cosine"))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
-      .orderBy("q_id", "rank")
+    topK(scored, 3)
   }
 
   val centroidIvfSql: String = {

@@ -140,10 +140,13 @@ object TextOps {
     Seq("en" -> 2, "de" -> 5, "es" -> 5, "fr" -> 5, "zh" -> 5) // of 10
 
   def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val rate = SampleRates.foldRight(lit(0)) { case ((l, r), els) =>
       when(col("lang") === l, lit(r)).otherwise(els)
     }
-    val bucket = pmod(graft.functions.Portable.polyHash(col("text")), lit(10L))
+    // native polyhash: one compiled loop per row instead of the
+    // interpreted per-char lambda fold (same arithmetic, same oracle)
+    val bucket = pmod(graft.functions.GraftFunctions.polyhash(col("text")), lit(10L))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), bucket.as("h10"), rate.as("rate"))
       .filter(col("h10") < col("rate"))
@@ -171,16 +174,12 @@ object TextOps {
     */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val sh = graft.functions.GraftFunctions
-      .ngrams(split(col("text"), " "), 3, distinct = false)
-    val hs = transform(sh, s => graft.functions.Portable.polyHash(s))
-    val w = 4
-    val fps = array_distinct(
-      when(size(hs) >= w,
-        transform(sequence(lit(0), size(hs) - w), j =>
-          array_min(slice(hs, j + 1, lit(w)))))
-        .otherwise(when(size(hs) > 0, array(array_min(hs)))
-          .otherwise(array().cast("array<bigint>"))))
+    // whole pipeline (gram hash → sliding window min → distinct) in one
+    // native compiled kernel: the declarative transform/slice form was
+    // interpreted per element and cost ~49 s at sf0.1 under full
+    // evaluation (graft.functions.Sig.winnow, parity-specced)
+    val fps = graft.functions.GraftFunctions.winnow(
+      graft.functions.GraftFunctions.ngrams(split(col("text"), " "), 3, distinct = false), 4)
     Tables.documents(spark, dir)
       .select(col("doc_id"), fps.as("fps"))
       .select(col("doc_id"),

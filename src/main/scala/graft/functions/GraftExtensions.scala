@@ -27,5 +27,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", "_FUNC_(array<double>, array<double>) - sequential dot product"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_ngrams"),
+      info("graft_ngrams", "_FUNC_(array<string>, n, distinct) - word n-gram shingles"),
+      (args: Seq[Expression]) => NGrams(args(0),
+        args(1).eval().asInstanceOf[Int],
+        args(2).eval().asInstanceOf[Boolean])))
+    ext.injectFunction((FunctionIdentifier("graft_topk"),
+      info("graft_topk", "_FUNC_(struct<score,id>, k) - bounded-heap top-k aggregate"),
+      (args: Seq[Expression]) => TopKByScore(args(0),
+        args(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_polyhash"),
+      info("graft_polyhash", "_FUNC_(string) - portable polynomial string hash"),
+      (args: Seq[Expression]) => PolyHashExpr(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_winnow"),
+      info("graft_winnow", "_FUNC_(array<string>, w) - winnowing fingerprint mins"),
+      (args: Seq[Expression]) => WinnowFingerprint(args(0),
+        args(1).eval().asInstanceOf[Int])))
   }
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
@@ -17,6 +17,12 @@ import org.apache.spark.sql.types._
   * primitive loop per row (no intermediate arrays, no boxing, each
   * shingle hashed exactly once), preserving bit-identical arithmetic with
   * [[Portable]] and therefore with the DuckDB oracle.
+  *
+  * Each expression implements `doGenCode` as a static call into the
+  * [[Sig]] kernels, so projections containing them STAY inside
+  * whole-stage codegen (a `CodegenFallback` anywhere in a projection
+  * forces the whole projection to interpreted mode); the interpreted
+  * `nullSafeEval` path delegates to the same kernels.
   *
   * Registered under `graft_*` names via [[GraftFunctions.register]].
   */
@@ -35,26 +41,23 @@ object Sig {
 
   @inline def hashJ(h: Long, j: Long): Long =
     ((j + 1) * 1000003L % P * h + (j * 999983L + 12345L) % P) % P
-}
 
-/** `graft_minhash32(array<string>) -> array<long>`: 32-permutation MinHash
-  * signature of a shingle set (null for an empty set, matching
-  * `list_min([]) IS NULL` on the oracle side).
-  */
-case class MinHashSig(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  // ---- per-row kernels, called from both nullSafeEval and generated code
+  // (Scala object methods compile to static forwarders, so Janino-built
+  // whole-stage code can call `graft.functions.Sig.minhash32(...)`).
+
+  /** 32-permutation MinHash signature; null for an empty shingle set
+    * (matching `list_min([]) IS NULL` on the oracle side). */
+  def minhash32(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
     val mins = Array.fill(32)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = Sig.polyHash(arr.getUTF8String(i).getBytes)
+      val h = polyHash(arr.getUTF8String(i).getBytes)
       var j = 0
       while (j < 32) {
-        val v = Sig.hashJ(h, j)
+        val v = hashJ(h, j)
         if (v < mins(j)) mins(j) = v
         j += 1
       }
@@ -62,25 +65,18 @@ case class MinHashSig(child: Expression)
     }
     new GenericArrayData(mins)
   }
-  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
-}
 
-/** `graft_simhash63(array<string>) -> long`: 63-bit SimHash of a token
-  * set — bit b set when Σ_tokens (parity(hashJ(polyhash(t), b))·2 − 1) > 0.
-  */
-case class SimHash63(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** 63-bit SimHash of a token set — bit b set when
+    * Σ_tokens (parity(hashJ(polyhash(t), b))·2 − 1) > 0. */
+  def simhash63(arr: ArrayData): Long = {
     val n = arr.numElements()
     val sums = new Array[Long](63)
     var i = 0
     while (i < n) {
-      val h = Sig.polyHash(arr.getUTF8String(i).getBytes)
+      val h = polyHash(arr.getUTF8String(i).getBytes)
       var b = 0
       while (b < 63) {
-        sums(b) += Sig.hashJ(h, b) % 2 * 2 - 1
+        sums(b) += hashJ(h, b) % 2 * 2 - 1
         b += 1
       }
       i += 1
@@ -90,19 +86,12 @@ case class SimHash63(child: Expression)
     while (b >= 0) { sim = sim * 2 + (if (sums(b) > 0) 1L else 0L); b -= 1 }
     sim
   }
-  override protected def withNewChildInternal(c: Expression): SimHash63 = copy(child = c)
-}
 
-/** `graft_hyperplane_bucket8(array<double>) -> long`: 8-plane
-  * random-hyperplane LSH bucket id; plane coefficients are the ±1 parity
-  * signs of [[Portable.planeSign]], projections summed in index order so
-  * the IEEE result is bit-identical to the declarative/oracle forms.
-  */
-case class HyperplaneBucket8(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** 8-plane random-hyperplane LSH bucket id; plane coefficients are the
+    * ±1 parity signs of [[Portable.planeSign]], projections summed in
+    * index order so the IEEE result is bit-identical to the
+    * declarative/oracle forms. */
+  def hyperplane8(arr: ArrayData): Long = {
     val n = arr.numElements()
     var bucket = 0L
     var p = 0
@@ -110,7 +99,7 @@ case class HyperplaneBucket8(child: Expression)
       var proj = 0.0
       var i = 0
       while (i < n) {
-        val sign = if (Sig.hashJ(i + 13L, p) % 2 == 0) 1.0 else -1.0
+        val sign = if (hashJ(i + 13L, p) % 2 == 0) 1.0 else -1.0
         proj += arr.getDouble(i) * sign
         i += 1
       }
@@ -119,20 +108,12 @@ case class HyperplaneBucket8(child: Expression)
     }
     bucket
   }
-  override protected def withNewChildInternal(c: Expression): HyperplaneBucket8 = copy(child = c)
-}
 
-/** `graft_ngrams(array<string>, n, distinct) -> array<string>`: word
-  * n-gram shingles joined with single spaces; `distinct = true` keeps the
-  * first occurrence of each shingle (same order contract as
-  * `array_distinct` over the declarative [[Portable.shingles3]] form).
-  * Returns an empty array when the doc has fewer than `n` tokens.
-  */
-case class NGrams(child: Expression, n: Int, distinct: Boolean)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Word n-gram shingles joined with single spaces; `distinct = true`
+    * keeps the first occurrence of each shingle (same order contract as
+    * `array_distinct` over the declarative [[Portable.shingles3]] form).
+    * Empty array when the doc has fewer than n tokens. */
+  def ngrams(arr: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val total = arr.numElements()
     if (total < n) return new GenericArrayData(Array.empty[Any])
     val toks = new Array[org.apache.spark.unsafe.types.UTF8String](total)
@@ -156,27 +137,132 @@ case class NGrams(child: Expression, n: Int, distinct: Boolean)
     }
     new GenericArrayData(out.toArray)
   }
-  override protected def withNewChildInternal(c: Expression): NGrams = copy(child = c)
-}
 
-/** `graft_dot(array<double>, array<double>) -> double`: sequential
-  * (index-order) dot product — one compiled loop, bit-identical to the
-  * `zip_with`+`aggregate` fold and to the oracle's `list_reduce` sum.
-  */
-case class DotProduct(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
-  override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  /** Sequential (index-order) dot product — bit-identical to the
+    * `zip_with`+`aggregate` fold and to the oracle's `list_reduce` sum. */
+  def dot(x: ArrayData, y: ArrayData): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
     acc
   }
+
+  /** Polynomial string hash — the scalar form of [[polyHash]], identical
+    * to [[Portable.polyHash]]'s declarative per-char fold for ASCII. */
+  def polyHashStr(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    polyHash(s.getBytes)
+
+  /** Winnowing fingerprint profile: polyhash every gram, slide a window of
+    * `w` consecutive hashes keeping each window's minimum, distinct the
+    * mins (first-occurrence order). Degenerate cases match the declarative
+    * form: fewer than `w` grams → the single global min; no grams → empty.
+    */
+  def winnow(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = polyHash(arr.getUTF8String(i).getBytes); i += 1 }
+    val out = new java.util.LinkedHashSet[Long]()
+    if (n < w) {
+      var m = Long.MaxValue
+      i = 0
+      while (i < n) { if (hs(i) < m) m = hs(i); i += 1 }
+      out.add(m)
+    } else {
+      var j = 0
+      while (j <= n - w) {
+        var m = Long.MaxValue
+        var k = j
+        while (k < j + w) { if (hs(k) < m) m = hs(k); k += 1 }
+        out.add(m)
+        j += 1
+      }
+    }
+    val res = new Array[Long](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { res(i) = it.next(); i += 1 }
+    new GenericArrayData(res)
+  }
+}
+
+/** `graft_minhash32(array<string>) -> array<long>` — see [[Sig.minhash32]]. */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // the kernel returns null for empty input even when the child is non-null
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    Sig.minhash32(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Sig.minhash32($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** `graft_simhash63(array<string>) -> long` — see [[Sig.simhash63]]. */
+case class SimHash63(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Sig.simhash63(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sig.simhash63($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash63 = copy(child = c)
+}
+
+/** `graft_hyperplane_bucket8(array<double>) -> long` — see [[Sig.hyperplane8]]. */
+case class HyperplaneBucket8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Sig.hyperplane8(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sig.hyperplane8($c)")
+  override protected def withNewChildInternal(c: Expression): HyperplaneBucket8 = copy(child = c)
+}
+
+/** `graft_ngrams(array<string>, n, distinct) -> array<string>` — see [[Sig.ngrams]]. */
+case class NGrams(child: Expression, n: Int, distinct: Boolean) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Sig.ngrams(input.asInstanceOf[ArrayData], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sig.ngrams($c, $n, $distinct)")
+  override protected def withNewChildInternal(c: Expression): NGrams = copy(child = c)
+}
+
+/** `graft_dot(array<double>, array<double>) -> double` — see [[Sig.dot]]. */
+case class DotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Sig.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Sig.dot($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
+}
+
+/** `graft_polyhash(string) -> long` — see [[Sig.polyHashStr]]. */
+case class PolyHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Sig.polyHashStr(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sig.polyHashStr($c)")
+  override protected def withNewChildInternal(c: Expression): PolyHashExpr = copy(child = c)
+}
+
+/** `graft_winnow(array<string>, w) -> array<long>` — see [[Sig.winnow]]. */
+case class WinnowFingerprint(child: Expression, w: Int) extends UnaryExpression {
+  require(w > 0, "graft_winnow: window must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Sig.winnow(input.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sig.winnow($c, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprint = copy(child = c)
 }
 
 /** Session registration + typed `Column` wrappers for the `graft_*`
@@ -198,6 +284,14 @@ object GraftFunctions {
       (args: Seq[Expression]) => NGrams(args(0),
         args(1).eval().asInstanceOf[Int],
         args(2).eval().asInstanceOf[Boolean]), "built-in")
+    reg.createOrReplaceTempFunction("graft_topk",
+      (args: Seq[Expression]) => TopKByScore(args(0),
+        args(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_polyhash",
+      (args: Seq[Expression]) => PolyHashExpr(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_winnow",
+      (args: Seq[Expression]) => WinnowFingerprint(args(0),
+        args(1).eval().asInstanceOf[Int]), "built-in")
   }
 
   def minhash32(c: Column): Column = call_function("graft_minhash32", c)
@@ -207,4 +301,10 @@ object GraftFunctions {
   def ngrams(toks: Column, n: Int, distinct: Boolean): Column =
     call_function("graft_ngrams", toks,
       org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(distinct))
+  /** Bounded-heap top-k aggregate — see [[TopKByScore]]. */
+  def topk(scoreAndId: Column, k: Int): Column =
+    call_function("graft_topk", scoreAndId, org.apache.spark.sql.functions.lit(k))
+  def polyhash(c: Column): Column = call_function("graft_polyhash", c)
+  def winnow(grams: Column, w: Int): Column =
+    call_function("graft_winnow", grams, org.apache.spark.sql.functions.lit(w))
 }

@@ -1,0 +1,167 @@
+package graft.functions
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded top-k candidate buffer: keeps the k best (score DESC, id ASC)
+  * pairs in a binary heap whose root is the WORST kept candidate, so
+  * admission against a full buffer is one comparison and eviction is
+  * O(log k). Used as the aggregation state of [[TopKByScore]].
+  */
+final class TopKHeap(val k: Int) {
+  // parallel primitive arrays, worst-at-root heap — no boxing in update
+  private val scores = new Array[Double](k)
+  private val ids = new Array[Long](k)
+  private var n = 0
+
+  /** a strictly worse than b: lower score, or same score and larger id. */
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 < s2 || (s1 == s2 && i1 > i2)
+
+  private def siftUp(start: Int): Unit = {
+    var i = start
+    while (i > 0) {
+      val p = (i - 1) >> 1
+      if (worse(scores(i), ids(i), scores(p), ids(p))) {
+        val ts = scores(i); val ti = ids(i)
+        scores(i) = scores(p); ids(i) = ids(p)
+        scores(p) = ts; ids(p) = ti
+        i = p
+      } else return
+    }
+  }
+
+  private def siftDown(): Unit = {
+    var i = 0
+    while (true) {
+      val l = 2 * i + 1
+      val r = l + 1
+      var m = i
+      if (l < n && worse(scores(l), ids(l), scores(m), ids(m))) m = l
+      if (r < n && worse(scores(r), ids(r), scores(m), ids(m))) m = r
+      if (m == i) return
+      val ts = scores(i); val ti = ids(i)
+      scores(i) = scores(m); ids(i) = ids(m)
+      scores(m) = ts; ids(m) = ti
+      i = m
+    }
+  }
+
+  def add(score: Double, id: Long): Unit = {
+    if (n < k) {
+      scores(n) = score; ids(n) = id; n += 1
+      siftUp(n - 1)
+    } else if (worse(scores(0), ids(0), score, id)) {
+      scores(0) = score; ids(0) = id
+      siftDown()
+    }
+  }
+
+  def mergeFrom(other: TopKHeap): Unit = {
+    var i = 0
+    while (i < other.n) { add(other.scores(i), other.ids(i)); i += 1 }
+  }
+
+  /** Kept candidates sorted best-first as array<struct<score,id>>. */
+  def result(): GenericArrayData = {
+    val idx = (0 until n).sortBy(i => (-scores(i), ids(i)))
+    new GenericArrayData(idx.map { i =>
+      new GenericInternalRow(Array[Any](scores(i), ids(i)))
+    }.toArray[Any])
+  }
+
+  def toBytes: Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(n)
+    var i = 0
+    while (i < n) { out.writeDouble(scores(i)); out.writeLong(ids(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object TopKHeap {
+  def fromBytes(bytes: Array[Byte], k: Int): TopKHeap = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val m = in.readInt()
+    val h = new TopKHeap(k)
+    var i = 0
+    while (i < m) { h.add(in.readDouble(), in.readLong()); i += 1 }
+    h
+  }
+}
+
+/** `graft_topk(struct<score:double, id:bigint>, k) -> array<struct<score,id>>`:
+  * bounded-heap top-k aggregate ordered (score DESC, id ASC).
+  *
+  * This is the scale-path replacement for
+  * `row_number() OVER (PARTITION BY q ORDER BY score DESC)` top-k: the
+  * window form funnels every candidate of a group through one task's
+  * sort; this aggregate keeps only k rows per group in each map task
+  * (partial aggregation), shuffles ≤ k·partitions rows, and merges
+  * k-lists — one query with a million candidates costs each task O(k)
+  * memory instead of one task a million-row sort.
+  */
+case class TopKByScore(
+    child: Expression, k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKHeap] with UnaryLike[Expression] {
+
+  require(k > 0, "graft_topk: k must be positive")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StructType(Array(a, b))
+          if a.dataType == DoubleType && b.dataType == LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_topk expects struct<double, bigint>, got ${other.simpleString(5)}")
+    }
+
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+
+  override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {
+    val row = child.eval(input)
+    if (row != null) {
+      val r = row.asInstanceOf[InternalRow]
+      if (!r.isNullAt(0) && !r.isNullAt(1)) buf.add(r.getDouble(0), r.getLong(1))
+    }
+    buf
+  }
+
+  override def merge(buf: TopKHeap, other: TopKHeap): TopKHeap = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: TopKHeap): Any = buf.result()
+
+  override def serialize(buf: TopKHeap): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): TopKHeap = TopKHeap.fromBytes(bytes, k)
+
+  override def dataType: DataType = TopKByScore.OutType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_topk"
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TopKByScore =
+    copy(child = newChild)
+}
+
+object TopKByScore {
+  val OutType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+}

@@ -88,6 +88,68 @@ class SigExpressionsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     samples.foreach(s => assert(sql(s) == Portable.polyHashJvm(s), s"mismatch for '$s'"))
   }
+
+  test("native polyhash equals the declarative per-char fold") {
+    GraftFunctions.register(spark)
+    val samples = (Gen.listOfN(50, Gen.nonEmptyListOf(asciiWord).map(_.mkString(" ")))
+      .sample.get ++ Seq("a", "hello world")).toDF("s")
+    val got = samples.select(
+      GraftFunctions.polyhash(col("s")).as("nat"),
+      Portable.polyHash(col("s")).as("dec"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (nat, dec) => assert(nat == dec) }
+  }
+
+  test("native winnow equals the declarative window-min pipeline") {
+    GraftFunctions.register(spark)
+    val docs = (Gen.listOfN(40, Gen.nonEmptyListOf(asciiWord).map(_.mkString(" ")))
+      .sample.get ++ Seq("one", "a b c", "a b c d e f", "x y z x y z x y z")).toDF("text")
+    val sh = GraftFunctions.ngrams(split(col("text"), " "), 3, distinct = false)
+    val w = 4
+    val hs = transform(sh, s => Portable.polyHash(s))
+    val declarative = array_distinct(
+      when(size(hs) >= w,
+        transform(sequence(lit(0), size(hs) - w), j =>
+          array_min(slice(hs, j + 1, lit(w)))))
+        .otherwise(when(size(hs) > 0, array(array_min(hs)))
+          .otherwise(array().cast("array<bigint>"))))
+    val got = docs.select(
+      GraftFunctions.winnow(sh, w).as("nat"), declarative.as("dec"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    got.foreach { case (nat, dec) => assert(nat == dec) }
+  }
+
+  test("graft_topk equals row_number window top-k including ties") {
+    GraftFunctions.register(spark)
+    // deliberately include score ties so tie-break-by-id is exercised
+    val rows = for (q <- 0 until 4; i <- 0 until 57)
+      yield (q.toLong, i.toLong, math.round(math.sin(q * 57 + i) * 100) / 100.0)
+    val scored = rows.toDF("q_id", "n_id", "cosine").repartition(8)
+    val agged = scored.groupBy("q_id")
+      .agg(GraftFunctions.topk(struct(col("cosine"), col("n_id")), 5).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"),
+        col("t.id").as("n_id"), col("t.score").as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    val windowed = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    assert(agged.collect().map(key).sortBy(identity).toSeq ==
+      windowed.collect().map(key).sortBy(identity).toSeq)
+  }
+
+  test("graft_topk partial aggregation keeps at most k per map task") {
+    GraftFunctions.register(spark)
+    val scored = (0 until 1000).map(i => (1L, i.toLong, i.toDouble)).toDF("q_id", "n_id", "cosine")
+    val plan = scored.groupBy("q_id")
+      .agg(GraftFunctions.topk(struct(col("cosine"), col("n_id")), 3).as("tk"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_topk") || plan.contains("ObjectHashAggregate"),
+      s"expected partial aggregation in plan:\n$plan")
+  }
 }
 
 class GraftExtensionsSpec extends AnyFunSuite {
@@ -103,9 +165,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .getOrCreate()
       val r = s2.sql(
         "SELECT graft_simhash63(array('alpha','beta')) AS s, " +
-          "graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect().head
+          "graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+          "graft_ngrams(array('a','b','c','b','c'), 2, true) AS g, " +
+          "graft_polyhash('hello world') AS ph, " +
+          "graft_winnow(array('a b c','b c d','c d e'), 2) AS wn").collect().head
       assert(r.getDouble(1) == 11.0)
       assert(r.getLong(0) >= 0L)
+      assert(r.getSeq[String](2) == Seq("a b", "b c", "c b"))
+      assert(r.getLong(3) == 234728892L) // documented Portable fixture
+      assert(r.getSeq[Long](4).nonEmpty)
+      val tk = s2.sql(
+        "SELECT graft_topk(named_struct('score', CAST(v AS DOUBLE), 'id', CAST(v AS BIGINT)), 2) AS tk " +
+          "FROM VALUES (1), (5), (3), (2) t(v)").collect().head
+      assert(tk.getSeq[org.apache.spark.sql.Row](0).map(_.getDouble(0)) == Seq(5.0, 3.0))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
