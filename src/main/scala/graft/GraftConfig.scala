@@ -11,13 +11,22 @@ package graft
   * @param groupInterval   op-index records per compaction group
   * @param cacheTtlMillis  bucket-snapshot cache lifetime
   * @param excludeBucket   deployment's own metadata bucket (never indexed)
+  * @param purgeToleranceMs grace period between compaction's staging
+  *                        append and the landing purge (in-flight search
+  *                        tolerance; see [[graft.compact.Compactor]])
+  * @param kafkaBootstrap  Kafka bootstrap servers; empty → file journal
+  * @param kafkaTopic      Kafka topic carrying the metadata journal
   */
 case class GraftConfig(landingDir: String, stagingDir: String,
                        checkpointDir: String,
                        groupInterval: Long = 10000L,
                        cacheTtlMillis: Long = 60000L,
-                       excludeBucket: String = "") {
+                       excludeBucket: String = "",
+                       purgeToleranceMs: Long = 0L,
+                       kafkaBootstrap: String = "",
+                       kafkaTopic: String = "") {
   require(groupInterval > 0, "groupInterval must be positive")
+  require(purgeToleranceMs >= 0, "purgeToleranceMs must be non-negative")
 }
 
 object GraftConfig {
@@ -39,6 +48,9 @@ object GraftConfig {
         get("graft.landing.dir") + "/_checkpoints"),
       groupInterval = props.getProperty("graft.group.interval", "10000").toLong,
       cacheTtlMillis = props.getProperty("graft.cache.ttl.ms", "60000").toLong,
-      excludeBucket = props.getProperty("graft.exclude.bucket", ""))
+      excludeBucket = props.getProperty("graft.exclude.bucket", ""),
+      purgeToleranceMs = props.getProperty("graft.purge.tolerance.ms", "0").toLong,
+      kafkaBootstrap = props.getProperty("graft.kafka.bootstrap", ""),
+      kafkaTopic = props.getProperty("graft.kafka.topic", ""))
   }
 }

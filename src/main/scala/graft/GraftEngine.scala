@@ -14,16 +14,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 class GraftEngine(spark: SparkSession, val config: GraftConfig) {
 
   val searcher = new MetadataSearch(spark, config.landingDir, config.stagingDir)
-  val compactor = new Compactor(spark, config.landingDir, config.stagingDir)
+  val compactor = new Compactor(spark, config.landingDir, config.stagingDir,
+    config.purgeToleranceMs)
   private val cache = new SessionCache(config.cacheTtlMillis)
 
-  /** Start continuous ingestion from a file journal (swap for a Kafka
-    * source in deployments with a broker — the transform is shared).
+  /** Start continuous ingestion: the Kafka journal when the config names
+    * a broker (the reference's production source), else the file journal.
+    * Parse, filter and sink are shared between the two.
     */
   def startIngest(inputDir: String,
                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    IngestPipeline.fileJournalStream(spark, inputDir, config.landingDir,
-      config.checkpointDir, trigger, config.excludeBucket, config.groupInterval)
+    if (config.kafkaBootstrap.nonEmpty)
+      IngestPipeline.kafkaJournalStream(spark, config.kafkaBootstrap,
+        config.kafkaTopic, config.landingDir, config.checkpointDir, trigger,
+        config.excludeBucket, config.groupInterval)
+    else
+      IngestPipeline.fileJournalStream(spark, inputDir, config.landingDir,
+        config.checkpointDir, trigger, config.excludeBucket, config.groupInterval)
 
   /** Search the live snapshot (landing ∪ staging merged per call). */
   def search(q: SearchQuery): DataFrame = searcher.search(q)
@@ -38,9 +45,11 @@ class GraftEngine(spark: SparkSession, val config: GraftConfig) {
   /** Invalidate a bucket's cached snapshot (e.g. after compaction). */
   def invalidateCache(bucket: String): Unit = cache.invalidate(bucket)
 
-  /** Fold closed landing op-groups into staging for all buckets. */
-  def compact(numPartitions: Int, force: Boolean = false): Unit = {
-    compactor.compactAll(numPartitions, force)
+  /** Fold closed landing op-groups into staging for all buckets; returns
+    * per-bucket failures (empty when everything compacted). */
+  def compact(numPartitions: Int, force: Boolean = false): Map[String, Throwable] = {
+    val failures = compactor.compactAll(numPartitions, force)
     cache.clear() // snapshots may now read stale landing paths
+    failures
   }
 }

@@ -20,8 +20,19 @@ import org.apache.spark.sql.functions._
   * staging zone keeps a bounded file count regardless of ingest churn.
   * A staging-side lock file serializes concurrent compactor runs
   * (reference: TableFilesCompactor.scala:196-200).
+  *
+  * @param purgeToleranceMs grace period between the staging append and
+  *   the landing purge: a search that listed the landing files *before*
+  *   compaction finished may still be reading them, so deleting
+  *   immediately fails those queries mid-scan (FileNotFoundException).
+  *   Compacted rows are readable from staging the moment the append
+  *   commits, so during the window the data is merely duplicated — and
+  *   the snapshot merge dedupes by (key, opIndex), making the overlap
+  *   harmless (reference: TableFilesCompactor.scala:175-178,
+  *   landingPurgeTolerance).
   */
-class Compactor(spark: SparkSession, landingDir: String, stagingDir: String) {
+class Compactor(spark: SparkSession, landingDir: String, stagingDir: String,
+                purgeToleranceMs: Long = 0L) {
 
   private val fs: FileSystem =
     new Path(landingDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -47,8 +58,15 @@ class Compactor(spark: SparkSession, landingDir: String, stagingDir: String) {
     else Seq.empty
   }
 
-  def compactAll(numPartitions: Int, force: Boolean = false): Unit =
-    landingBuckets().foreach(compactBucket(_, numPartitions, force))
+  /** Compact every landing bucket, isolating per-bucket failures: one
+    * bucket's error (e.g. a held lock) must not starve the rest
+    * (reference logs and continues per bucket). Returns the failures.
+    */
+  def compactAll(numPartitions: Int, force: Boolean = false): Map[String, Throwable] =
+    landingBuckets().flatMap { b =>
+      try { compactBucket(b, numPartitions, force); None }
+      catch { case scala.util.control.NonFatal(e) => Some(b -> e) }
+    }.toMap
 
   def compactBucket(bucket: String, numPartitions: Int, force: Boolean = false): Unit = {
     val lock = new Path(s"$stagingDir/_merging")
@@ -78,6 +96,10 @@ class Compactor(spark: SparkSession, landingDir: String, stagingDir: String) {
           .mode(SaveMode.Append)
           .parquet(s"$stagingDir/bucket=$bucket")
 
+        // two-phase purge: staging now serves these rows; wait out the
+        // tolerance so searches that planned over the old landing files
+        // finish before the files disappear
+        if (purgeToleranceMs > 0) Thread.sleep(purgeToleranceMs)
         groups.foreach { g =>
           fs.delete(new Path(s"$landingDir/bucket=$bucket/opGroup=$g"), true)
         }

@@ -1,6 +1,7 @@
 package graft.ingest
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{StringType, StructType}
 
@@ -9,10 +10,12 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * (reference: src/main/scala/com/scality/clueso/MetadataIngestionPipeline.scala:143-186).
   *
   * The transform stage is source-agnostic ([[EventParser.parse]] is a plain
-  * `DataFrame => DataFrame`), so the same code serves:
-  *  - a file-based journal (used here — this container has no Kafka), and
-  *  - a Kafka source in production (`readStream.format("kafka")`, value
-  *    cast to string) — one line changes.
+  * `DataFrame => DataFrame`), so the same parse/filter/sink serves:
+  *  - the production Kafka source ([[kafkaJournalStream]], matching the
+  *    reference's `readStream.format("kafka")` at
+  *    MetadataIngestionPipeline.scala:162-168), and
+  *  - a file-based journal ([[fileJournalStream]]) for brokerless
+  *    deployments and tests.
   *
   * The sink partitions by `(bucket, opGroup)`: searches prune to one
   * bucket, compaction prunes to closed op-groups, and the newest op-group
@@ -21,6 +24,27 @@ import org.apache.spark.sql.types.{StringType, StructType}
 object IngestPipeline {
 
   private val rawSchema = new StructType().add("value", StringType)
+
+  /** Shared landing sink for every source variant. */
+  private def writeLanding(parsed: DataFrame, landingDir: String,
+                           checkpointDir: String, trigger: Trigger): StreamingQuery =
+    parsed.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .partitionBy("bucket", "opGroup")
+      .option("checkpointLocation", checkpointDir)
+      .option("path", landingDir)
+      .start()
+
+  /** Kafka-shaped frame (binary `key`/`value` + topic/partition/offset
+    * metadata) → journal lines: the value payload cast to string, ready
+    * for [[EventParser.parse]]. Factored out so the Kafka transform is
+    * exercisable without a broker (the wire contract is just the column
+    * shape).
+    */
+  def fromKafkaFrame(kafka: DataFrame): DataFrame =
+    kafka.select(col("value").cast("string").as("value"))
 
   /** One JSON envelope per line under `inputDir` → landing. */
   def fileJournalStream(spark: SparkSession, inputDir: String, landingDir: String,
@@ -31,16 +55,43 @@ object IngestPipeline {
     val raw = spark.readStream
       .schema(rawSchema)
       .text(inputDir)
-    val parsed = EventParser.parse(raw, "value", excludeBucket, groupInterval)
-    parsed.writeStream
-      .trigger(trigger)
-      .outputMode(OutputMode.Append())
-      .format("parquet")
-      .partitionBy("bucket", "opGroup")
-      .option("checkpointLocation", checkpointDir)
-      .option("path", landingDir)
-      .start()
+    writeLanding(EventParser.parse(raw, "value", excludeBucket, groupInterval),
+      landingDir, checkpointDir, trigger)
   }
+
+  /** Production source: Kafka metadata journal → landing
+    * (reference: MetadataIngestionPipeline.scala:162-168). Requires the
+    * spark-sql-kafka connector on the runtime classpath; the transform and
+    * sink are byte-for-byte the ones the file journal uses.
+    */
+  def kafkaJournalStream(spark: SparkSession, bootstrap: String, topic: String,
+                         landingDir: String, checkpointDir: String,
+                         trigger: Trigger = Trigger.AvailableNow(),
+                         excludeBucket: String = "",
+                         groupInterval: Long = 10000L): StreamingQuery = {
+    val raw = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("failOnDataLoss", "false")
+      .load()
+    writeLanding(
+      EventParser.parse(fromKafkaFrame(raw), "value", excludeBucket, groupInterval),
+      landingDir, checkpointDir, trigger)
+  }
+
+  /** Any pre-built streaming frame with a string `value` column → landing:
+    * the seam the Kafka spec drives with a memory stream shaped like the
+    * connector's output (and the hook for custom sources).
+    */
+  def journalStream(parsedSource: DataFrame, landingDir: String, checkpointDir: String,
+                    trigger: Trigger = Trigger.AvailableNow(),
+                    excludeBucket: String = "",
+                    groupInterval: Long = 10000L): StreamingQuery =
+    writeLanding(
+      EventParser.parse(parsedSource, "value", excludeBucket, groupInterval),
+      landingDir, checkpointDir, trigger)
 
   /** Batch backfill of the same pipeline (identical transform + layout). */
   def batchIngest(spark: SparkSession, raw: DataFrame, landingDir: String,
