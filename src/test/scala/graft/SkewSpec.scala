@@ -35,4 +35,30 @@ class SkewSpec extends AnyFunSuite {
     val salted = Skew.saltedCountSum(skewed, "key", "v", saltFactor = 8)
     assert(salted.collect().toSet == direct.collect().toSet)
   }
+
+  test("ngram-jaccard df-cap drops boilerplate posting lists but keeps true near-dups") {
+    // 150 docs all share one boilerplate trigram (df = 150 > cap = 100):
+    // uncapped, that single shingle alone contributes 150·149/2 ≈ 11k join
+    // rows; capped, it is dropped entirely. Docs 0 and 1 are near-identical
+    // through RARE shingles and must still be detected.
+    val filler = (i: Int) => s"unique$i word$i token$i extra$i more$i stuff$i pad$i tail$i"
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, s"$base lorem ipsum dolor sit"),
+      (1L, s"$base lorem ipsum dolor amet")) ++
+      (2 until 150).map(i => (i.toLong, s"lorem ipsum dolor sit ${filler(i)}"))
+    val dir = SparkTestSession.tempDir("dfcap")
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = graft.analytics.Dedup.dedupNgramJaccard(spark, dir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // only the genuinely near-identical pair survives; the 148 docs whose
+    // sole overlap is the capped boilerplate trigram produce no pairs
+    assert(pairs == Set((0L, 1L)))
+    // and the frequent shingle really is above the cap (sanity on the fixture)
+    val dfOfBoiler = docs.count(_._2.contains("lorem ipsum dolor"))
+    assert(dfOfBoiler == 150 && dfOfBoiler > graft.analytics.Dedup.ShingleDfCap)
+  }
 }
