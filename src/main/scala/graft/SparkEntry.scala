@@ -33,6 +33,7 @@ object SparkEntry {
     "q_anti_join"        -> (Relational.antiJoin(_, _)),
     "q_semi_join"        -> (Relational.semiJoin(_, _)),
     "q_rollup"           -> (Relational.rollupAgg(_, _)),
+    "q_cube"             -> (Relational.cubeAgg(_, _)),
     "q_distinct_agg"     -> (Relational.distinctAgg(_, _)),
     "events_windowed_agg" -> (EventOps.windowedAgg(_, _)),
     "events_sessionize"  -> (EventOps.sessionize(_, _)),
@@ -45,11 +46,13 @@ object SparkEntry {
     "dedup_simhash"       -> (Dedup.dedupSimhash(_, _)),
     "dedup_embedding"     -> (Dedup.dedupEmbedding(_, _)),
     "dedup_clusters"      -> (Dedup.dedupClusters(_, _)),
+    "dedup_containment"   -> (Dedup.dedupContainment(_, _)),
     // §2.4 similarity search
     "knn_brute"           -> (Similarity.knnBrute(_, _)),
     "knn_lsh"             -> (Similarity.knnLsh(_, _)),
     "centroid_ivf"        -> (Similarity.centroidIvf(_, _)),
     "knn_filtered"        -> (Similarity.knnFiltered(_, _)),
+    "knn_recall"          -> (Similarity.knnRecall(_, _)),
     // §2.5 text analysis
     "text_tokens"         -> (TextOps.textTokens(_, _)),
     "text_quality"        -> (TextOps.textQuality(_, _)),
@@ -57,6 +60,7 @@ object SparkEntry {
     "text_ngram_stats"    -> (TextOps.textNgramStats(_, _)),
     "sample_stratified"   -> (TextOps.sampleStratified(_, _)),
     "text_fingerprint"    -> (TextOps.textFingerprint(_, _)),
+    "text_top_term"       -> (TextOps.textTopTerm(_, _)),
     // §2.6 multimodal plumbing
     "mm_binary_stats"     -> (Multimodal.mmBinaryStats(_, _)),
     "mm_frame_sample"     -> (Multimodal.mmFrameSample(_, _)),
@@ -80,6 +84,7 @@ object SparkEntry {
     "q_anti_join"        -> Relational.antiJoinSql,
     "q_semi_join"        -> Relational.semiJoinSql,
     "q_rollup"           -> Relational.rollupAggSql,
+    "q_cube"             -> Relational.cubeAggSql,
     "q_distinct_agg"     -> Relational.distinctAggSql,
     "events_windowed_agg" -> EventOps.windowedAggSql,
     "events_sessionize"  -> EventOps.sessionizeSql,
@@ -91,16 +96,19 @@ object SparkEntry {
     "dedup_simhash"       -> Dedup.dedupSimhashSql,
     "dedup_embedding"     -> Dedup.dedupEmbeddingSql,
     "dedup_clusters"      -> Dedup.dedupClustersSql,
+    "dedup_containment"   -> Dedup.dedupContainmentSql,
     "knn_brute"           -> Similarity.knnBruteSql,
     "knn_lsh"             -> Similarity.knnLshSql,
     "centroid_ivf"        -> Similarity.centroidIvfSql,
     "knn_filtered"        -> Similarity.knnFilteredSql,
+    "knn_recall"          -> Similarity.knnRecallSql,
     "text_tokens"         -> TextOps.textTokensSql,
     "text_quality"        -> TextOps.textQualitySql,
     "text_langid"         -> TextOps.textLangidSql,
     "text_ngram_stats"    -> TextOps.textNgramStatsSql,
     "sample_stratified"   -> TextOps.sampleStratifiedSql,
     "text_fingerprint"    -> TextOps.textFingerprintSql,
+    "text_top_term"       -> TextOps.textTopTermSql,
     "mm_binary_stats"     -> Multimodal.mmBinaryStatsSql,
     "mm_frame_sample"     -> Multimodal.mmFrameSampleSql,
   )

@@ -146,6 +146,54 @@ object Dedup {
       |WHERE shared / (sa.n + sb.n - shared) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
+  // -------------------------------------------------- #38 containment dup
+  /** Containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ 0.8 over
+    * the df-capped shingle sets. Containment catches the asymmetric case
+    * Jaccard misses — a short document embedded inside a much longer one
+    * (quote inclusion, boilerplate wrapping, page concatenation) has low
+    * Jaccard but containment ≈ 1. Same inverted-index join shape (and the
+    * same [[ShingleDfCap]] skew bound) as [[dedupNgramJaccard]].
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).localCheckpoint()
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ShingleDfCap)
+      .select("s")
+    val exC = ex.join(rare, "s").select("doc_id", "s")
+    val sizes = exC.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = exC.as("a").join(exC.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+    val cont = col("shared") / least(col("na"), col("nb"))
+    shared
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .filter(cont >= 0.8)
+      .select(col("a_id"), col("b_id"), round(cont, 6).as("containment"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val dedupContainmentSql: String =
+    s"""WITH $shingledSql,
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+      |rare AS (
+      |  SELECT s FROM (SELECT s, count(*) AS df FROM ex GROUP BY s) t
+      |  WHERE df <= $ShingleDfCap),
+      |exc AS (SELECT doc_id, ex.s AS s FROM ex JOIN rare ON ex.s = rare.s),
+      |shared AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+      |  FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM exc GROUP BY doc_id)
+      |SELECT a_id, b_id, round(shared / least(sa.n, sb.n), 6) AS containment
+      |FROM shared
+      |JOIN sizes sa ON a_id = sa.doc_id
+      |JOIN sizes sb ON b_id = sb.doc_id
+      |WHERE shared / least(sa.n, sb.n) >= 0.8
+      |ORDER BY a_id, b_id""".stripMargin
+
   // ---------------------------------------------------- #22 minhash + LSH
   /** MinHash(32) signatures folded map-side (no explode), banded 8×4 for
     * LSH candidate generation, candidates confirmed with exact Jaccard.

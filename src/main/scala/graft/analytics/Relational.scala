@@ -202,6 +202,40 @@ object Relational {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** Full CUBE over (mktsegment, priority) with grouping flags — the
+    * all-combinations companion of [[rollupAgg]] (rollup only descends the
+    * hierarchy; cube also emits the priority-only slice). Cube nulls are
+    * rendered as 'ALL' and the grouping flags ride along so oracle NULL
+    * semantics can't diverge.
+    */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderpriority"), cents(col("o_totalprice")).as("price_c"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("price_c")) / 100.0).as("sum_price"),
+        grouping(col("c_mktsegment")).cast("int").as("g_seg"),
+        grouping(col("o_orderpriority")).cast("int").as("g_pri"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"), col("g_seg"), col("g_pri"))
+      .orderBy("mktsegment", "priority")
+  }
+
+  val cubeAggSql: String =
+    """SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_price,
+      |       CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+      |       CAST(GROUPING(o_orderpriority) AS INT) AS g_pri
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY CUBE (c_mktsegment, o_orderpriority)
+      |ORDER BY mktsegment, priority""".stripMargin
+
   /** Multiple distinct aggregates in one pass. */
   def distinctAgg(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

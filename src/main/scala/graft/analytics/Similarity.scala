@@ -169,6 +169,63 @@ object Similarity {
       |SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
 
+  // ------------------------------------------------- #39 ANN recall eval
+  /** Recall@k of the LSH index against the exact brute-force baseline —
+    * the index-quality evaluation an ANN deployment runs after every
+    * rebuild (recall = |LSH top-k ∩ exact top-k| / k per query). Both
+    * rankings reuse the production pipelines; the comparison is one
+    * equi-join on (query, neighbor) + per-query counts.
+    */
+  def knnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnBrute(spark, dir).select(col("q_id"), col("n_id"))
+    val approx = knnLsh(spark, dir).select(col("q_id"), col("n_id"))
+    val hits = exact.join(approx, Seq("q_id", "n_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / col("n_exact"), 6).as("recall"))
+      .orderBy("q_id")
+  }
+
+  val knnRecallSql: String = {
+    def projSql(p: Int): String =
+      seqSumSql(s"list_transform(range(64), i -> " +
+        s"CAST(emb[i+1] AS DOUBLE) * ${planeSignSql(p, "i")})")
+    val bucket = (0 until 8).foldLeft("CAST(0 AS BIGINT)") { (acc, p) =>
+      s"($acc * 2 + (CASE WHEN ${projSql(p)} > 0 THEN 1 ELSE 0 END))"
+    }
+    s"""WITH $normedSql,
+      |bv AS (SELECT *, $bucket AS bucket FROM normed),
+      |bscored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, round($cosABSql, 6) AS cosine
+      |  FROM normed q JOIN normed c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id),
+      |btop AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q_id, n_id,
+      |           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS r
+      |    FROM bscored) t WHERE r <= $K),
+      |lscored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, round($cosABSql, 6) AS cosine
+      |  FROM bv q JOIN bv c
+      |    ON q.vec_id < $NQueries AND q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+      |ltop AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q_id, n_id,
+      |           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS r
+      |    FROM lscored) t WHERE r <= $K),
+      |hits AS (
+      |  SELECT b.q_id, count(*) AS n_hits
+      |  FROM btop b JOIN ltop l ON b.q_id = l.q_id AND b.n_id = l.n_id
+      |  GROUP BY 1),
+      |exact AS (SELECT q_id, count(*) AS n_exact FROM btop GROUP BY 1)
+      |SELECT e.q_id, COALESCE(h.n_hits, 0) AS n_hits,
+      |       round(COALESCE(h.n_hits, 0) / e.n_exact, 6) AS recall
+      |FROM exact e LEFT JOIN hits h ON e.q_id = h.q_id
+      |ORDER BY e.q_id""".stripMargin
+  }
+
   // ------------------------------------------------------ #27 IVF probing
   /** IVF-style coarse quantizer: per-`label` centroids (the "inverted
     * lists"), each query probes its 2 nearest centroids and searches only

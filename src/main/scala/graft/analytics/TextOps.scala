@@ -208,6 +208,41 @@ object TextOps {
       |FROM fps ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------- #41 top distinctive term
+  /** Per-document keyword extraction: the term maximizing
+    * (tf DESC, df ASC, term ASC) — "most frequent in the doc, rarest in
+    * the corpus". The tf-idf idea in pure integer ordering: no float idf
+    * logs, so both engines rank bit-identically. One explode + two aggs +
+    * an equi-join of the corpus df stats; the final per-doc argmax windows
+    * over doc_id (millions of tiny groups — spreads, never funnels).
+    */
+  def textTopTerm(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("tf"), col("df"))
+      .orderBy("doc_id")
+  }
+
+  val textTopTermSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |         row_number() OVER (PARTITION BY tf.doc_id
+      |                            ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rk
+      |  FROM tf JOIN df USING (term))
+      |SELECT doc_id, term AS top_term, tf, df FROM ranked WHERE rk = 1
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------- #31 n-gram stats
   /** Corpus bigram frequency: top 100 bigrams with doc frequency and total
     * count — the classic n-gram statistics sweep (map-side explode, one
