@@ -223,6 +223,30 @@ class MetadataSearchSpec extends AnyFunSuite {
     val json = search.searchJson(SearchQuery("mb", limit = 1))
     assert(json.length == 1 && json.head.contains("\"key\":\"obj-a\""))
   }
+
+  test("mixed-schema zones merge: a zone written before a payload field existed still searches") {
+    val landing = SparkTestSession.tempDir("ev-landing")
+    val staging = SparkTestSession.tempDir("ev-staging")
+    // staging carries the CURRENT schema
+    IngestPipeline.batchIngest(spark,
+      Seq(env(1, "put", "new-obj")).toDF("value"), staging, groupInterval = 10L)
+    // landing simulates a PRE-MIGRATION writer: its parquet predates the
+    // `tags` and `x-amz-storage-class` payload fields entirely
+    val old = graft.ingest.EventParser.parse(
+        Seq(env(11, "put", "old-obj")).toDF("value"), "value", "", 10L)
+      .withColumn("message",
+        col("message").dropFields("tags", "`x-amz-storage-class`"))
+    old.write.partitionBy("bucket", "opGroup").mode("append").parquet(landing)
+    // the pinned-schema zone read pads absent columns with nulls, so the
+    // union never hits a schema mismatch (the design counterpart of the
+    // reference's fillNonExistingColumns)
+    val search = new MetadataSearch(spark, landing, staging)
+    val rows = search.search(SearchQuery("mb"))
+    assert(rows.select("key").as[String].collect().toSeq == Seq("new-obj", "old-obj"))
+    val oldRow = rows.filter(col("key") === "old-obj")
+      .select(col("`x-amz-storage-class`")).collect().head
+    assert(oldRow.isNullAt(0), "missing-on-disk payload field must read as NULL")
+  }
 }
 
 class SessionCacheSpec extends AnyFunSuite {
