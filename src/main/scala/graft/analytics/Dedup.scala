@@ -331,8 +331,15 @@ object Dedup {
     * otherwise diverge from the recursive-CTE oracle). */
   private val MaxClusterIters = 50
 
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupMinhashLsh(spark, dir).select("a_id", "b_id")
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(dedupMinhashLsh(spark, dir).select("a_id", "b_id"))
+
+  /** Connected components over an undirected pair list `(a_id, b_id)`:
+    * every vertex gets its component's minimum id as `cluster_id`, and the
+    * label-holder is flagged `is_keeper` — distributed min-label
+    * propagation, one join+aggregate per round, no driver-side graph.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
     // localCheckpoint each round to TRUNCATE LINEAGE: the iterate's logical
     // plan otherwise deepens every round, and Catalyst re-analyzes the
     // whole tree per round — at cluster diameter ~20 that is analyzer

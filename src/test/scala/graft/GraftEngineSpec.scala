@@ -20,6 +20,65 @@ class GraftConfigSpec extends AnyFunSuite {
   }
 }
 
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Driver-side union-find reference implementation. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def run(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    graft.analytics.Dedup.connectedComponents(pairs.toDF("a_id", "b_id"))
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+
+  test("a chain longer than the old 20-round cap converges to one component") {
+    // diameter 30: every round of min-label propagation moves the label one
+    // hop, so this genuinely needs >20 rounds — the old silent cap would
+    // have returned a wrong (partially propagated) labelling
+    val chain = (0L until 30L).map(i => (i, i + 1))
+    val got = run(chain)
+    assert(got.size == 31)
+    assert(got.values.toSet == Set(0L), "all chain vertices must share label 0")
+  }
+
+  test("random graphs match driver-side union-find") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val pairs = Seq.fill(n)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      assert(run(pairs) == unionFind(pairs), s"trial $trial diverged")
+    }
+  }
+
+  test("empty edge list returns an empty labelled frame with the right schema") {
+    val out = graft.analytics.Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id"))
+    assert(out.columns.toSeq == Seq("doc_id", "cluster_id", "is_keeper"))
+    assert(out.count() == 0)
+  }
+
+  test("keeper flag marks exactly the label holder of each component") {
+    val labelled = graft.analytics.Dedup.connectedComponents(
+      Seq((5L, 9L), (9L, 7L), (1L, 2L)).toDF("a_id", "b_id"))
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(labelled.toSeq == Seq((1L, 1L, 1), (2L, 1L, 0), (5L, 5L, 1),
+      (7L, 5L, 0), (9L, 5L, 0)))
+  }
+}
+
 class GraftEngineSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
