@@ -72,6 +72,84 @@ object StreamOps {
       }
   }
 
+  // ---------------------------------------------- streaming near-dup LSH
+  case class NearDupCandidate(a_id: Long, b_id: Long, est_jaccard: Double)
+  /** Bucket state in encoder-friendly flat form: `sigs` concatenates the
+    * 32-long signature of each doc in `ids` order. */
+  case class BucketDocs(ids: Seq[Long], sigs: Seq[Long])
+
+  /** Streaming MinHash-LSH near-dup detection — the online face of
+    * [[graft.analytics.Dedup.dedupMinhashLsh]]: as documents arrive,
+    * signatures are computed map-side with the native kernels, the 8 LSH
+    * band keys are exploded, and `flatMapGroupsWithState` keyed by band
+    * key holds each bucket's seen (doc_id, signature) list. A new doc is
+    * compared only against its own buckets; pairs whose signature
+    * agreement ≥ `threshold` are emitted the moment the second doc
+    * arrives — cross-batch, without re-scanning the corpus.
+    *
+    * State bounds: each bucket keeps at most `maxBucketDocs` signatures
+    * (32 longs each) — a full bucket stops admitting new signatures but
+    * still matches incoming docs against the kept ones, so state is
+    * O(buckets × cap) regardless of stream length. Emission is
+    * at-least-once per pair (a pair colliding in several bands emits from
+    * each); consumers dedupe on (a_id, b_id), exactly like the batch
+    * pipeline's DISTINCT over band candidates.
+    */
+  def nearDupStream(docs: DataFrame, threshold: Double = 0.5,
+                    maxBucketDocs: Int = 64): Dataset[NearDupCandidate] = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    def bandKey(b: Int): org.apache.spark.sql.Column =
+      (0 until 4).foldLeft(lit(b.toLong)) { (acc, r) =>
+        acc * 31L + element_at(col("sig"), b * 4 + r + 1)
+      }
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        graft.functions.GraftFunctions.minhash32(
+          graft.functions.GraftFunctions.ngrams(
+            split(col("text"), " "), 3, distinct = true)).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("sig"),
+        explode(array((0 until 8).map(bandKey): _*)).as("bkey"))
+      .as[(Long, Seq[Long], Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[BucketDocs, NearDupCandidate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Seq[Long], Long)], state: GroupState[BucketDocs]) =>
+          val cur = state.getOption.getOrElse(BucketDocs(Vector.empty, Vector.empty))
+          var ids = cur.ids.toVector
+          var sigs = cur.sigs.toVector
+          val out = List.newBuilder[NearDupCandidate]
+          rows.toSeq.sortBy(_._1).foreach { case (id, sig, _) =>
+            if (!ids.contains(id)) {
+              var d = 0
+              while (d < ids.length) {
+                var agree = 0
+                var j = 0
+                while (j < 32) {
+                  if (sig(j) == sigs(d * 32 + j)) agree += 1
+                  j += 1
+                }
+                val frac = agree / 32.0
+                if (frac >= threshold) {
+                  val oid = ids(d)
+                  val (a, b) = if (oid < id) (oid, id) else (id, oid)
+                  out += NearDupCandidate(a, b, math.round(frac * 1e6) / 1e6)
+                }
+                d += 1
+              }
+              if (ids.length < maxBucketDocs) {
+                ids = ids :+ id
+                sigs = sigs ++ sig
+              }
+            }
+          }
+          state.update(BucketDocs(ids, sigs))
+          out.result().iterator
+      }
+  }
+
   // ------------------------------------------------------- sessionization
   case class Click(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)

@@ -50,6 +50,37 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nearDupStream flags cross-batch near-duplicates from LSH bucket state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = StreamOps.nearDupStream(docs, threshold = 0.5)
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    val base = "the quick brown fox jumps over the lazy dog in the misty morning park"
+    try {
+      in.addData((1L, base), (2L, "completely different words about spark shuffles and parquet files"))
+      q.processAllAvailable()
+      assert(spark.table("neardup").count() == 0, "no near-dups in batch 1")
+      // batch 2: doc 3 is a near-copy of doc 1 from the PREVIOUS batch —
+      // detection must come from bucket state, not a same-batch self-join
+      in.addData((3L, base + " today"))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup")
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 3L)))
+      val est = spark.table("neardup").select("est_jaccard")
+        .as[Double].collect().max
+      assert(est >= 0.5 && est <= 1.0)
+      // an exact replay of doc 3 is not re-paired with itself
+      in.addData((3L, base + " today"))
+      q.processAllAvailable()
+      assert(spark.table("neardup").select("a_id", "b_id").as[(Long, Long)]
+        .collect().toSet == Set((1L, 3L)))
+    } finally q.stop()
+  }
+
   test("latestStateStream maintains the per-key head across batches, late events lose") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
