@@ -37,6 +37,7 @@ object SparkEntry {
     "q_distinct_agg"     -> (Relational.distinctAgg(_, _)),
     "events_windowed_agg" -> (EventOps.windowedAgg(_, _)),
     "events_sessionize"  -> (EventOps.sessionize(_, _)),
+    "events_funnel"      -> (EventOps.funnel(_, _)),
     "asof_join"          -> (EventOps.asofJoin(_, _)),
     // §2.3 deduplication
     "dedup_exact"         -> (Dedup.dedupExact(_, _)),
@@ -88,6 +89,7 @@ object SparkEntry {
     "q_distinct_agg"     -> Relational.distinctAggSql,
     "events_windowed_agg" -> EventOps.windowedAggSql,
     "events_sessionize"  -> EventOps.sessionizeSql,
+    "events_funnel"      -> EventOps.funnelSql,
     "asof_join"          -> EventOps.asofJoinSql,
     "dedup_exact"         -> Dedup.dedupExactSql,
     "dedup_fingerprint"   -> Dedup.dedupFingerprintSql,

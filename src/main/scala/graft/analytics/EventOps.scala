@@ -83,6 +83,57 @@ object EventOps {
       |       strftime(make_timestamp(max(sec)*1000000), '%Y-%m-%d %H:%M:%S') AS end_ts
       |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  /** Ordered conversion funnel signup → view → click → purchase: each
+    * stage records the user's earliest matching event at-or-after the
+    * previous stage's timestamp, `depth` counts completed stages. Every
+    * stage is a user-keyed join + min-aggregation, so the whole funnel is
+    * a chain of co-partitioned shuffles on `user_id` (no windows over the
+    * full log, no per-user collect) — at 100 TB each stage's input is
+    * already hash-partitioned by the previous one.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = withSec(Tables.events(spark, dir))
+      .select(col("user_id"), col("sec"), col("event_type"))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("sec")).as("t_signup"))
+    def stage(prev: DataFrame, prevT: String, typ: String, outT: String): DataFrame =
+      prev.join(e.filter(col("event_type") === typ).withColumnRenamed("sec", "s2"), "user_id")
+        .filter(col("s2") >= col(prevT))
+        .groupBy("user_id").agg(min(col("s2")).as(outT))
+    val s2 = stage(s1, "t_signup", "view", "t_view")
+    val s3 = stage(s2, "t_view", "click", "t_click")
+    val s4 = stage(s3, "t_click", "purchase", "t_purchase")
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .join(s4, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_signup"), col("t_view"), col("t_click"),
+        col("t_purchase"),
+        (lit(1) + col("t_view").isNotNull.cast("int")
+          + col("t_click").isNotNull.cast("int")
+          + col("t_purchase").isNotNull.cast("int")).as("depth"))
+      .orderBy("user_id")
+  }
+
+  val funnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts)//1000000000 AS sec, event_type FROM events),
+      |s1 AS (SELECT user_id, min(sec) AS t_signup FROM e
+      |       WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.sec) AS t_view FROM e JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'view' AND e.sec >= s1.t_signup GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.sec) AS t_click FROM e JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'click' AND e.sec >= s2.t_view GROUP BY 1),
+      |s4 AS (SELECT e.user_id, min(e.sec) AS t_purchase FROM e JOIN s3 ON e.user_id = s3.user_id
+      |       WHERE e.event_type = 'purchase' AND e.sec >= s3.t_click GROUP BY 1)
+      |SELECT s1.user_id, t_signup, t_view, t_click, t_purchase,
+      |       CAST(1 + CAST(t_view IS NOT NULL AS INT) + CAST(t_click IS NOT NULL AS INT)
+      |            + CAST(t_purchase IS NOT NULL AS INT) AS INT) AS depth
+      |FROM s1
+      |LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |LEFT JOIN s3 ON s1.user_id = s3.user_id
+      |LEFT JOIN s4 ON s1.user_id = s4.user_id
+      |ORDER BY s1.user_id""".stripMargin
+
   /** As-of join: each purchase matched to the user's most recent prior (or
     * same-instant) click. Formulated as a single window pass over the
     * event log — no range-join explosion, no per-key driver loop; scales as
