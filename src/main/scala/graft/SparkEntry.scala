@@ -34,6 +34,8 @@ object SparkEntry {
     "q_semi_join"        -> (Relational.semiJoin(_, _)),
     "q_rollup"           -> (Relational.rollupAgg(_, _)),
     "q_cube"             -> (Relational.cubeAgg(_, _)),
+    "q_promo_share"      -> (Relational.promoShare(_, _)),
+    "q_correlated_max"   -> (Relational.correlatedMax(_, _)),
     "q_distinct_agg"     -> (Relational.distinctAgg(_, _)),
     "events_windowed_agg" -> (EventOps.windowedAgg(_, _)),
     "events_sessionize"  -> (EventOps.sessionize(_, _)),
@@ -86,6 +88,8 @@ object SparkEntry {
     "q_semi_join"        -> Relational.semiJoinSql,
     "q_rollup"           -> Relational.rollupAggSql,
     "q_cube"             -> Relational.cubeAggSql,
+    "q_promo_share"      -> Relational.promoShareSql,
+    "q_correlated_max"   -> Relational.correlatedMaxSql,
     "q_distinct_agg"     -> Relational.distinctAggSql,
     "events_windowed_agg" -> EventOps.windowedAggSql,
     "events_sessionize"  -> EventOps.sessionizeSql,

@@ -202,6 +202,68 @@ object Relational {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** TPC-H Q14 shape: promo-revenue share per ship month — conditional
+    * aggregation over the fact table with the `part` dim broadcast. All
+    * revenue is exact integer (cents × basis-point) math; the share is one
+    * double division of exact longs, so both engines agree bit-for-bit.
+    */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_partkey"),
+      date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+      (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_c4"))
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), (col("p_type") === "ECONOMY").as("is_promo"))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy("month")
+      .agg(
+        (sum(when(col("is_promo"), col("rev_c4")).otherwise(0L)) / 10000.0).as("promo_rev"),
+        (sum(col("rev_c4")) / 10000.0).as("total_rev"),
+        round(sum(when(col("is_promo"), col("rev_c4")).otherwise(0L)) / sum(col("rev_c4")), 6)
+          .as("promo_share"))
+      .orderBy("month")
+  }
+
+  val promoShareSql: String =
+    """WITH l AS (
+      |  SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS month,
+      |         CAST(round(l_extendedprice*100) AS BIGINT)
+      |           * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_c4
+      |  FROM lineitem)
+      |SELECT month,
+      |       CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN rev_c4 ELSE 0 END) AS BIGINT)/10000.0 AS promo_rev,
+      |       CAST(sum(rev_c4) AS BIGINT)/10000.0 AS total_rev,
+      |       round(CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN rev_c4 ELSE 0 END) AS BIGINT)
+      |             / CAST(sum(rev_c4) AS BIGINT), 6) AS promo_share
+      |FROM l JOIN part ON l_partkey = p_partkey
+      |GROUP BY month ORDER BY month""".stripMargin
+
+  /** Correlated scalar subquery, expressed on the engine's SQL surface:
+    * each customer's largest order(s). Catalyst decorrelates the subquery
+    * into an aggregate + join (no per-row re-execution), so the same query
+    * a reference user writes in SQL runs as one distributed plan.
+    */
+  def correlatedMax(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    // 100.0D: Spark SQL parses a bare 100.0 as DECIMAL, which would make
+    // totalprice DECIMAL while the oracle's division yields DOUBLE
+    spark.sql(
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(round(o_totalprice*100) AS BIGINT)/100.0D AS totalprice
+        |FROM orders_v o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+        |                      FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val correlatedMaxSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(round(o_totalprice*100) AS BIGINT)/100.0 AS totalprice
+      |FROM orders o
+      |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+      |                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Full CUBE over (mktsegment, priority) with grouping flags — the
     * all-combinations companion of [[rollupAgg]] (rollup only descends the
     * hierarchy; cube also emits the priority-only slice). Cube nulls are
