@@ -62,6 +62,7 @@ object SparkEntry {
     "text_langid"         -> (TextOps.textLangid(_, _)),
     "text_ngram_stats"    -> (TextOps.textNgramStats(_, _)),
     "sample_stratified"   -> (TextOps.sampleStratified(_, _)),
+    "sample_fixed_k"      -> (TextOps.sampleFixedK(_, _)),
     "text_fingerprint"    -> (TextOps.textFingerprint(_, _)),
     "text_top_term"       -> (TextOps.textTopTerm(_, _)),
     // §2.6 multimodal plumbing
@@ -113,6 +114,7 @@ object SparkEntry {
     "text_langid"         -> TextOps.textLangidSql,
     "text_ngram_stats"    -> TextOps.textNgramStatsSql,
     "sample_stratified"   -> TextOps.sampleStratifiedSql,
+    "sample_fixed_k"      -> TextOps.sampleFixedKSql,
     "text_fingerprint"    -> TextOps.textFingerprintSql,
     "text_top_term"       -> TextOps.textTopTermSql,
     "mm_binary_stats"     -> Multimodal.mmBinaryStatsSql,

@@ -164,6 +164,43 @@ object TextOps {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------ #45 fixed-k stratum sample
+  /** Deterministic exactly-k-per-language sample: rank docs inside each
+    * stratum by content hash (reproducible across runs/engines, unlike an
+    * RNG) and keep the k smallest. Selection runs through the bounded-heap
+    * `graft_topk` aggregate — each map task keeps ≤ k candidates per
+    * stratum, so a 100 TB stratum never funnels through one task's window
+    * sort (`row_number` would); the oracle recomputes the same ranking
+    * with a window.
+    */
+  private val FixedK = 20
+
+  def sampleFixedK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // topk keeps the LARGEST scores; negate the hash so "k smallest
+    // hashes" wins (hash < 2^31, exact in double)
+    val scored = Tables.documents(spark, dir).select(col("lang"), col("doc_id"),
+      (-graft.functions.GraftFunctions.polyhash(col("text"))).cast("double").as("score"))
+    scored.groupBy("lang")
+      .agg(graft.functions.GraftFunctions
+        .topk(struct(col("score"), col("doc_id")), FixedK).as("tk"))
+      .select(col("lang"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("lang"), (col("pos") + 1).as("rank"),
+        col("t.id").as("doc_id"), (-col("t.score")).cast("long").as("h"))
+      .orderBy("lang", "rank")
+  }
+
+  val sampleFixedKSql: String =
+    s"""WITH h AS (
+      |  SELECT lang, doc_id, ${graft.functions.Portable.polyHashSql("text")} AS h
+      |  FROM documents)
+      |SELECT lang, rank, doc_id, h FROM (
+      |  SELECT lang, doc_id, h,
+      |         row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rank
+      |  FROM h) t
+      |WHERE rank <= $FixedK
+      |ORDER BY lang, rank""".stripMargin
+
   // ------------------------------------------- #35 winnowing fingerprint
   /** Rolling-hash document fingerprinting (winnowing): hash every word
     * 3-gram, slide a window of 4 consecutive hashes, keep each window's
