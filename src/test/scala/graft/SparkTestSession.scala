@@ -10,6 +10,8 @@ object SparkTestSession {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    // keep saveAsTable artifacts (bucketing specs) out of the repo tree
+    .config("spark.sql.warehouse.dir", tempDir("graft-warehouse"))
     .getOrCreate()
 
   def tempDir(prefix: String): String = {
