@@ -40,6 +40,7 @@ object SparkEntry {
     "events_windowed_agg" -> (EventOps.windowedAgg(_, _)),
     "events_sessionize"  -> (EventOps.sessionize(_, _)),
     "events_funnel"      -> (EventOps.funnel(_, _)),
+    "events_range_join"  -> (EventOps.rangeJoin(_, _)),
     "asof_join"          -> (EventOps.asofJoin(_, _)),
     // §2.3 deduplication
     "dedup_exact"         -> (Dedup.dedupExact(_, _)),
@@ -65,6 +66,7 @@ object SparkEntry {
     "sample_fixed_k"      -> (TextOps.sampleFixedK(_, _)),
     "text_fingerprint"    -> (TextOps.textFingerprint(_, _)),
     "text_top_term"       -> (TextOps.textTopTerm(_, _)),
+    "text_length_median"  -> (TextOps.textLengthMedian(_, _)),
     // §2.6 multimodal plumbing
     "mm_binary_stats"     -> (Multimodal.mmBinaryStats(_, _)),
     "mm_frame_sample"     -> (Multimodal.mmFrameSample(_, _)),
@@ -95,6 +97,7 @@ object SparkEntry {
     "events_windowed_agg" -> EventOps.windowedAggSql,
     "events_sessionize"  -> EventOps.sessionizeSql,
     "events_funnel"      -> EventOps.funnelSql,
+    "events_range_join"  -> EventOps.rangeJoinSql,
     "asof_join"          -> EventOps.asofJoinSql,
     "dedup_exact"         -> Dedup.dedupExactSql,
     "dedup_fingerprint"   -> Dedup.dedupFingerprintSql,
@@ -117,6 +120,7 @@ object SparkEntry {
     "sample_fixed_k"      -> TextOps.sampleFixedKSql,
     "text_fingerprint"    -> TextOps.textFingerprintSql,
     "text_top_term"       -> TextOps.textTopTermSql,
+    "text_length_median"  -> TextOps.textLengthMedianSql,
     "mm_binary_stats"     -> Multimodal.mmBinaryStatsSql,
     "mm_frame_sample"     -> Multimodal.mmFrameSampleSql,
   )

@@ -134,6 +134,45 @@ object EventOps {
       |LEFT JOIN s4 ON s1.user_id = s4.user_id
       |ORDER BY s1.user_id""".stripMargin
 
+  /** Bucketized range join: for every error event, the count of the same
+    * user's clicks within ±60 s. A naive range join is an inequality join
+    * (quadratic explosion); here time is bucketed into 60 s cells, the
+    * error side fans out to its 3 adjacent cells, and the join is a plain
+    * `(user, bucket)` EQUALITY join + exact |Δt| filter — each true pair
+    * matches exactly one bucket cell, so no dedup is needed and the work
+    * is proportional to true temporal neighborhoods, not |errors|×|clicks|.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withSec(Tables.events(spark, dir))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("sec"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("sec").as("csec"),
+        expr("csec div 60").as("bucket"))
+    val fanned = errors.withColumn("bucket",
+      explode(array(expr("sec div 60 - 1"), expr("sec div 60"), expr("sec div 60 + 1"))))
+    val matches = fanned.join(clicks, Seq("user_id", "bucket"))
+      .filter(abs(col("csec") - col("sec")) <= 60)
+      .groupBy("event_id").agg(count(lit(1)).as("n"))
+    errors.join(matches, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n"), lit(0L)).as("n_nearby_clicks"))
+      .orderBy("event_id")
+  }
+
+  val rangeJoinSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000000 AS sec FROM events),
+      |e AS (SELECT user_id, event_id, sec FROM ev WHERE event_type = 'error'),
+      |c AS (SELECT user_id, sec AS csec FROM ev WHERE event_type = 'click'),
+      |m AS (
+      |  SELECT e.event_id, count(*) AS n
+      |  FROM e JOIN c ON e.user_id = c.user_id AND abs(c.csec - e.sec) <= 60
+      |  GROUP BY 1)
+      |SELECT e.event_id, e.user_id, COALESCE(m.n, 0) AS n_nearby_clicks
+      |FROM e LEFT JOIN m ON e.event_id = m.event_id
+      |ORDER BY e.event_id""".stripMargin
+
   /** As-of join: each purchase matched to the user's most recent prior (or
     * same-instant) click. Formulated as a single window pass over the
     * event log — no range-join explosion, no per-key driver loop; scales as

@@ -164,6 +164,35 @@ object TextOps {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------- #47 exact stratum median
+  /** Exact per-language median document length (lower median, integer
+    * position `(n+1) div 2` — no interpolation, so both engines agree
+    * exactly). The rank window partitions by language; at 100 TB scale an
+    * exact median needs that per-stratum sort by definition — swap in
+    * `percentile_approx` when approximate is acceptable.
+    */
+  def textLengthMedian(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("lang"), col("doc_id"), col("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    docs.withColumn("rk", row_number().over(w))
+      .join(counts, "lang")
+      .filter(col("rk") === expr("(n_docs + 1) div 2"))
+      .select(col("lang"), col("n_docs"), col("n_chars").as("median_chars"))
+      .orderBy("lang")
+  }
+
+  val textLengthMedianSql: String =
+    """WITH ranked AS (
+      |  SELECT lang, doc_id, n_chars,
+      |         row_number() OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS rk,
+      |         count(*) OVER (PARTITION BY lang) AS n_docs
+      |  FROM documents)
+      |SELECT lang, n_docs, n_chars AS median_chars
+      |FROM ranked WHERE rk = (n_docs + 1) // 2
+      |ORDER BY lang""".stripMargin
+
   // ------------------------------------------ #45 fixed-k stratum sample
   /** Deterministic exactly-k-per-language sample: rank docs inside each
     * stratum by content hash (reproducible across runs/engines, unlike an
