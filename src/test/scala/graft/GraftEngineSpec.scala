@@ -15,8 +15,16 @@ class GraftConfigSpec extends AnyFunSuite {
     p.setProperty("graft.exclude.bucket", "own")
     assert(GraftConfig.fromProperties(p).groupInterval == 500L)
     assert(GraftConfig.fromProperties(p).excludeBucket == "own")
+    p.setProperty("graft.purge.tolerance.ms", "2500")
+    p.setProperty("graft.kafka.bootstrap", "broker:9092")
+    p.setProperty("graft.kafka.topic", "metadata-journal")
+    val c2 = GraftConfig.fromProperties(p)
+    assert(c2.purgeToleranceMs == 2500L)
+    assert(c2.kafkaBootstrap == "broker:9092" && c2.kafkaTopic == "metadata-journal")
     intercept[IllegalArgumentException](
       GraftConfig.fromProperties(new java.util.Properties()))
+    intercept[IllegalArgumentException](
+      GraftConfig("/l", "/s", "/c", purgeToleranceMs = -1L))
   }
 }
 
