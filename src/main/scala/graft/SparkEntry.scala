@@ -51,6 +51,7 @@ object SparkEntry {
     "dedup_embedding"     -> (Dedup.dedupEmbedding(_, _)),
     "dedup_clusters"      -> (Dedup.dedupClusters(_, _)),
     "dedup_containment"   -> (Dedup.dedupContainment(_, _)),
+    "dedup_keep_best"     -> (Dedup.dedupKeepBest(_, _)),
     // §2.4 similarity search
     "knn_brute"           -> (Similarity.knnBrute(_, _)),
     "knn_lsh"             -> (Similarity.knnLsh(_, _)),
@@ -108,6 +109,7 @@ object SparkEntry {
     "dedup_embedding"     -> Dedup.dedupEmbeddingSql,
     "dedup_clusters"      -> Dedup.dedupClustersSql,
     "dedup_containment"   -> Dedup.dedupContainmentSql,
+    "dedup_keep_best"     -> Dedup.dedupKeepBestSql,
     "knn_brute"           -> Similarity.knnBruteSql,
     "knn_lsh"             -> Similarity.knnLshSql,
     "centroid_ivf"        -> Similarity.centroidIvfSql,

@@ -396,6 +396,58 @@ object Dedup {
       |       CAST(u = min(v) AS INT) AS is_keeper
       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ #49 keep-best decision
+  /** The dedup DECISION stage: within each duplicate cluster, keep the
+    * highest-quality document (ties → smallest doc_id) — clusters alone
+    * don't curate a corpus; this picks the survivor. Composes
+    * [[dedupClusters]] with [[TextOps.textQuality]]'s score; the per-
+    * cluster argmax windows over cluster_id (many small groups).
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir).select("doc_id", "cluster_id")
+    val quality = TextOps.textQuality(spark, dir).select("doc_id", "quality")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id").asc)
+    clusters.join(quality, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("n_docs"),
+        col("doc_id").as("keep_id"), col("quality").as("keep_quality"))
+      .orderBy("cluster_id")
+  }
+
+  val dedupKeepBestSql: String = {
+    // quality formula duplicated verbatim from TextOps.textQualitySql so
+    // the two oracles can never drift apart silently
+    val inList = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+      .map(s => s"'$s'").mkString(", ")
+    val quality =
+      s"""round((0.4 * (len(list_filter(string_split(text, ' '), t -> t IN ($inList)))
+        |              / len(string_split(text, ' ')))
+        |       + 0.3 * (length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text)))
+        |      + 0.3 * least(len(string_split(text, ' ')) / 100, 1.0), 6)""".stripMargin
+    s"""WITH RECURSIVE $minhashPairsCtes,
+      |edges AS (
+      |  SELECT a_id AS u, b_id AS v FROM confirmed
+      |  UNION ALL SELECT b_id, a_id FROM confirmed),
+      |reach(u, v) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |labels AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+      |q AS (SELECT doc_id, $quality AS quality FROM documents),
+      |ranked AS (
+      |  SELECT l.cluster_id, l.doc_id, q.quality,
+      |         row_number() OVER (PARTITION BY l.cluster_id
+      |                            ORDER BY q.quality DESC, l.doc_id ASC) AS rk,
+      |         count(*) OVER (PARTITION BY l.cluster_id) AS n_docs
+      |  FROM labels l JOIN q ON l.doc_id = q.doc_id)
+      |SELECT cluster_id, n_docs, doc_id AS keep_id, quality AS keep_quality
+      |FROM ranked WHERE rk = 1 ORDER BY cluster_id""".stripMargin
+  }
+
   // ----------------------------------------------- #24 embedding near-dup
   /** Embedding-cosine near-dup pairs, LSH-bucketed: 8 deterministic ±1
     * hyperplanes → 256 sign buckets; only same-bucket pairs are compared
