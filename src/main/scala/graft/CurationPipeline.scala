@@ -1,0 +1,74 @@
+package graft
+
+import graft.analytics.{Dedup, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-call corpus curation: the LLM-training-data counterpart of
+  * [[GraftEngine]]'s search facade. Chains the library's pieces the way a
+  * production pipeline would run them:
+  *
+  *  1. exact dedup (content hash) — cheap, removes byte-identical copies;
+  *  2. MinHash-LSH near-dup clustering → keep each cluster's
+  *     highest-quality document ([[Dedup.dedupKeepBest]] semantics);
+  *  3. quality floor — drop surviving docs scoring under `minQuality`;
+  *  4. deterministic output: the curated corpus plus a per-stage audit.
+  *
+  * Every stage is a declarative DataFrame transform over the same
+  * `documents` schema, so Catalyst fuses the scans and the whole run is a
+  * handful of shuffles regardless of corpus size. Outputs are written
+  * partitioned by `lang` — downstream training-data loaders prune by
+  * language for free.
+  */
+class CurationPipeline(spark: SparkSession, corpusDir: String) {
+
+  /** Doc ids removed as exact duplicates (all copies but the smallest id). */
+  def exactDupIds(): DataFrame =
+    Tables.documents(spark, corpusDir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(collect_list(col("doc_id")).as("ids"), min(col("doc_id")).as("keep"))
+      .select(explode(col("ids")).as("doc_id"), col("keep"))
+      .filter(col("doc_id") =!= col("keep"))
+      .select("doc_id")
+
+  /** Doc ids removed as near-duplicates (cluster members that are not the
+    * cluster's keep-best survivor). */
+  def nearDupIds(): DataFrame = {
+    val best = Dedup.dedupKeepBest(spark, corpusDir)
+    Dedup.dedupClusters(spark, corpusDir)
+      .join(best, "cluster_id")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select("doc_id")
+  }
+
+  /** The curated corpus: exact dups out, near-dup losers out, quality
+    * floor applied. */
+  def curated(minQuality: Double = 0.0): DataFrame = {
+    val docs = Tables.documents(spark, corpusDir)
+    val drop = exactDupIds().unionByName(nearDupIds()).distinct()
+    docs.join(drop, Seq("doc_id"), "left_anti")
+      .join(TextOps.textQuality(spark, corpusDir).select("doc_id", "quality"), "doc_id")
+      .filter(col("quality") >= minQuality)
+  }
+
+  /** Run the pipeline: write the curated corpus (partitioned by lang) and
+    * return the audit counts per stage. Counts are DISJOINT: an exact
+    * duplicate that is (inevitably) also a near-dup loser is charged to
+    * the exact stage only, so the four stage counts sum to `total_docs`.
+    */
+  def run(outDir: String, minQuality: Double = 0.0): Map[String, Long] = {
+    val total = Tables.documents(spark, corpusDir).count()
+    val exactIds = exactDupIds()
+    val exact = exactIds.count()
+    val near = nearDupIds().join(exactIds, Seq("doc_id"), "left_anti").count()
+    val out = curated(minQuality)
+    out.write.mode("overwrite").partitionBy("lang").parquet(outDir)
+    val kept = spark.read.parquet(outDir).count()
+    Map(
+      "total_docs" -> total,
+      "exact_dups_removed" -> exact,
+      "near_dups_removed" -> near,
+      "quality_filtered" -> (total - exact - near - kept),
+      "kept" -> kept)
+  }
+}

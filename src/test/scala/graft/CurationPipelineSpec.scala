@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("end-to-end curation removes exact dups, near-dup losers and low-quality docs") {
+    // corpus: 0/1 exact dups; 2/3 near-dups (3 longer = higher quality);
+    // 4 unique low-quality; 5 unique high-quality
+    val rich = "the quick brown fox jumps over the lazy dog near the misty river bank today"
+    val docs = Seq(
+      (0L, "same words in this exact duplicate document body", "en"),
+      (1L, "same words in this exact duplicate document body", "en"),
+      (2L, rich, "en"),
+      (3L, rich + " again and again it runs through the green field", "en"),
+      (4L, "x9 z7 q2", "en"),
+      (5L, "it is a fine day and the people walk in the old town to see the market", "en"))
+    val dir = SparkTestSession.tempDir("curation")
+    docs.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val pipe = new CurationPipeline(spark, dir)
+    assert(pipe.exactDupIds().as[Long].collect().toSet == Set(1L))
+    // exact dups are inevitably near-dups of each other too (doc 1 may
+    // appear); beyond that, exactly one of the 2/3 pair must lose
+    val near = pipe.nearDupIds().as[Long].collect().toSet - 1L
+    assert(near.subsetOf(Set(2L, 3L)) && near.size == 1,
+      s"exactly one of the near-dup pair must lose, got $near")
+
+    val out = SparkTestSession.tempDir("curated")
+    val audit = pipe.run(out, minQuality = 0.2)
+    assert(audit("total_docs") == 6)
+    assert(audit("exact_dups_removed") == 1)
+    assert(audit("near_dups_removed") == 1)
+    assert(audit("kept") + audit("quality_filtered") == 4)
+    assert(audit("kept") >= 2, "the rich unique docs must survive")
+    val keptIds = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(!keptIds.contains(1L))
+    assert(keptIds.contains(5L))
+    // lang partitioning present on disk
+    assert(new java.io.File(out).list().exists(_.startsWith("lang=")))
+  }
+}
