@@ -72,6 +72,29 @@ object StreamOps {
       }
   }
 
+  // ------------------------------------------- stream-stream range join
+  /** Stream-stream interval join — the streaming twin of the batch
+    * `events_range_join`: each error event joined to the same user's
+    * clicks within ±60 s, as both streams flow. Watermarks on BOTH sides
+    * plus the time-range join condition let Spark bound the join state:
+    * a buffered click can be dropped once the error-side watermark passes
+    * its ts + 60 s (and vice versa), so state is O(watermark window), not
+    * O(stream length).
+    */
+  def rangeJoinStream(errors: DataFrame, clicks: DataFrame,
+                      watermark: String = "2 minutes"): DataFrame = {
+    val e = errors.withWatermark("ts", watermark)
+      .select(col("event_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    e.join(c,
+      expr("""e_user = c_user AND
+              c_ts BETWEEN e_ts - INTERVAL 60 seconds
+                       AND e_ts + INTERVAL 60 seconds"""))
+      .select(col("event_id"), col("e_user").as("user_id"),
+        col("e_ts"), col("c_ts"))
+  }
+
   // ---------------------------------------------- streaming near-dup LSH
   case class NearDupCandidate(a_id: Long, b_id: Long, est_jaccard: Double)
   /** Bucket state in encoder-friendly flat form: `sigs` concatenates the

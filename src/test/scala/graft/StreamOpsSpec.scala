@@ -50,6 +50,32 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream range join pairs errors with clicks within the interval") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val errIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val clkIn = MemoryStream[(Long, java.sql.Timestamp)]
+    val errors = errIn.toDF().toDF("event_id", "user_id", "ts")
+    val clicks = clkIn.toDF().toDF("user_id", "ts")
+    val q = StreamOps.rangeJoinStream(errors, clicks)
+      .writeStream.format("memory").queryName("rangejoin")
+      .outputMode("append").start()
+    try {
+      // clicks arrive FIRST, errors in a later batch — matches must come
+      // from buffered stream state, exercising the stream-stream buffer
+      clkIn.addData((7L, ts(10)), (7L, ts(12)), (8L, ts(10)))
+      q.processAllAvailable()
+      errIn.addData((100L, 7L, ts(11)), (101L, 9L, ts(11)))
+      q.processAllAvailable()
+      val got = spark.table("rangejoin")
+        .select(col("event_id"), date_format(col("c_ts"), "mm").cast("int"))
+        .as[(Long, Int)].collect().toSet
+      // error 100 (user 7, t=11m) matches both user-7 clicks (10m, 12m);
+      // error 101's user 9 has no clicks; user 8's click matches nothing
+      assert(got == Set((100L, 10), (100L, 12)))
+    } finally q.stop()
+  }
+
   test("nearDupStream flags cross-batch near-duplicates from LSH bucket state") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
