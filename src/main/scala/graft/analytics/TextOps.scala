@@ -167,18 +167,26 @@ object TextOps {
   // --------------------------------------------- #47 exact stratum median
   /** Exact per-language median document length (lower median, integer
     * position `(n+1) div 2` — no interpolation, so both engines agree
-    * exactly). The rank window partitions by language; at 100 TB scale an
-    * exact median needs that per-stratum sort by definition — swap in
-    * `percentile_approx` when approximate is acceptable.
+    * exactly). Computed from the LENGTH HISTOGRAM, not a per-doc sort:
+    * the first aggregation collapses to (lang, n_chars) bins map-side,
+    * and the cumulative window runs over distinct length values only — at
+    * 100 TB that is a few thousand rows per stratum instead of sorting
+    * every document.
     */
   def textLengthMedian(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("lang"), col("doc_id"), col("n_chars"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)
-    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-    docs.withColumn("rk", row_number().over(w))
-      .join(counts, "lang")
-      .filter(col("rk") === expr("(n_docs + 1) div 2"))
+    val hist = Tables.documents(spark, dir)
+      .groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n_chars").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_docs", sum(col("c")).over(wTot))
+      // the bin whose cumulative range covers the median position
+      .filter(col("cum") - col("c") < expr("(n_docs + 1) div 2") &&
+        expr("(n_docs + 1) div 2") <= col("cum"))
       .select(col("lang"), col("n_docs"), col("n_chars").as("median_chars"))
       .orderBy("lang")
   }
