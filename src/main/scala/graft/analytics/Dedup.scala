@@ -346,8 +346,13 @@ object Dedup {
     // blowup, not just slowness. Checkpointed RDD blocks are auto-dropped
     // by the ContextCleaner once the superseded round's frame is
     // unreferenced.
-    val edges = pairs
-      .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    // checkpoint the pair list FIRST: it appears on both sides of the
+    // symmetrizing union, and without materialization the whole upstream
+    // pipeline (for dedup_clusters: the MinHash-LSH confirm) would
+    // evaluate twice
+    val p = pairs.localCheckpoint()
+    val edges = p
+      .unionByName(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .localCheckpoint()
     val emptyOut = edges.limit(0)
       .select(col("a_id").as("doc_id"), col("a_id").as("cluster_id"),
