@@ -35,12 +35,14 @@ object SparkEntry {
     "q_rollup"           -> (Relational.rollupAgg(_, _)),
     "q_cube"             -> (Relational.cubeAgg(_, _)),
     "q_promo_share"      -> (Relational.promoShare(_, _)),
+    "q_pivot"            -> (Relational.pivotAgg(_, _)),
     "q_correlated_max"   -> (Relational.correlatedMax(_, _)),
     "q_distinct_agg"     -> (Relational.distinctAgg(_, _)),
     "events_windowed_agg" -> (EventOps.windowedAgg(_, _)),
     "events_sessionize"  -> (EventOps.sessionize(_, _)),
     "events_funnel"      -> (EventOps.funnel(_, _)),
     "events_range_join"  -> (EventOps.rangeJoin(_, _)),
+    "events_retention"   -> (EventOps.retention(_, _)),
     "asof_join"          -> (EventOps.asofJoin(_, _)),
     // §2.3 deduplication
     "dedup_exact"         -> (Dedup.dedupExact(_, _)),
@@ -94,12 +96,14 @@ object SparkEntry {
     "q_rollup"           -> Relational.rollupAggSql,
     "q_cube"             -> Relational.cubeAggSql,
     "q_promo_share"      -> Relational.promoShareSql,
+    "q_pivot"            -> Relational.pivotAggSql,
     "q_correlated_max"   -> Relational.correlatedMaxSql,
     "q_distinct_agg"     -> Relational.distinctAggSql,
     "events_windowed_agg" -> EventOps.windowedAggSql,
     "events_sessionize"  -> EventOps.sessionizeSql,
     "events_funnel"      -> EventOps.funnelSql,
     "events_range_join"  -> EventOps.rangeJoinSql,
+    "events_retention"   -> EventOps.retentionSql,
     "asof_join"          -> EventOps.asofJoinSql,
     "dedup_exact"         -> Dedup.dedupExactSql,
     "dedup_fingerprint"   -> Dedup.dedupFingerprintSql,

@@ -134,6 +134,31 @@ object EventOps {
       |LEFT JOIN s4 ON s1.user_id = s4.user_id
       |ORDER BY s1.user_id""".stripMargin
 
+  /** Weekly cohort retention: users grouped by their first-event week,
+    * counted in each later week they were active (offset 0 = the cohort
+    * week itself). Two aggregations + one user-keyed join — the classic
+    * retention matrix with exact integer week arithmetic.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withSec(Tables.events(spark, dir))
+      .select(col("user_id"), expr("sec div 604800").as("week"))
+      .distinct()
+    val cohorts = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    ev.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val retentionSql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts)//1000000000//604800 AS week FROM events),
+      |cohorts AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1)
+      |SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+      |       count(DISTINCT e.user_id) AS n_users
+      |FROM ev e JOIN cohorts c ON e.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
   /** Bucketized range join: for every error event, the count of the same
     * user's clicks within ±60 s. A naive range join is an inequality join
     * (quadratic explosion); here time is bucketed into 60 s cells, the

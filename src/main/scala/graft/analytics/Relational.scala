@@ -298,6 +298,33 @@ object Relational {
       |GROUP BY CUBE (c_mktsegment, o_orderpriority)
       |ORDER BY mktsegment, priority""".stripMargin
 
+  /** PIVOT: order counts per market segment spread across one column per
+    * priority. The pivot values are pinned (not inferred), so the plan is
+    * a single groupBy with conditional aggregates — no extra distinct-
+    * values job, stable schema at any scale.
+    */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderpriority"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .pivot("o_orderpriority", prios)
+      .count()
+      .na.fill(0L)
+      .orderBy("mktsegment")
+  }
+
+  val pivotAggSql: String =
+    """SELECT c_mktsegment AS mktsegment,
+      |       count(*) FILTER (WHERE o_orderpriority = '1-URGENT')        AS "1-URGENT",
+      |       count(*) FILTER (WHERE o_orderpriority = '2-HIGH')          AS "2-HIGH",
+      |       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')        AS "3-MEDIUM",
+      |       count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+      |       count(*) FILTER (WHERE o_orderpriority = '5-LOW')           AS "5-LOW"
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY 1 ORDER BY mktsegment""".stripMargin
+
   /** Multiple distinct aggregates in one pass. */
   def distinctAgg(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
