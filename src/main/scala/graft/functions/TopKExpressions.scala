@@ -68,9 +68,17 @@ final class TopKHeap(val k: Int) {
     while (i < other.n) { add(other.scores(i), other.ids(i)); i += 1 }
   }
 
-  /** Kept candidates sorted best-first as array<struct<score,id>>. */
+  /** Kept candidates sorted best-first as array<struct<score,id>>.
+    * Ordering uses PRIMITIVE double comparisons (not `Ordering[Double]`'s
+    * IEEE total order) so -0.0 and 0.0 tie and fall back to the id — the
+    * same semantics as the heap's admission test and SQL's
+    * `ORDER BY score DESC, id`. */
   def result(): GenericArrayData = {
-    val idx = (0 until n).sortBy(i => (-scores(i), ids(i)))
+    val idx = (0 until n).sortWith { (i, j) =>
+      if (scores(i) > scores(j)) true
+      else if (scores(i) < scores(j)) false
+      else ids(i) < ids(j)
+    }
     new GenericArrayData(idx.map { i =>
       new GenericInternalRow(Array[Any](scores(i), ids(i)))
     }.toArray[Any])
