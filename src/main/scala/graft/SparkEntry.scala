@@ -19,6 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 clueso-equivalent core
     "mvcc_snapshot"      -> (analytics.CluesoOps.mvccSnapshot(_, _)),
+    "mvcc_diff"          -> (analytics.CluesoOps.mvccDiff(_, _)),
     "metadata_search"    -> (analytics.CluesoOps.metadataSearch(_, _)),
     "search_pagination"  -> (analytics.CluesoOps.searchPagination(_, _)),
     "ingest_parse"       -> (analytics.CluesoOps.ingestParse(_, _)),
@@ -81,6 +82,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "mvcc_snapshot"      -> analytics.CluesoOps.mvccSnapshotSql,
+    "mvcc_diff"          -> analytics.CluesoOps.mvccDiffSql,
     "metadata_search"    -> analytics.CluesoOps.metadataSearchSql,
     "search_pagination"  -> analytics.CluesoOps.searchPaginationSql,
     "ingest_parse"       -> analytics.CluesoOps.ingestParseSql,

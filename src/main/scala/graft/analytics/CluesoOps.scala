@@ -66,6 +66,60 @@ object CluesoOps {
       |WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY object_key""".stripMargin
 
+  /** #52 mvcc_diff: the changelog between two snapshot watermarks — which
+    * visible objects were created / updated / deleted between op-index
+    * mid (= max/2, a deterministic midpoint) and the head. Incremental
+    * consumers (cache invalidation, downstream sync) read this instead of
+    * re-diffing full snapshots. Both snapshots are the aggregation-form
+    * [[LatestState]]; the diff is one full-outer join on the key.
+    */
+  def mvccDiff(spark: SparkSession, dir: String): DataFrame = {
+    val log = opLog(spark, dir)
+    val mid = log.agg((max(col("event_id")) / lit(2)).cast("long").as("mid"))
+    def snap(df: DataFrame): DataFrame =
+      LatestState.snapshot(df, keyCols = Seq("object_key"),
+        versionCol = "event_id", isDelete = col("event_type") === "error")
+        .select(col("object_key"), col("event_id"))
+    val s1 = snap(log.join(broadcast(mid)).filter(col("event_id") <= col("mid")).drop("mid"))
+      .withColumnRenamed("object_key", "k1").withColumnRenamed("event_id", "old_event_id")
+    val s2 = snap(log)
+      .withColumnRenamed("object_key", "k2").withColumnRenamed("event_id", "new_event_id")
+    s1.join(s2, col("k1") === col("k2"), "full_outer")
+      .withColumn("change",
+        when(col("k1").isNull, "created")
+          .when(col("k2").isNull, "deleted")
+          .when(col("old_event_id") =!= col("new_event_id"), "updated"))
+      .filter(col("change").isNotNull)
+      .select(coalesce(col("k1"), col("k2")).as("object_key"),
+        col("change"), col("old_event_id"), col("new_event_id"))
+      .orderBy("object_key")
+  }
+
+  val mvccDiffSql: String =
+    s"""WITH ev AS (
+      |$opLogSql),
+      |m AS (SELECT max(event_id) // 2 AS mid FROM ev),
+      |s1 AS (
+      |  SELECT object_key, event_id FROM (
+      |    SELECT object_key, event_id, event_type,
+      |           row_number() OVER (PARTITION BY object_key ORDER BY event_id DESC) AS rn
+      |    FROM ev WHERE event_id <= (SELECT mid FROM m)) t
+      |  WHERE rn = 1 AND event_type <> 'error'),
+      |s2 AS (
+      |  SELECT object_key, event_id FROM (
+      |    SELECT object_key, event_id, event_type,
+      |           row_number() OVER (PARTITION BY object_key ORDER BY event_id DESC) AS rn
+      |    FROM ev) t
+      |  WHERE rn = 1 AND event_type <> 'error')
+      |SELECT COALESCE(s1.object_key, s2.object_key) AS object_key,
+      |       CASE WHEN s1.object_key IS NULL THEN 'created'
+      |            WHEN s2.object_key IS NULL THEN 'deleted'
+      |            WHEN s1.event_id <> s2.event_id THEN 'updated' END AS change,
+      |       s1.event_id AS old_event_id, s2.event_id AS new_event_id
+      |FROM s1 FULL OUTER JOIN s2 ON s1.object_key = s2.object_key
+      |WHERE s1.object_key IS NULL OR s2.object_key IS NULL OR s1.event_id <> s2.event_id
+      |ORDER BY object_key""".stripMargin
+
   /** #2 metadata_search: snapshot + arbitrary SQL WHERE + ordered page
     * (reference: MetadataQueryExecutor.execute).
     */
