@@ -71,6 +71,7 @@ object SparkEntry {
     "text_fingerprint"    -> (TextOps.textFingerprint(_, _)),
     "text_top_term"       -> (TextOps.textTopTerm(_, _)),
     "text_length_median"  -> (TextOps.textLengthMedian(_, _)),
+    "text_repetition"     -> (TextOps.textRepetition(_, _)),
     // §2.6 multimodal plumbing
     "mm_binary_stats"     -> (Multimodal.mmBinaryStats(_, _)),
     "mm_frame_sample"     -> (Multimodal.mmFrameSample(_, _)),
@@ -130,6 +131,7 @@ object SparkEntry {
     "text_fingerprint"    -> TextOps.textFingerprintSql,
     "text_top_term"       -> TextOps.textTopTermSql,
     "text_length_median"  -> TextOps.textLengthMedianSql,
+    "text_repetition"     -> TextOps.textRepetitionSql,
     "mm_binary_stats"     -> Multimodal.mmBinaryStatsSql,
     "mm_frame_sample"     -> Multimodal.mmFrameSampleSql,
     "mm_resize"           -> Multimodal.mmResizeSql,

@@ -164,6 +164,59 @@ object TextOps {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------ #53 repetition signal
+  /** Within-document repetition signals — the classic quality filters for
+    * generated/boilerplate text: the fraction of duplicate word 3-grams
+    * (1 − distinct/total) and the share of the single most frequent
+    * token. Both are pure integer counts inside one native-kernel
+    * projection + one small agg; ratios round to 6 dp in both engines.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val toks = split(col("text"), " ")
+    // gram stats in their OWN projection: columns carried through an
+    // explode get re-evaluated per generated row, which would run the
+    // 3-gram kernel once per token instead of once per doc
+    val gstats = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(graft.functions.GraftFunctions.ngrams(toks, 3, distinct = false)).as("n_g3"),
+      size(graft.functions.GraftFunctions.ngrams(toks, 3, distinct = true)).as("n_g3_distinct"))
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"), max(col("tf")).as("max_tf"))
+    tf.join(gstats, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_g3") > 0,
+          round(lit(1.0) - col("n_g3_distinct") / col("n_g3"), 6)).otherwise(0.0)
+          .as("dup_g3_frac"),
+        round(col("max_tf") / col("n_tokens"), 6).as("top_token_share"))
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id, len(toks) AS n_tokens,
+      |         greatest(len(toks) - 2, 0) AS n_g3,
+      |         len(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                            for i in range(1, len(toks) - 1)])) AS n_g3_distinct,
+      |         unnest(toks) AS tok
+      |  FROM t),
+      |tf AS (
+      |  SELECT doc_id, n_tokens, n_g3, n_g3_distinct, tok, count(*) AS tf
+      |  FROM g GROUP BY 1, 2, 3, 4, 5),
+      |agg AS (
+      |  SELECT doc_id, n_tokens, n_g3, n_g3_distinct, max(tf) AS max_tf
+      |  FROM tf GROUP BY 1, 2, 3, 4)
+      |SELECT doc_id, n_tokens,
+      |       CASE WHEN n_g3 > 0
+      |            THEN round(1.0 - n_g3_distinct / n_g3, 6) ELSE 0.0 END AS dup_g3_frac,
+      |       round(max_tf / n_tokens, 6) AS top_token_share
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------- #47 exact stratum median
   /** Exact per-language median document length (lower median, integer
     * position `(n+1) div 2` — no interpolation, so both engines agree
