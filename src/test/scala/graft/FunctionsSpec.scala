@@ -141,6 +141,36 @@ class SigExpressionsSpec extends AnyFunSuite {
       windowed.collect().map(key).sortBy(identity).toSeq)
   }
 
+  test("TopKHeap chunked serde + merge equals sort-based top-k (property)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 20) {
+      val k = 1 + rnd.nextInt(8)
+      val n = rnd.nextInt(200)
+      // duplicate scores on purpose so id tie-breaks are exercised
+      val cands = Seq.fill(n)((rnd.nextInt(20) / 10.0, rnd.nextInt(1000).toLong)).distinct
+      val chunks = rnd.shuffle(cands).grouped(math.max(1, n / 4)).toSeq
+      val partials = chunks.map { ch =>
+        val h = new graft.functions.TopKHeap(k)
+        ch.foreach { case (s, id) => h.add(s, id) }
+        // round-trip through the shuffle format
+        graft.functions.TopKHeap.fromBytes(h.toBytes, k)
+      }
+      val merged = partials.foldLeft(new graft.functions.TopKHeap(k)) { (acc, h) =>
+        acc.mergeFrom(h); acc
+      }
+      val got = {
+        val arr = merged.result()
+        (0 until arr.numElements()).map { i =>
+          val r = arr.getStruct(i, 2); (r.getDouble(0), r.getLong(1))
+        }
+      }
+      val want = cands.sortWith { case ((s1, i1), (s2, i2)) =>
+        if (s1 != s2) s1 > s2 else i1 < i2
+      }.take(k)
+      assert(got == want, s"trial $trial k=$k n=$n")
+    }
+  }
+
   test("graft_topk partial aggregation keeps at most k per map task") {
     GraftFunctions.register(spark)
     val scored = (0 until 1000).map(i => (1L, i.toLong, i.toDouble)).toDF("q_id", "n_id", "cosine")
