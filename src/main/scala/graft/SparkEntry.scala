@@ -55,6 +55,7 @@ object SparkEntry {
     "dedup_clusters"      -> (Dedup.dedupClusters(_, _)),
     "dedup_containment"   -> (Dedup.dedupContainment(_, _)),
     "dedup_keep_best"     -> (Dedup.dedupKeepBest(_, _)),
+    "dedup_cluster_sizes" -> (Dedup.dedupClusterSizes(_, _)),
     // §2.4 similarity search
     "knn_brute"           -> (Similarity.knnBrute(_, _)),
     "knn_lsh"             -> (Similarity.knnLsh(_, _)),
@@ -117,6 +118,7 @@ object SparkEntry {
     "dedup_clusters"      -> Dedup.dedupClustersSql,
     "dedup_containment"   -> Dedup.dedupContainmentSql,
     "dedup_keep_best"     -> Dedup.dedupKeepBestSql,
+    "dedup_cluster_sizes" -> Dedup.dedupClusterSizesSql,
     "knn_brute"           -> Similarity.knnBruteSql,
     "knn_lsh"             -> Similarity.knnLshSql,
     "centroid_ivf"        -> Similarity.centroidIvfSql,

@@ -401,6 +401,33 @@ object Dedup {
       |       CAST(u = min(v) AS INT) AS is_keeper
       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------- #54 cluster-size profile
+  /** Duplicate-cluster size distribution: how many clusters of each size
+    * the near-dup graph contains — the dedup run's audit report (a spike
+    * at large sizes means boilerplate/template contamination). One count
+    * aggregation over the component labels.
+    */
+  def dedupClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
+  val dedupClusterSizesSql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+      |edges AS (
+      |  SELECT a_id AS u, b_id AS v FROM confirmed
+      |  UNION ALL SELECT b_id, a_id FROM confirmed),
+      |reach(u, v) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |labels AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+      |sizes AS (SELECT cluster_id, count(*) AS sz FROM labels GROUP BY 1)
+      |SELECT sz AS cluster_size, count(*) AS n_clusters
+      |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin
+
   // ------------------------------------------------ #49 keep-best decision
   /** The dedup DECISION stage: within each duplicate cluster, keep the
     * highest-quality document (ties → smallest doc_id) — clusters alone
