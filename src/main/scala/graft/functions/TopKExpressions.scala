@@ -141,7 +141,13 @@ case class TopKByScore(
     val row = child.eval(input)
     if (row != null) {
       val r = row.asInstanceOf[InternalRow]
-      if (!r.isNullAt(0) && !r.isNullAt(1)) buf.add(r.getDouble(0), r.getLong(1))
+      if (!r.isNullAt(0) && !r.isNullAt(1)) {
+        val s = r.getDouble(0)
+        // NaN never participates in ranking (all NaN comparisons are
+        // false, which would both block admissions and pin NaN entries);
+        // drop it like SQL ordering drops incomparable values
+        if (s == s) buf.add(s, r.getLong(1))
+      }
     }
     buf
   }
