@@ -47,6 +47,7 @@ object SparkEntry {
     "asof_join"          -> (EventOps.asofJoin(_, _)),
     // §2.3 deduplication
     "dedup_exact"         -> (Dedup.dedupExact(_, _)),
+    "dedup_normalized"    -> (Dedup.dedupNormalized(_, _)),
     "dedup_fingerprint"   -> (Dedup.dedupFingerprint(_, _)),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard(_, _)),
     "dedup_minhash_lsh"   -> (Dedup.dedupMinhashLsh(_, _)),
@@ -110,6 +111,7 @@ object SparkEntry {
     "events_retention"   -> EventOps.retentionSql,
     "asof_join"          -> EventOps.asofJoinSql,
     "dedup_exact"         -> Dedup.dedupExactSql,
+    "dedup_normalized"    -> Dedup.dedupNormalizedSql,
     "dedup_fingerprint"   -> Dedup.dedupFingerprintSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_minhash_lsh"   -> Dedup.dedupMinhashLshSql,

@@ -64,6 +64,45 @@ object Dedup {
       |FROM corpus GROUP BY 1 HAVING count(*) > 1
       |ORDER BY content_hash""".stripMargin
 
+  // ------------------------------------------- #55 normalized exact dedup
+  /** Exact dedup AFTER text normalization (lowercase, strip punctuation,
+    * collapse whitespace): catches trivially-reformatted copies that
+    * byte-exact hashing misses without paying for near-dup machinery —
+    * the standard normalize-then-hash stage. Corpus: documents unioned
+    * with a reformatted re-crawl of itself (uppercased, extra whitespace
+    * and punctuation; ids offset by 1e6), so every original pairs with
+    * its reformatted twin.
+    */
+  def dedupNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = docs.unionByName(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(upper(col("text")), lit("  !!")).as("text")))
+    val normalized = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    corpus
+      .groupBy(md5(normalized).as("norm_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("keeper_id"),
+        max(col("doc_id")).as("dup_id"))
+      .filter(col("n_copies") > 1)
+      .orderBy("norm_hash")
+  }
+
+  val dedupNormalizedSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, upper(text) || '  !!' FROM documents),
+      |norm AS (
+      |  SELECT doc_id,
+      |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |                             ' +', ' ', 'g')) AS ntext
+      |  FROM corpus)
+      |SELECT md5(ntext) AS norm_hash, count(*) AS n_copies,
+      |       min(doc_id) AS keeper_id, max(doc_id) AS dup_id
+      |FROM norm GROUP BY 1 HAVING count(*) > 1
+      |ORDER BY norm_hash""".stripMargin
+
   // ------------------------------------------------------ #20 fingerprint
   /** Canonical-token-set fingerprint dedup: docs whose *sorted distinct
     * token sets* coincide are duplicates even when word order differs.
