@@ -17,20 +17,46 @@ object Bench {
       .foreach(t => try Tables.load(spark, sfDir, t).count()
         catch { case _: Throwable => () })
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated query filter for isolating one query's cost
+    // (e.g. SPARK_GRAFT_ONLY=metadata_search,compaction_merge).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.contains(name)) }
+    def consume(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.agg(org.apache.spark.sql.functions.bit_xor(
+        org.apache.spark.sql.functions.xxhash64(
+          df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)))
+        .collect()
+      ()
+    }
+    // Untimed warm-up at the smallest scale factor: the generated-code cache
+    // keys on plan structure, so running each query's exact shape at sf0.001
+    // compiles + JITs every kernel once. Without this, whichever query runs
+    // first absorbs several seconds of codegen that isn't its own cost.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && !sfDir.endsWith("sf0.001")) {
+      selected.foreach { case (_, fn) =>
+        try consume(fn(spark, warmDir)) catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
+      System.gc()
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Force FULL evaluation of every output column: count() alone lets
       // Catalyst prune the projections it doesn't need, which under-times
       // projection-heavy queries. xxhash64 over all columns + bit_xor is a
       // cheap total consumer (and overflow-free, unlike sum under ANSI).
-      try {
-        val df = fn(spark, sfDir)
-        df.agg(org.apache.spark.sql.functions.bit_xor(
-          org.apache.spark.sql.functions.xxhash64(
-            df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)))
-          .collect()
-      } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Between queries (untimed): drop cached tables and let the
+      // ContextCleaner reap localCheckpoint blocks from the finished query.
+      // Without this, storage blocks accumulate across the 50+ queries and
+      // the tail of the run degrades into GC storms (BENCH_r02 recorded
+      // metadata_search at 58s vs 2s in isolation purely from this).
+      spark.catalog.clearCache()
+      System.gc()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -396,9 +396,19 @@ object Dedup {
     val emptyOut = edges.limit(0)
       .select(col("a_id").as("doc_id"), col("a_id").as("cluster_id"),
         lit(1).as("is_keeper"))
-    if (edges.isEmpty) return emptyOut
+    val nEdges = edges.count() // edges is checkpointed — this is one cheap scan
+    if (nEdges == 0) return emptyOut
+    // The iterate shuffles ~|vertices| rows per round; size its parallelism
+    // to the edge list (1 task per ~1M edges) instead of inheriting the
+    // session's shuffle width — a near-dup graph is tiny relative to the
+    // corpus, and 32-way shuffles of a few thousand rows make every round
+    // pay scheduler overhead instead of doing work.
+    val spark = pairs.sparkSession
+    val parts = math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions,
+      (nEdges / 1000000L).toInt + 1))
     var labels = edges.select(col("a_id").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+      .withColumn("lbl", col("id")).repartition(parts, col("id")).localCheckpoint()
     // labels only ever decrease, so the label sum is a strictly-monotone
     // convergence witness — one aggregate per round instead of a
     // join-and-count against the previous state.
@@ -412,6 +422,7 @@ object Dedup {
         .groupBy(edges("a_id").as("nid")).agg(min(col("lbl")).as("nlbl"))
       val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .repartition(parts, col("id"))
         .localCheckpoint()
       prevSum = curSum
       curSum = lblSum(next)
