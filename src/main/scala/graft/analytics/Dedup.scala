@@ -151,7 +151,10 @@ object Dedup {
     val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= ShingleDfCap)
       .select("s")
-    val exC = ex.join(rare, "s").select("doc_id", "s")
+    // materialize the capped posting list once: it feeds the size lookup
+    // and BOTH sides of the self-join, which would otherwise re-run the
+    // explode + df-join three times
+    val exC = ex.join(rare, "s").select("doc_id", "s").localCheckpoint()
     val sizes = exC.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = exC.as("a").join(exC.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -199,7 +202,8 @@ object Dedup {
     val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= ShingleDfCap)
       .select("s")
-    val exC = ex.join(rare, "s").select("doc_id", "s")
+    // materialized once — see the matching note in dedupNgramJaccard
+    val exC = ex.join(rare, "s").select("doc_id", "s").localCheckpoint()
     val sizes = exC.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = exC.as("a").join(exC.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
