@@ -39,12 +39,15 @@ object SparkEntry {
     "q_pivot"            -> (Relational.pivotAgg(_, _)),
     "q_correlated_max"   -> (Relational.correlatedMax(_, _)),
     "q_distinct_agg"     -> (Relational.distinctAgg(_, _)),
+    "q_custdist"         -> (Relational.custDist(_, _)),
+    "q_not_in"           -> (Relational.notInAnti(_, _)),
     "events_windowed_agg" -> (EventOps.windowedAgg(_, _)),
     "events_sessionize"  -> (EventOps.sessionize(_, _)),
     "events_funnel"      -> (EventOps.funnel(_, _)),
     "events_range_join"  -> (EventOps.rangeJoin(_, _)),
     "events_retention"   -> (EventOps.retention(_, _)),
     "asof_join"          -> (EventOps.asofJoin(_, _)),
+    "approx_distinct_kmv" -> (EventOps.approxDistinctKmv(_, _)),
     // §2.3 deduplication
     "dedup_exact"         -> (Dedup.dedupExact(_, _)),
     "dedup_normalized"    -> (Dedup.dedupNormalized(_, _)),
@@ -57,12 +60,14 @@ object SparkEntry {
     "dedup_containment"   -> (Dedup.dedupContainment(_, _)),
     "dedup_keep_best"     -> (Dedup.dedupKeepBest(_, _)),
     "dedup_cluster_sizes" -> (Dedup.dedupClusterSizes(_, _)),
+    "dedup_chunks"        -> (Dedup.dedupChunks(_, _)),
     // §2.4 similarity search
     "knn_brute"           -> (Similarity.knnBrute(_, _)),
     "knn_lsh"             -> (Similarity.knnLsh(_, _)),
     "centroid_ivf"        -> (Similarity.centroidIvf(_, _)),
     "knn_filtered"        -> (Similarity.knnFiltered(_, _)),
     "knn_recall"          -> (Similarity.knnRecall(_, _)),
+    "kmeans_iter"         -> (Similarity.kmeansIter(_, _)),
     // §2.5 text analysis
     "text_tokens"         -> (TextOps.textTokens(_, _)),
     "text_quality"        -> (TextOps.textQuality(_, _)),
@@ -74,6 +79,7 @@ object SparkEntry {
     "text_top_term"       -> (TextOps.textTopTerm(_, _)),
     "text_length_median"  -> (TextOps.textLengthMedian(_, _)),
     "text_repetition"     -> (TextOps.textRepetition(_, _)),
+    "pii_scrub"           -> (TextOps.piiScrub(_, _)),
     // §2.6 multimodal plumbing
     "mm_binary_stats"     -> (Multimodal.mmBinaryStats(_, _)),
     "mm_frame_sample"     -> (Multimodal.mmFrameSample(_, _)),
@@ -104,12 +110,15 @@ object SparkEntry {
     "q_pivot"            -> Relational.pivotAggSql,
     "q_correlated_max"   -> Relational.correlatedMaxSql,
     "q_distinct_agg"     -> Relational.distinctAggSql,
+    "q_custdist"         -> Relational.custDistSql,
+    "q_not_in"           -> Relational.notInAntiSql,
     "events_windowed_agg" -> EventOps.windowedAggSql,
     "events_sessionize"  -> EventOps.sessionizeSql,
     "events_funnel"      -> EventOps.funnelSql,
     "events_range_join"  -> EventOps.rangeJoinSql,
     "events_retention"   -> EventOps.retentionSql,
     "asof_join"          -> EventOps.asofJoinSql,
+    "approx_distinct_kmv" -> EventOps.approxDistinctKmvSql,
     "dedup_exact"         -> Dedup.dedupExactSql,
     "dedup_normalized"    -> Dedup.dedupNormalizedSql,
     "dedup_fingerprint"   -> Dedup.dedupFingerprintSql,
@@ -121,11 +130,13 @@ object SparkEntry {
     "dedup_containment"   -> Dedup.dedupContainmentSql,
     "dedup_keep_best"     -> Dedup.dedupKeepBestSql,
     "dedup_cluster_sizes" -> Dedup.dedupClusterSizesSql,
+    "dedup_chunks"        -> Dedup.dedupChunksSql,
     "knn_brute"           -> Similarity.knnBruteSql,
     "knn_lsh"             -> Similarity.knnLshSql,
     "centroid_ivf"        -> Similarity.centroidIvfSql,
     "knn_filtered"        -> Similarity.knnFilteredSql,
     "knn_recall"          -> Similarity.knnRecallSql,
+    "kmeans_iter"         -> Similarity.kmeansIterSql,
     "text_tokens"         -> TextOps.textTokensSql,
     "text_quality"        -> TextOps.textQualitySql,
     "text_langid"         -> TextOps.textLangidSql,
@@ -136,6 +147,7 @@ object SparkEntry {
     "text_top_term"       -> TextOps.textTopTermSql,
     "text_length_median"  -> TextOps.textLengthMedianSql,
     "text_repetition"     -> TextOps.textRepetitionSql,
+    "pii_scrub"           -> TextOps.piiScrubSql,
     "mm_binary_stats"     -> Multimodal.mmBinaryStatsSql,
     "mm_frame_sample"     -> Multimodal.mmFrameSampleSql,
     "mm_resize"           -> Multimodal.mmResizeSql,

@@ -534,6 +534,65 @@ object Dedup {
       |FROM ranked WHERE rk = 1 ORDER BY cluster_id""".stripMargin
   }
 
+  // ------------------------------------------------- #61 chunk-level dedup
+  /** Tokens per chunk for [[dedupChunks]]. */
+  val ChunkTokens = 32
+
+  /** #61 dedup_chunks: sub-document (chunk-level) exact dedup — split each
+    * doc into fixed 32-token chunks, hash each chunk, report chunks that
+    * appear in more than one document. This is the boilerplate-removal
+    * stage of a training pipeline: whole-doc dedup misses a shared header
+    * pasted into otherwise-distinct pages; chunk hashing finds it.
+    *
+    * Corpus: documents unioned with a simulated boilerplate-wrapped
+    * re-crawl (a fixed 32-token banner prepended, ids offset by 1e6) so
+    * both failure modes appear — the banner chunk lands in every wrapped
+    * doc, and because the banner is exactly one chunk long the original
+    * chunks stay aligned and recur across the pair.
+    *
+    * Scale shape: chunk hashes are computed in one map-side projection
+    * (the md5 shuffles as a 32-char key, never the text), then a single
+    * groupBy — identical posture to [[dedupExact]] at finer grain.
+    */
+  def dedupChunks(spark: SparkSession, dir: String): DataFrame = {
+    val banner = (0 until ChunkTokens).map(i => s"boil$i").mkString(" ")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = docs.unionByName(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit(banner + " "), col("text")).as("text")))
+    val toks = split(col("text"), " ")
+    val nChunks = (size(toks) / ChunkTokens).cast("int")
+    val chunkHashes = when(nChunks > 0,
+      transform(sequence(lit(0), nChunks - 1), i =>
+        md5(concat_ws(" ", slice(toks, i * ChunkTokens + 1, lit(ChunkTokens))))))
+      .otherwise(array().cast("array<string>"))
+    corpus
+      .select(col("doc_id"), explode(chunkHashes).as("chunk_hash"))
+      .groupBy("chunk_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("chunk_hash")
+  }
+
+  val dedupChunksSql: String = {
+    val banner = (0 until ChunkTokens).map(i => s"boil$i").mkString(" ")
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, '$banner ' || text FROM documents),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+      |chunks AS (
+      |  SELECT doc_id,
+      |         unnest([md5(array_to_string(t[i*$ChunkTokens+1 : i*$ChunkTokens+$ChunkTokens], ' '))
+      |                 for i in range(len(t) // $ChunkTokens)]) AS chunk_hash
+      |  FROM toks)
+      |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
+      |       count(*) AS n_occurrences, min(doc_id) AS first_doc
+      |FROM chunks GROUP BY chunk_hash HAVING count(DISTINCT doc_id) > 1
+      |ORDER BY chunk_hash""".stripMargin
+  }
+
   // ----------------------------------------------- #24 embedding near-dup
   /** Embedding-cosine near-dup pairs, LSH-bucketed: 8 deterministic ±1
     * hyperplanes → 256 sign buckets; only same-bucket pairs are compared

@@ -224,4 +224,65 @@ object EventOps {
       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_click_id
       |  FROM events) t
       |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
+  /** k for the KMV sketch: estimate uses the k-th smallest distinct hash. */
+  val KmvK = 32
+
+  /** #59 approx_distinct_kmv: KMV (k-minimum-values) distinct-count sketch
+    * per event type, reported next to the exact count it approximates.
+    *
+    * A KMV sketch keeps the k smallest values of a uniform hash of the
+    * items; `(k-1) * M / h_k` (hash range M) estimates the distinct count
+    * in O(k) space — the mergeable-sketch way to count distincts at 100 TB
+    * where an exact `count(distinct)` shuffles every key. The sketch here
+    * is built with the portable polynomial hash, so Spark and the DuckDB
+    * oracle compute bit-identical h_k and the estimate is hash-gated, not
+    * rows-only (the usual sketch-testing problem).
+    *
+    * Scale shape: the per-group distinct runs map-side partial dedup
+    * before its shuffle; the rank window then sees |distinct hashes| rows
+    * only. Groups with fewer than k distinct values report NULL (the
+    * sketch is undersized for them, exact count is already cheap there).
+    */
+  def approxDistinctKmv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("user_id"))
+    // polyHash of a short string occupies only the low end of [0, P) —
+    // useless for order statistics; the cubic mixer equidistributes it
+    // across the full range (and stays bit-identical in the oracle).
+    val dh = ev.distinct()
+      .select(col("event_type"),
+        Portable.mixCube(
+          Portable.polyHash(concat(lit("u"), col("user_id").cast("string")))).as("h"))
+      .distinct() // two user_ids may collide on h: KMV is over distinct hash values
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val kth = dh.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === KmvK)
+      .select(col("event_type"), col("h").as("hk"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    exact.join(kth, Seq("event_type"), "left")
+      .select(col("event_type"), col("exact_distinct"),
+        round(lit((KmvK - 1).toDouble) * lit(Portable.P.toDouble) / col("hk"), 4)
+          .as("kmv_estimate"))
+      .orderBy("event_type")
+  }
+
+  val approxDistinctKmvSql: String = {
+    import graft.functions.Portable
+    s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+      |ph AS (SELECT event_type,
+      |         ${Portable.polyHashSql("'u' || CAST(user_id AS VARCHAR)")} AS h0
+      |       FROM du),
+      |dh AS (SELECT DISTINCT event_type, ${Portable.mixCubeSql("h0")} AS h FROM ph),
+      |r AS (SELECT event_type, h,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM dh),
+      |kth AS (SELECT event_type, h AS hk FROM r WHERE rn = $KmvK),
+      |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+      |       FROM events GROUP BY 1)
+      |SELECT ex.event_type AS event_type, exact_distinct,
+      |       round(${KmvK - 1}.0 * ${Portable.P} / hk, 4) AS kmv_estimate
+      |FROM ex LEFT JOIN kth ON ex.event_type = kth.event_type
+      |ORDER BY ex.event_type""".stripMargin
+  }
 }

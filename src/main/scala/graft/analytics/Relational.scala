@@ -342,4 +342,59 @@ object Relational {
       |       count(DISTINCT l_suppkey) AS n_supps,
       |       count(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** #56 q_custdist (TPC-H Q13 shape): orders-per-customer distribution.
+    * The outer join keeps zero-order customers (count 0 must appear in the
+    * histogram), and the priority predicate lives in the join (filtering
+    * `orders` before the join is equivalent and lets the filter push to
+    * the scan). Two shuffles: the custkey one dominates at scale and
+    * partial-aggregates map-side; the second groups a |distinct counts|-
+    * sized frame.
+    */
+  def custDist(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val custDistSql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** #57 q_not_in: NOT IN subquery on the SQL surface — Spark plans this
+    * as a null-aware anti join (a distinct physical operator from the
+    * plain LeftAnti of `q_anti_join`; with a broadcastable subquery it
+    * becomes a single-key BroadcastHashJoin with isNullAware=true).
+    * `l_partkey` is non-null in the data, but the operator carries the
+    * three-valued NOT IN semantics regardless.
+    */
+  def notInAnti(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("part_v")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT p_brand, count(*) AS n_unmoved
+        |FROM part_v
+        |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem_v WHERE l_quantity > 45)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+  }
+
+  val notInAntiSql: String =
+    """SELECT p_brand, count(*) AS n_unmoved
+      |FROM part
+      |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
 }

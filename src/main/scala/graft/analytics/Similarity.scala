@@ -298,4 +298,67 @@ object Similarity {
       |SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
   }
+
+  /** Number of centroids for [[kmeansIter]] (seeded from vec_id 0..7). */
+  private val KmeansK = 8
+
+  /** #58 kmeans_iter: one Lloyd iteration of k-means over the embedding
+    * corpus — the building block of IVF index training and embedding-space
+    * clustering for corpus curation. Assign every vector to its nearest
+    * centroid (squared L2), then recompute the centroid means.
+    *
+    * Vectors are quantized to integer milli-units (`round(x*1000)`) so the
+    * assignment distances and the per-dimension sums are EXACT 64-bit
+    * integer math — bit-identical in Spark and DuckDB (a float k-means
+    * would diverge between engines on accumulation order). Quantized
+    * Lloyd is itself a standard trick (product-quantization training does
+    * coarser). Shape at scale: centroids broadcast (k rows), assignment is
+    * one map-side pass + argmin via a struct-min aggregate (no window over
+    * the corpus), recompute is one groupBy(k groups) with map-side partial
+    * sums.
+    */
+  def kmeansIter(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), e => round(e.cast("double") * 1000).cast("long")).as("qv"))
+    val cents = base.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("cid"), col("qv").as("cq"))
+    val d2 = aggregate(
+      zip_with(col("qv"), col("cq"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    // argmin(cid by d2): min over (d2, cid) structs orders lexicographically,
+    // giving deterministic tie-breaks on the smaller centroid id
+    val assigned = base.crossJoin(broadcast(cents))
+      .select(col("vec_id"), d2.as("d2"), col("cid"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cluster_id"))
+    val dims = (0 until 4).map(d =>
+      (sum(element_at(col("qv"), d + 1)) / count(lit(1))).as(s"c$d"))
+    assigned.join(base, "vec_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"), dims: _*)
+      .orderBy("cluster_id")
+  }
+
+  val kmeansIterSql: String = {
+    val d2 = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(range(64), k -> (q.qv[k+1] - c.cq[k+1]) * (q.qv[k+1] - c.cq[k+1]))), " +
+      "(acc, x) -> acc + x)"
+    s"""WITH q AS (
+      |  SELECT vec_id,
+      |         [CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT) FOR e IN embedding] AS qv
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id < $KmeansK),
+      |d AS (SELECT q.vec_id, q.qv, c.cid, $d2 AS d2 FROM q CROSS JOIN cents c),
+      |a AS (SELECT vec_id, qv, cid,
+      |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |      FROM d)
+      |SELECT cid AS cluster_id, count(*) AS n_members,
+      |       CAST(sum(qv[1]) AS BIGINT) / count(*) AS c0,
+      |       CAST(sum(qv[2]) AS BIGINT) / count(*) AS c1,
+      |       CAST(sum(qv[3]) AS BIGINT) / count(*) AS c2,
+      |       CAST(sum(qv[4]) AS BIGINT) / count(*) AS c3
+      |FROM a WHERE rn = 1
+      |GROUP BY cid ORDER BY cluster_id""".stripMargin
+  }
 }

@@ -395,4 +395,46 @@ object TextOps {
       |SELECT gram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
       |FROM grams GROUP BY gram
       |ORDER BY n DESC, gram LIMIT 100""".stripMargin
+
+  /** Patterns shared between the Spark query and the DuckDB oracle — both
+    * dialects (java.util.regex / RE2) read these identically. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** #60 pii_scrub: PII redaction pass — count and replace email addresses
+    * and phone numbers before a corpus ships to training. The corpus is
+    * the documents table with one deterministic synthetic email + phone
+    * appended per doc (the raw synthetic text contains no PII, and the
+    * injection makes the scrub verifiable end-to-end: the oracle gates the
+    * match counts AND the md5 of the scrubbed text). Single codegen'd
+    * projection, no shuffle until the final order.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val injected = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), injected.as("text"))
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("int").as("n_emails"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("int").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("scrub_hash"))
+      .orderBy("doc_id")
+  }
+
+  val piiScrubSql: String =
+    s"""WITH corpus AS (
+      |  SELECT doc_id,
+      |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |              || '@mail.example.com or +1-555-'
+      |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
+      |       CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT) AS n_phones,
+      |       md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+      |                          '$PhoneRe', '<PHONE>', 'g')) AS scrub_hash
+      |FROM corpus ORDER BY doc_id""".stripMargin
 }

@@ -50,6 +50,17 @@ object Portable {
   def hashJSql(h: String, j: String): String =
     s"(((($j + 1) * 1000003) % $P) * ($h) + (($j * 999983 + 12345) % $P)) % $P"
 
+  // ------------------------------------------------------------- cubic mixer
+  /** Nonlinear diffusion of an already-hashed value: `h^3 mod P`. Cubing is
+    * a PERMUTATION of Z_P (gcd(3, P-1) = 1) that destroys the linear/lattice
+    * structure affine maps preserve — polynomial hashes of short strings
+    * occupy only the low end of [0, P), which ruins order-statistics uses
+    * (KMV sketches); their cubes equidistribute. Both factors stay within
+    * Long range ((P-1)^2 < 2^63). */
+  def mixCube(h: Column): Column = h * h % P * h % P
+
+  def mixCubeSql(h: String): String = s"((($h) * ($h) % $P) * ($h)) % $P"
+
   // ---------------------------------------------------------------- shingles
   /** Distinct word-`n`-gram shingles of a token array (empty when the doc
     * is shorter than `n` tokens). */

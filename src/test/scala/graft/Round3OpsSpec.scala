@@ -1,0 +1,75 @@
+package graft
+
+import graft.analytics.{Dedup, EventOps, Relational, Similarity, TextOps}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural + semantic checks for the round-3 operators. Value-level
+  * correctness is gated by the DuckDB crosscheck; these specs assert the
+  * properties the oracle can't see (plan shapes, invariants).
+  */
+class Round3OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_custdist histogram accounts for every customer") {
+    val df = Relational.custDist(spark, sf)
+    val total = df.selectExpr("sum(custdist)").first().getLong(0)
+    val nCust = Tables.customer(spark, sf).count()
+    assert(total == nCust)
+  }
+
+  test("q_not_in plans a null-aware anti join") {
+    val plan = Relational.notInAnti(spark, sf)
+      .queryExecution.executedPlan.toString
+    // BroadcastHashJoinExec renders the isNullAwareAntiJoin flag as a
+    // trailing `true` after the build side
+    assert(plan.matches("(?s).*LeftAnti, Build\\w+, true.*"), plan)
+  }
+
+  test("kmeans_iter assigns every vector to exactly one of the seed centroids") {
+    val df = Similarity.kmeansIter(spark, sf)
+    val rows = df.collect()
+    assert(rows.length <= 8 && rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == Tables.embeddings(spark, sf).count())
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 8))
+  }
+
+  test("approx_distinct_kmv estimate tracks the exact count") {
+    val rows = EventOps.approxDistinctKmv(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(1)
+      if (!r.isNullAt(2)) {
+        val est = r.getDouble(2)
+        // KMV with k=32 has ~18% relative standard error; 2.5x is a loose
+        // sanity band that still catches a broken estimator (off by 10x)
+        assert(est > exact / 2.5 && est < exact * 2.5,
+          s"${r.getString(0)}: est $est vs exact $exact")
+      }
+    }
+  }
+
+  test("pii_scrub finds exactly the injected PII and removes it") {
+    val rows = TextOps.piiScrub(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(1) == 1 && r.getInt(2) == 1))
+    // scrubbed text must not retain an email (hash differs from unscrubbed)
+    import org.apache.spark.sql.functions._
+    val unscrubbed = Tables.documents(spark, sf)
+      .select(md5(concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))).as("h"))
+      .collect().map(_.getString(0)).toSet
+    assert(rows.forall(r => !unscrubbed.contains(r.getString(3))))
+  }
+
+  test("dedup_chunks finds the shared banner chunk across all wrapped docs") {
+    val df = Dedup.dedupChunks(spark, sf)
+    val nDocs = Tables.documents(spark, sf).count()
+    val maxShared = df.selectExpr("max(n_docs)").first().getLong(0)
+    // the banner chunk occurs in every wrapped doc (one per original)
+    assert(maxShared == nDocs)
+    // and every original full chunk recurs in its wrapped twin
+    assert(df.count() > nDocs)
+  }
+}
