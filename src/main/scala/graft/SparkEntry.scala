@@ -68,6 +68,7 @@ object SparkEntry {
     "knn_filtered"        -> (Similarity.knnFiltered(_, _)),
     "knn_recall"          -> (Similarity.knnRecall(_, _)),
     "kmeans_iter"         -> (Similarity.kmeansIter(_, _)),
+    "knn_hard_negatives"  -> (Similarity.knnHardNegatives(_, _)),
     // §2.5 text analysis
     "text_tokens"         -> (TextOps.textTokens(_, _)),
     "text_quality"        -> (TextOps.textQuality(_, _)),
@@ -80,6 +81,7 @@ object SparkEntry {
     "text_length_median"  -> (TextOps.textLengthMedian(_, _)),
     "text_repetition"     -> (TextOps.textRepetition(_, _)),
     "pii_scrub"           -> (TextOps.piiScrub(_, _)),
+    "text_decontaminate"  -> (TextOps.textDecontaminate(_, _)),
     // §2.6 multimodal plumbing
     "mm_binary_stats"     -> (Multimodal.mmBinaryStats(_, _)),
     "mm_frame_sample"     -> (Multimodal.mmFrameSample(_, _)),
@@ -137,6 +139,7 @@ object SparkEntry {
     "knn_filtered"        -> Similarity.knnFilteredSql,
     "knn_recall"          -> Similarity.knnRecallSql,
     "kmeans_iter"         -> Similarity.kmeansIterSql,
+    "knn_hard_negatives"  -> Similarity.knnHardNegativesSql,
     "text_tokens"         -> TextOps.textTokensSql,
     "text_quality"        -> TextOps.textQualitySql,
     "text_langid"         -> TextOps.textLangidSql,
@@ -148,6 +151,7 @@ object SparkEntry {
     "text_length_median"  -> TextOps.textLengthMedianSql,
     "text_repetition"     -> TextOps.textRepetitionSql,
     "pii_scrub"           -> TextOps.piiScrubSql,
+    "text_decontaminate"  -> TextOps.textDecontaminateSql,
     "mm_binary_stats"     -> Multimodal.mmBinaryStatsSql,
     "mm_frame_sample"     -> Multimodal.mmFrameSampleSql,
     "mm_resize"           -> Multimodal.mmResizeSql,

@@ -299,6 +299,40 @@ object Similarity {
       |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** #63 knn_hard_negatives: hard-negative mining for contrastive /
+    * retrieval training — for each query vector, the top-k most similar
+    * vectors with a DIFFERENT label (similar-looking but wrong answers
+    * are the negatives that actually teach a retriever). Identical scan
+    * shape to [[knnBrute]] (broadcast queries, map-side dot products,
+    * bounded-heap top-k); the label-mismatch predicate is applied in the
+    * join, before anything shuffles.
+    */
+  def knnHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val base = normed(spark, dir)
+    val queries = base.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("ed"), col("nrm"))
+    val scored = base.as("c")
+      .join(broadcast(queries.as("q")), col("q.q_label") =!= col("c.label"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
+        round(cosAB, 6).as("cosine"))
+    topK(scored, K)
+  }
+
+  val knnHardNegativesSql: String =
+    s"""WITH $normedSql,
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |         round($cosABSql, 6) AS cosine
+      |  FROM normed q JOIN normed c
+      |    ON q.vec_id < $NQueries AND q.label <> c.label),
+      |ranked AS (
+      |  SELECT q_id, n_id, cosine,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= $K
+      |ORDER BY q_id, rank""".stripMargin
+
   /** Number of centroids for [[kmeansIter]] (seeded from vec_id 0..7). */
   private val KmeansK = 8
 

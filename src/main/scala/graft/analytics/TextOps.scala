@@ -396,6 +396,43 @@ object TextOps {
       |FROM grams GROUP BY gram
       |ORDER BY n DESC, gram LIMIT 100""".stripMargin
 
+  /** #62 text_decontaminate: eval-set contamination check — flag training
+    * documents that share any word-3-gram with a held-out "benchmark" set
+    * (the decontamination step every LLM data pipeline runs before
+    * training; production systems use 8-13-grams, the synthetic docs are
+    * short so 3-grams keep the check exercised). The benchmark set here is
+    * the deterministic slice `doc_id % 97 == 0`.
+    *
+    * Scale shape: the benchmark set is tiny by construction, so its
+    * shingle set BROADCASTs and the overlap test is a broadcast semi-ish
+    * join against the exploded training shingles — the corpus shuffles
+    * nothing, and the aggregation back to doc level is map-side partial.
+    */
+  def textDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    def grams(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(graft.functions.GraftFunctions
+        .ngrams(split(col("text"), " "), 3, distinct = true)).as("g"))
+    val bench = grams(docs.filter(col("doc_id") % 97 === 0))
+      .select(col("g")).distinct()
+    grams(docs.filter(col("doc_id") % 97 =!= 0))
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+      .orderBy("doc_id")
+  }
+
+  val textDecontaminateSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |shingled AS (SELECT doc_id, ${graft.functions.Portable.shingles3Sql("t")} AS sh FROM toks),
+      |grams AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
+      |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+      |SELECT doc_id, count(*) AS n_contaminated_grams
+      |FROM grams JOIN bench USING (g)
+      |WHERE doc_id % 97 <> 0
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Patterns shared between the Spark query and the DuckDB oracle — both
     * dialects (java.util.regex / RE2) read these identically. */
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -63,6 +63,28 @@ class Round3OpsSpec extends AnyFunSuite {
     assert(rows.forall(r => !unscrubbed.contains(r.getString(3))))
   }
 
+  test("knn_hard_negatives never returns a same-label neighbor") {
+    val df = Similarity.knnHardNegatives(spark, sf)
+    val labels = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(labels(r.getLong(0)) != labels(r.getLong(2)),
+        s"query ${r.getLong(0)} got same-label negative ${r.getLong(2)}")
+    }
+  }
+
+  test("text_decontaminate flags no benchmark doc and only true overlaps") {
+    val df = TextOps.textDecontaminate(spark, sf)
+    val rows = df.collect()
+    // benchmark slice itself must never appear in the flagged output
+    assert(rows.forall(_.getLong(0) % 97 != 0))
+    // every flagged doc reports at least one contaminated shingle
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+
   test("dedup_chunks finds the shared banner chunk across all wrapped docs") {
     val df = Dedup.dedupChunks(spark, sf)
     val nDocs = Tables.documents(spark, sf).count()
