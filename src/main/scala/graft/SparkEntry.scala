@@ -41,6 +41,7 @@ object SparkEntry {
     "q_distinct_agg"     -> (Relational.distinctAgg(_, _)),
     "q_custdist"         -> (Relational.custDist(_, _)),
     "q_not_in"           -> (Relational.notInAnti(_, _)),
+    "q_wealthy_inactive" -> (Relational.wealthyInactive(_, _)),
     "events_windowed_agg" -> (EventOps.windowedAgg(_, _)),
     "events_sessionize"  -> (EventOps.sessionize(_, _)),
     "events_funnel"      -> (EventOps.funnel(_, _)),
@@ -48,6 +49,7 @@ object SparkEntry {
     "events_retention"   -> (EventOps.retention(_, _)),
     "asof_join"          -> (EventOps.asofJoin(_, _)),
     "approx_distinct_kmv" -> (EventOps.approxDistinctKmv(_, _)),
+    "events_moving_avg"  -> (EventOps.movingAvg(_, _)),
     // §2.3 deduplication
     "dedup_exact"         -> (Dedup.dedupExact(_, _)),
     "dedup_normalized"    -> (Dedup.dedupNormalized(_, _)),
@@ -61,6 +63,7 @@ object SparkEntry {
     "dedup_keep_best"     -> (Dedup.dedupKeepBest(_, _)),
     "dedup_cluster_sizes" -> (Dedup.dedupClusterSizes(_, _)),
     "dedup_chunks"        -> (Dedup.dedupChunks(_, _)),
+    "corpus_overlap"      -> (Dedup.corpusOverlap(_, _)),
     // §2.4 similarity search
     "knn_brute"           -> (Similarity.knnBrute(_, _)),
     "knn_lsh"             -> (Similarity.knnLsh(_, _)),
@@ -82,6 +85,7 @@ object SparkEntry {
     "text_repetition"     -> (TextOps.textRepetition(_, _)),
     "pii_scrub"           -> (TextOps.piiScrub(_, _)),
     "text_decontaminate"  -> (TextOps.textDecontaminate(_, _)),
+    "seq_pack"            -> (TextOps.seqPack(_, _)),
     // §2.6 multimodal plumbing
     "mm_binary_stats"     -> (Multimodal.mmBinaryStats(_, _)),
     "mm_frame_sample"     -> (Multimodal.mmFrameSample(_, _)),
@@ -114,6 +118,7 @@ object SparkEntry {
     "q_distinct_agg"     -> Relational.distinctAggSql,
     "q_custdist"         -> Relational.custDistSql,
     "q_not_in"           -> Relational.notInAntiSql,
+    "q_wealthy_inactive" -> Relational.wealthyInactiveSql,
     "events_windowed_agg" -> EventOps.windowedAggSql,
     "events_sessionize"  -> EventOps.sessionizeSql,
     "events_funnel"      -> EventOps.funnelSql,
@@ -121,6 +126,7 @@ object SparkEntry {
     "events_retention"   -> EventOps.retentionSql,
     "asof_join"          -> EventOps.asofJoinSql,
     "approx_distinct_kmv" -> EventOps.approxDistinctKmvSql,
+    "events_moving_avg"  -> EventOps.movingAvgSql,
     "dedup_exact"         -> Dedup.dedupExactSql,
     "dedup_normalized"    -> Dedup.dedupNormalizedSql,
     "dedup_fingerprint"   -> Dedup.dedupFingerprintSql,
@@ -133,6 +139,7 @@ object SparkEntry {
     "dedup_keep_best"     -> Dedup.dedupKeepBestSql,
     "dedup_cluster_sizes" -> Dedup.dedupClusterSizesSql,
     "dedup_chunks"        -> Dedup.dedupChunksSql,
+    "corpus_overlap"      -> Dedup.corpusOverlapSql,
     "knn_brute"           -> Similarity.knnBruteSql,
     "knn_lsh"             -> Similarity.knnLshSql,
     "centroid_ivf"        -> Similarity.centroidIvfSql,
@@ -152,6 +159,7 @@ object SparkEntry {
     "text_repetition"     -> TextOps.textRepetitionSql,
     "pii_scrub"           -> TextOps.piiScrubSql,
     "text_decontaminate"  -> TextOps.textDecontaminateSql,
+    "seq_pack"            -> TextOps.seqPackSql,
     "mm_binary_stats"     -> Multimodal.mmBinaryStatsSql,
     "mm_frame_sample"     -> Multimodal.mmFrameSampleSql,
     "mm_resize"           -> Multimodal.mmResizeSql,

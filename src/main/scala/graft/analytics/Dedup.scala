@@ -125,6 +125,40 @@ object Dedup {
       |FROM documents GROUP BY 1 HAVING count(*) > 1
       |ORDER BY fingerprint""".stripMargin
 
+  // ------------------------------------------------- #65 corpus overlap
+  /** Cross-source overlap audit: for every pair of sources, how many
+    * canonical-token-set fingerprints they share — the "which crawls
+    * duplicate each other" matrix run before deciding what to keep from a
+    * new data source.
+    *
+    * Scale shape: fingerprints are distinct-ed per source first (so each
+    * posting list is bounded by the number of *sources* sharing the
+    * fingerprint, not copies), then the self-join is an equality join on
+    * the 16-byte hash and the pair counts aggregate map-side.
+    */
+  def corpusOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(spark, dir)
+      .select(col("source"),
+        md5(concat_ws(" ", sort_array(array_distinct(split(col("text"), " ")))))
+          .as("fp"))
+      .distinct()
+    fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val corpusOverlapSql: String =
+    """WITH fp AS (
+      |  SELECT DISTINCT source,
+      |         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      |  FROM documents)
+      |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+      |GROUP BY 1, 2
+      |ORDER BY src_a, src_b""".stripMargin
+
   // ---------------------------------------------------- #21 n-gram jaccard
   /** Shingles with document frequency above this cap are treated as corpus
     * boilerplate and dropped before the inverted-index self-join. Without

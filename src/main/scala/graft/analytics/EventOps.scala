@@ -285,4 +285,40 @@ object EventOps {
       |FROM ex LEFT JOIN kth ON ex.event_type = kth.event_type
       |ORDER BY ex.event_type""".stripMargin
   }
+
+  // ------------------------------------------- #66 moving average window
+  /** Per-user trailing 5-minute moving average of event value — the
+    * RANGE-frame (time-based, not row-based) window surface: every event
+    * sees the average over all its user's events within the preceding
+    * 300 s, peers at the same second included.
+    *
+    * Determinism: values accumulate as exact integer cents inside the
+    * frame; the single double division happens once per row at the end.
+    * Scale shape: one shuffle on `user_id`, then a per-partition ordered
+    * scan — the frame is bounded by time so state never exceeds the
+    * window's event count.
+    */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-300, 0)
+    withSec(Tables.events(spark, dir))
+      .select(col("event_id"), col("user_id"), col("sec"),
+        cents(col("value")).as("c"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("avg_value", sum("c").over(w) / (lit(100.0) * col("n_win")))
+      .drop("c")
+      .orderBy("event_id")
+  }
+
+  val movingAvgSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_ns(ts)//1000000000 AS sec,
+      |         CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events)
+      |SELECT event_id, user_id, sec,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_win,
+      |       CAST(sum(c) OVER w AS BIGINT) / (100.0 * count(*) OVER w) AS avg_value
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+      |             RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
 }

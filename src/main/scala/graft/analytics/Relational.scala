@@ -397,4 +397,47 @@ object Relational {
       |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
+
+  // ------------------------------------ #67 global-threshold anti (Q22)
+  /** TPC-H Q22 shape: customers whose balance beats the global average of
+    * positive balances but who placed no URGENT order, aggregated per
+    * nation — a global scalar aggregate feeding a filter, composed with
+    * an anti join over a filtered subquery.
+    *
+    * Scale shape: the scalar threshold is a one-row aggregate that
+    * BROADCASTs into the filter (no driver-side collect), the anti join
+    * builds on `orders`' distinct custkeys, and the final aggregation is
+    * a handful of nations — map-side partial all the way.
+    */
+  def wealthyInactive(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        cents(col("c_acctbal")).as("bal_cents"))
+    val thr = cust.filter(col("bal_cents") > 0)
+      .agg(avg(col("bal_cents")).as("thr"))
+    cust.join(broadcast(thr))
+      .filter(col("bal_cents") > col("thr"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("bal_cents")).as("total_bal_cents"))
+      .orderBy("c_nationkey")
+  }
+
+  val wealthyInactiveSql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_nationkey,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      |  FROM customer),
+      |thr AS (SELECT avg(bal_cents) AS thr FROM cust WHERE bal_cents > 0)
+      |SELECT c_nationkey, count(*) AS n_cust,
+      |       CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+      |FROM cust, thr
+      |WHERE bal_cents > thr
+      |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
 }

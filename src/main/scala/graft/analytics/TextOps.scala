@@ -433,6 +433,52 @@ object TextOps {
       |WHERE doc_id % 97 <> 0
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Tokens per packed training sequence for [[seqPack]]. */
+  private val SeqLen = 256
+
+  /** #64 seq_pack: GPT-style sequence packing — the step that turns a
+    * curated corpus into fixed-length training sequences. Documents are
+    * concatenated in deterministic order within each language stream and
+    * every doc is assigned the range of [[SeqLen]]-token sequences it
+    * lands in (docs may span a boundary, exactly like real token-stream
+    * packing).
+    *
+    * Scale shape: the only stateful step is a prefix-sum window
+    * PARTITIONED BY the stream key (`lang`) — each stream packs
+    * independently and in parallel, which is precisely how a 100 TB
+    * packing job shards (per language / per shard file, never one global
+    * order). Everything else is a codegen'd projection.
+    */
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("first_seq", expr(s"start_tok div $SeqLen"))
+      .withColumn("last_seq", expr(s"(start_tok + n_tokens - 1) div $SeqLen"))
+      .orderBy("doc_id")
+  }
+
+  val seqPackSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |         CAST(coalesce(sum(n_tokens) OVER (
+      |           PARTITION BY lang ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |           AS start_tok
+      |  FROM d)
+      |SELECT doc_id, lang, n_tokens, start_tok,
+      |       start_tok // $SeqLen AS first_seq,
+      |       (start_tok + n_tokens - 1) // $SeqLen AS last_seq
+      |FROM p ORDER BY doc_id""".stripMargin
+
   /** Patterns shared between the Spark query and the DuckDB oracle — both
     * dialects (java.util.regex / RE2) read these identically. */
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

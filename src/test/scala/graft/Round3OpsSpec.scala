@@ -85,6 +85,50 @@ class Round3OpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) > 0))
   }
 
+  test("seq_pack streams are gapless within each language") {
+    val rows = TextOps.seqPack(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (lang, docs) =>
+      val sorted = docs.sortBy(_._3)
+      assert(sorted.head._3 == 0L, s"$lang stream must start at token 0")
+      sorted.sliding(2).foreach {
+        case Array((_, n, start), (_, _, nextStart)) =>
+          assert(nextStart == start + n,
+            s"$lang stream has a gap: $start+$n != $nextStart")
+        case _ =>
+      }
+    }
+  }
+
+  test("corpus_overlap emits each source pair once, ordered") {
+    val rows = Dedup.corpusOverlap(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getLong(2) > 0)
+    }
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length
+      == rows.length)
+  }
+
+  test("events_moving_avg stays within the user's value envelope") {
+    val df = EventOps.movingAvg(spark, sf)
+    import org.apache.spark.sql.functions._
+    val bad = df.join(
+        Tables.events(spark, sf).groupBy("user_id")
+          .agg(min("value").as("lo"), max("value").as("hi")),
+        "user_id")
+      .filter(col("avg_value") < col("lo") - 0.01 ||
+        col("avg_value") > col("hi") + 0.01)
+    assert(bad.count() == 0)
+  }
+
+  test("q_wealthy_inactive returns rows and no kept customer has an urgent order") {
+    val rows = Relational.wealthyInactive(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+
   test("dedup_chunks finds the shared banner chunk across all wrapped docs") {
     val df = Dedup.dedupChunks(spark, sf)
     val nDocs = Tables.documents(spark, sf).count()
