@@ -398,6 +398,46 @@ object Relational {
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
 
+  // ----------------------------------------- #69 GROUPING SETS surface
+  /** Explicit GROUPING SETS — the general form ROLLUP/CUBE specialize:
+    * (status, priority), (status), and the grand total in ONE pass.
+    * Spark expands the sets with a single Expand node over one scan
+    * (grouping-set aggregation never re-reads the fact table), and the
+    * aggregation stays map-side partial per set. `grouping_id` + sentinel
+    * labels keep the three strata disambiguated and hash-stable.
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("price_c"))
+      .createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, '<all>')   AS status,
+        |       coalesce(o_orderpriority, '<all>') AS priority,
+        |       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |       count(*) AS n_orders,
+        |       sum(price_c) AS total_cents
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY gid, status, priority""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """WITH o AS (
+      |  SELECT o_orderstatus, o_orderpriority,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      |  FROM orders)
+      |SELECT coalesce(o_orderstatus, '<all>')   AS status,
+      |       coalesce(o_orderpriority, '<all>') AS priority,
+      |       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |       count(*) AS n_orders,
+      |       CAST(sum(price_c) AS BIGINT) AS total_cents
+      |FROM o
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), ())
+      |ORDER BY gid, status, priority""".stripMargin
+
   // ------------------------------------ #67 global-threshold anti (Q22)
   /** TPC-H Q22 shape: customers whose balance beats the global average of
     * positive balances but who placed no URGENT order, aggregated per

@@ -334,6 +334,105 @@ object Similarity {
       |ORDER BY q_id, rank""".stripMargin
 
   /** Number of centroids for [[kmeansIter]] (seeded from vec_id 0..7). */
+  /** PQ geometry for [[knnPq]]: 8 subspaces × 8 dims, 16 codes each
+    * (codebook seeded from vec_id 0..15's subvectors — training-free
+    * deterministic seeding; [[kmeansIter]] is the training step). */
+  private val PqM = 8
+  private val PqSub = 8
+  private val PqCodes = 16
+
+  /** #68 knn_pq: product-quantization ANN — encode every vector as
+    * [[PqM]] 4-bit codes (nearest codebook centroid per subspace, squared
+    * L2), then answer queries with an ADC (asymmetric distance
+    * computation) scan: per-query distance TABLE against the codebook,
+    * summed over the stored codes. This is the memory-bound 100 TB ANN
+    * design — the corpus is scanned as 8-byte codes (64 B/vec → 8 B/vec),
+    * never as floats.
+    *
+    * Scale shape: the codebook (128 rows) and the per-query distance
+    * table (queries × 128) both BROADCAST; encoding is one map-side pass
+    * over the corpus; the ADC sum is a map-side partial aggregation
+    * keyed (q_id, vec_id); top-k via the bounded-heap aggregate. All
+    * distances are exact integer milli-unit math, so the oracle hashes
+    * the ADC values themselves.
+    */
+  def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), e => round(e.cast("double") * 1000).cast("long")).as("qv"))
+    val ms = spark.range(PqM).select(col("id").cast("int").as("m"))
+    // (vec_id, m, sv): the m-th 8-dim subvector of every vector
+    val sub = base.crossJoin(broadcast(ms))
+      .select(col("vec_id"), col("m"),
+        slice(col("qv"), col("m") * PqSub + 1, lit(PqSub)).as("sv"))
+    val codebook = sub.filter(col("vec_id") < PqCodes)
+      .select(col("m"), col("vec_id").cast("int").as("code"), col("sv").as("cs"))
+    val d2 = aggregate(
+      zip_with(col("sv"), col("cs"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    // encode: argmin code per (vec_id, m); struct-min tie-breaks on code
+    val codes = sub.join(broadcast(codebook), "m")
+      .select(col("vec_id"), col("m"), col("code"), d2.as("d2"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("code"))).as("a"))
+      .select(col("vec_id"), col("m"), col("a.code").as("code"))
+    // ADC distance table: exact query subvector vs every codebook entry
+    val dtab = sub.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("m"), col("sv"))
+      .join(broadcast(codebook), "m")
+      .select(col("q_id"), col("m"), col("code"), d2.as("qd2"))
+    val scored = codes.join(broadcast(dtab), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("qd2")).as("adc_d2"))
+    // bounded-heap top-k on NEGATED distance (heap keeps score DESC);
+    // integer distances < 2^53 stay exact through the double
+    scored.groupBy("q_id")
+      .agg(graft.functions.GraftFunctions
+        .topk(struct((-col("adc_d2")).cast("double"), col("vec_id")), K).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"),
+        col("t.id").as("n_id"), (-col("t.score")).cast("long").as("adc_d2"))
+      .orderBy("q_id", "rank")
+  }
+
+  val knnPqSql: String = {
+    def d2(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(range($PqSub), k -> ($a[k+1] - $b[k+1]) * ($a[k+1] - $b[k+1]))), " +
+        s"(acc, x) -> acc + x)"
+    s"""WITH q AS (
+      |  SELECT vec_id,
+      |         [CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT) FOR e IN embedding] AS qv
+      |  FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, m, list_slice(qv, m*$PqSub+1, m*$PqSub+$PqSub) AS sv
+      |  FROM q, (SELECT CAST(unnest(range($PqM)) AS INT) AS m)),
+      |cb AS (SELECT m, CAST(vec_id AS INT) AS code, sv AS cs
+      |       FROM sub WHERE vec_id < $PqCodes),
+      |enc AS (
+      |  SELECT vec_id, m, code,
+      |         row_number() OVER (PARTITION BY vec_id, m
+      |                            ORDER BY ${d2("s.sv", "c.cs")}, code) AS rn
+      |  FROM sub s JOIN cb c USING (m)),
+      |codes AS (SELECT vec_id, m, code FROM enc WHERE rn = 1),
+      |dtab AS (
+      |  SELECT s.vec_id AS q_id, m, code, ${d2("s.sv", "c.cs")} AS qd2
+      |  FROM sub s JOIN cb c USING (m)
+      |  WHERE s.vec_id < $NQueries),
+      |scored AS (
+      |  SELECT q_id, vec_id, CAST(sum(qd2) AS BIGINT) AS adc_d2
+      |  FROM codes JOIN dtab USING (m, code)
+      |  WHERE vec_id <> q_id
+      |  GROUP BY q_id, vec_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, adc_d2,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, vec_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, vec_id AS n_id, adc_d2 FROM ranked WHERE rank <= $K
+      |ORDER BY q_id, rank""".stripMargin
+  }
+
   private val KmeansK = 8
 
   /** #58 kmeans_iter: one Lloyd iteration of k-means over the embedding

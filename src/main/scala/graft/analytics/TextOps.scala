@@ -433,6 +433,48 @@ object TextOps {
       |WHERE doc_id % 97 <> 0
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Query terms for [[keywordSearch]] — corpus-frequent vocabulary so the
+    * AND-conjunction still selects a meaningful result set. */
+  private val SearchTerms = Seq("spark", "join")
+
+  /** #70 text_keyword_search: conjunctive keyword search with term-
+    * frequency ranking — every query term must appear; docs rank by total
+    * tf with doc_id tiebreak. The text-corpus face of the engine's search
+    * surface (metadata_search is the object-store face).
+    *
+    * Scale shape: one codegen'd projection computes all per-term tfs in a
+    * single pass over each doc's tokens; the top-k is
+    * TakeOrderedAndProject (no global sort). At an indexed 100 TB the
+    * same ranking runs over an inverted-index join ([[Dedup.corpusOverlap]]
+    * shows that shape); the scan form here is the index-free baseline.
+    */
+  def keywordSearch(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val tfs = SearchTerms.map(t =>
+      size(filter(toks, x => x === t)).cast("long").as(s"tf_$t"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: tfs: _*)
+      .filter(SearchTerms.map(t => col(s"tf_$t") > 0).reduce(_ && _))
+      .withColumn("score", SearchTerms.map(t => col(s"tf_$t")).reduce(_ + _))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val keywordSearchSql: String = {
+    val tfs = SearchTerms.map(t =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(",\n      |         ")
+    s"""WITH scored AS (
+      |  SELECT doc_id,
+      |         $tfs
+      |  FROM documents)
+      |SELECT doc_id, ${SearchTerms.map(t => s"tf_$t").mkString(", ")},
+      |       ${SearchTerms.map(t => s"tf_$t").mkString(" + ")} AS score
+      |FROM scored
+      |WHERE ${SearchTerms.map(t => s"tf_$t > 0").mkString(" AND ")}
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** Tokens per packed training sequence for [[seqPack]]. */
   private val SeqLen = 256
 

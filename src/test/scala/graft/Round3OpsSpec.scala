@@ -85,6 +85,20 @@ class Round3OpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) > 0))
   }
 
+  test("knn_pq returns k non-self neighbors per query with admissible ADC sums") {
+    val rows = Similarity.knnPq(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 5, s"query $q returned ${rs.length} rows")
+      assert(rs.forall(_.getLong(2) != q), s"query $q returned itself")
+      assert(rs.forall(_.getLong(3) >= 0L))
+      // ranked ascending by ADC distance
+      val ds = rs.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(ds.sameElements(ds.sorted), s"query $q ranks not distance-ordered")
+    }
+  }
+
   test("seq_pack streams are gapless within each language") {
     val rows = TextOps.seqPack(spark, sf).collect()
       .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
