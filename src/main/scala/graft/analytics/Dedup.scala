@@ -651,7 +651,9 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  val dedupEmbeddingSql: String = {
+  /** Shared CTEs: hyperplane-bucketed embedding near-dup pairs (the body
+    * of [[dedupEmbeddingSql]], reused by the semantic-dedup closure). */
+  private val embeddingPairsCtes: String = {
     def projSql(p: Int): String =
       seqSumSql(s"list_transform(range(64), i -> " +
         s"CAST(emb[i+1] AS DOUBLE) * ${planeSignSql(p, "i")})")
@@ -659,13 +661,46 @@ object Dedup {
       s"($acc * 2 + (CASE WHEN ${projSql(p)} > 0 THEN 1 ELSE 0 END))"
     }
     val cos = s"${dotSql("a.emb", "b.emb", 64)} / (a.nrm * b.nrm)"
-    s"""WITH bv AS (
+    s"""bv AS (
       |  SELECT vec_id, embedding AS emb, ${l2normSql("embedding", 64)} AS nrm,
       |         $bucket AS bucket
-      |  FROM embeddings)
-      |SELECT a.vec_id AS a_id, b.vec_id AS b_id, round($cos, 6) AS cosine
-      |FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-      |WHERE $cos >= 0.4
-      |ORDER BY a_id, b_id""".stripMargin
+      |  FROM embeddings),
+      |epairs AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, round($cos, 6) AS cosine
+      |  FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |  WHERE $cos >= 0.4)""".stripMargin
   }
+
+  val dedupEmbeddingSql: String =
+    s"""WITH $embeddingPairsCtes
+      |SELECT a_id, b_id, cosine FROM epairs
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // -------------------------------------------------- #71 semantic dedup
+  /** SemDeDup-style semantic deduplication: transitive closure over the
+    * embedding-cosine near-dup graph, keeping one representative per
+    * semantic cluster — catches paraphrases and re-encodings that share
+    * no surface n-grams, the layer above [[dedupMinhashLsh]] in a modern
+    * training-data pipeline.
+    *
+    * Same distributed machinery as [[dedupClusters]] (checkpointed
+    * min-label propagation, no driver graph); only the edge source
+    * differs (cosine pairs instead of MinHash pairs).
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(dedupEmbedding(spark, dir).select("a_id", "b_id"))
+      .withColumnRenamed("doc_id", "vec_id")
+
+  val dedupSemanticSql: String =
+    s"""WITH RECURSIVE $embeddingPairsCtes,
+      |edges AS (
+      |  SELECT a_id AS u, b_id AS v FROM epairs
+      |  UNION ALL SELECT b_id, a_id FROM epairs),
+      |reach(u, v) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+      |SELECT u AS vec_id, min(v) AS cluster_id,
+      |       CAST(u = min(v) AS INT) AS is_keeper
+      |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin
 }

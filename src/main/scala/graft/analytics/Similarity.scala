@@ -433,6 +433,131 @@ object Similarity {
       |ORDER BY q_id, rank""".stripMargin
   }
 
+  // -------------------------------------------------- #72 IVF+PQ composite
+  /** knn_ivf_pq: the full production ANN composite — IVF routing
+    * ([[centroidIvf]]'s coarse quantizer picks 2 of the per-label lists
+    * per query) feeding a PQ/ADC scan ([[knnPq]]'s integer distance
+    * tables) over ONLY the probed lists. At 100 TB this is the index that
+    * actually runs: route on ~√N broadcast centroids, then scan 8-byte
+    * codes for the probed partitions — cost ∝ probed fraction, memory ∝
+    * codes, and both stages are broadcast joins + map-side partial sums.
+    */
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // --- IVF routing in float space (identical to centroidIvf) ---
+    val nb = normed(spark, dir)
+    val centAggs = (0 until 64).map(i =>
+      round(avg(element_at(col("ed"), i + 1)), 3).as(s"c$i"))
+    val cents = nb.groupBy("label")
+      .agg(centAggs.head, centAggs.tail: _*)
+      .select(col("label"),
+        array((0 until 64).map(i => col(s"c$i")): _*).as("ed"))
+      .withColumn("nrm",
+        sqrt(graft.functions.GraftFunctions.dotp(col("ed"), col("ed"))))
+    val fq = nb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("ed"), col("nrm"))
+    val qc = cents.as("c").crossJoin(broadcast(fq.as("q")))
+      .select(col("q.q_id").as("q_id"), col("c.label").as("plabel"),
+        round(cosAB, 6).as("ccos"))
+    val wc = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("plabel"))
+    val probes = qc.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= 2).select(col("q_id"), col("plabel"))
+    // --- PQ encode + ADC over the probed lists (identical to knnPq) ---
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), e => round(e.cast("double") * 1000).cast("long")).as("qv"))
+    val ms = spark.range(PqM).select(col("id").cast("int").as("m"))
+    val sub = base.crossJoin(broadcast(ms))
+      .select(col("vec_id"), col("label"), col("m"),
+        slice(col("qv"), col("m") * PqSub + 1, lit(PqSub)).as("sv"))
+    val codebook = sub.filter(col("vec_id") < PqCodes)
+      .select(col("m"), col("vec_id").cast("int").as("code"), col("sv").as("cs"))
+    val d2 = aggregate(
+      zip_with(col("sv"), col("cs"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val codes = sub.join(broadcast(codebook), "m")
+      .select(col("vec_id"), col("label"), col("m"), col("code"), d2.as("d2"))
+      .groupBy("vec_id", "label", "m")
+      .agg(min(struct(col("d2"), col("code"))).as("a"))
+      .select(col("vec_id"), col("label"), col("m"), col("a.code").as("code"))
+    val dtab = sub.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("m"), col("sv"))
+      .join(broadcast(codebook), "m")
+      .select(col("q_id"), col("m"), col("code"), d2.as("qd2"))
+    val scored = codes
+      .join(broadcast(probes), codes("label") === probes("plabel"))
+      .join(broadcast(dtab), Seq("q_id", "m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("qd2")).as("adc_d2"))
+    scored.groupBy("q_id")
+      .agg(graft.functions.GraftFunctions
+        .topk(struct((-col("adc_d2")).cast("double"), col("vec_id")), K).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"),
+        col("t.id").as("n_id"), (-col("t.score")).cast("long").as("adc_d2"))
+      .orderBy("q_id", "rank")
+  }
+
+  val knnIvfPqSql: String = {
+    def d2(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(range($PqSub), k -> ($a[k+1] - $b[k+1]) * ($a[k+1] - $b[k+1]))), " +
+        s"(acc, x) -> acc + x)"
+    val centDot = seqSumSql(s"list_transform(range(64), k -> " +
+      s"CAST(q.emb[k+1] AS DOUBLE) * c.ed[k+1])")
+    s"""WITH $normedSql,
+      |cent_long AS (
+      |  SELECT label, i, round(avg(CAST(emb[i+1] AS DOUBLE)), 3) AS c
+      |  FROM normed CROSS JOIN (SELECT unnest(range(64)) AS i) ii
+      |  GROUP BY label, i),
+      |cents AS (
+      |  SELECT label, list(c ORDER BY i) AS ed,
+      |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list(c * c ORDER BY i)), (acc, x) -> acc + x)) AS nrm
+      |  FROM cent_long GROUP BY label),
+      |queries AS (SELECT vec_id AS q_id, emb, nrm FROM normed WHERE vec_id < $NQueries),
+      |qc AS (
+      |  SELECT q.q_id, c.label AS plabel, round($centDot / (q.nrm * c.nrm), 6) AS ccos
+      |  FROM cents c CROSS JOIN queries q),
+      |probes AS (
+      |  SELECT q_id, plabel FROM (
+      |    SELECT q_id, plabel,
+      |           row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, plabel) AS crank
+      |    FROM qc) t WHERE crank <= 2),
+      |qz AS (
+      |  SELECT vec_id, label,
+      |         [CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT) FOR e IN embedding] AS qv
+      |  FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, label, m, list_slice(qv, m*$PqSub+1, m*$PqSub+$PqSub) AS sv
+      |  FROM qz, (SELECT CAST(unnest(range($PqM)) AS INT) AS m)),
+      |cb AS (SELECT m, CAST(vec_id AS INT) AS code, sv AS cs
+      |       FROM sub WHERE vec_id < $PqCodes),
+      |enc AS (
+      |  SELECT vec_id, label, m, code,
+      |         row_number() OVER (PARTITION BY vec_id, m
+      |                            ORDER BY ${d2("s.sv", "c.cs")}, code) AS rn
+      |  FROM sub s JOIN cb c USING (m)),
+      |codes AS (SELECT vec_id, label, m, code FROM enc WHERE rn = 1),
+      |dtab AS (
+      |  SELECT s.vec_id AS q_id, m, code, ${d2("s.sv", "c.cs")} AS qd2
+      |  FROM sub s JOIN cb c USING (m)
+      |  WHERE s.vec_id < $NQueries),
+      |scored AS (
+      |  SELECT d.q_id, cd.vec_id, CAST(sum(d.qd2) AS BIGINT) AS adc_d2
+      |  FROM codes cd
+      |  JOIN probes p ON cd.label = p.plabel
+      |  JOIN dtab d ON d.q_id = p.q_id AND d.m = cd.m AND d.code = cd.code
+      |  WHERE cd.vec_id <> d.q_id
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT q_id, vec_id, adc_d2,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, vec_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, vec_id AS n_id, adc_d2 FROM ranked WHERE rank <= $K
+      |ORDER BY q_id, rank""".stripMargin
+  }
+
   private val KmeansK = 8
 
   /** #58 kmeans_iter: one Lloyd iteration of k-means over the embedding

@@ -99,6 +99,28 @@ class Round3OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_semantic labels are cluster minima and keeper flags match") {
+    val rows = Dedup.dedupSemantic(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).min == cid,
+        s"cluster $cid label is not its minimum member")
+      assert(members.count(_.getInt(2) == 1) == 1,
+        s"cluster $cid must have exactly one keeper")
+    }
+  }
+
+  test("knn_ivf_pq searches only the probed lists (subset of knn_pq candidates)") {
+    val ivf = Similarity.knnIvfPq(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    val byQ = ivf.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.forall(_.getLong(2) != q), s"query $q returned itself")
+      assert(rs.length <= 5)
+    }
+  }
+
   test("seq_pack streams are gapless within each language") {
     val rows = TextOps.seqPack(spark, sf).collect()
       .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
