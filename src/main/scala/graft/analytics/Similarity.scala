@@ -367,9 +367,9 @@ object Similarity {
         slice(col("qv"), col("m") * PqSub + 1, lit(PqSub)).as("sv"))
     val codebook = sub.filter(col("vec_id") < PqCodes)
       .select(col("m"), col("vec_id").cast("int").as("code"), col("sv").as("cs"))
-    val d2 = aggregate(
-      zip_with(col("sv"), col("cs"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    // native codegen'd kernel, not a zip_with/aggregate lambda (those
+    // evaluate interpreted per element — see SURVEY §3)
+    val d2 = graft.functions.GraftFunctions.l2sq(col("sv"), col("cs"))
     // encode: argmin code per (vec_id, m); struct-min tie-breaks on code
     val codes = sub.join(broadcast(codebook), "m")
       .select(col("vec_id"), col("m"), col("code"), d2.as("d2"))
@@ -471,9 +471,7 @@ object Similarity {
         slice(col("qv"), col("m") * PqSub + 1, lit(PqSub)).as("sv"))
     val codebook = sub.filter(col("vec_id") < PqCodes)
       .select(col("m"), col("vec_id").cast("int").as("code"), col("sv").as("cs"))
-    val d2 = aggregate(
-      zip_with(col("sv"), col("cs"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    val d2 = graft.functions.GraftFunctions.l2sq(col("sv"), col("cs"))
     val codes = sub.join(broadcast(codebook), "m")
       .select(col("vec_id"), col("label"), col("m"), col("code"), d2.as("d2"))
       .groupBy("vec_id", "label", "m")
@@ -576,13 +574,12 @@ object Similarity {
     * sums.
     */
   def kmeansIter(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val base = Tables.embeddings(spark, dir).select(col("vec_id"),
       transform(col("embedding"), e => round(e.cast("double") * 1000).cast("long")).as("qv"))
     val cents = base.filter(col("vec_id") < KmeansK)
       .select(col("vec_id").as("cid"), col("qv").as("cq"))
-    val d2 = aggregate(
-      zip_with(col("qv"), col("cq"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    val d2 = graft.functions.GraftFunctions.l2sq(col("qv"), col("cq"))
     // argmin(cid by d2): min over (d2, cid) structs orders lexicographically,
     // giving deterministic tie-breaks on the smaller centroid id
     val assigned = base.crossJoin(broadcast(cents))

@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", "_FUNC_(array<double>, array<double>) - sequential dot product"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_l2sq"),
+      info("graft_l2sq", "_FUNC_(array<bigint>, array<bigint>) - squared L2 distance"),
+      (args: Seq[Expression]) => L2Sq(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("graft_ngrams"),
       info("graft_ngrams", "_FUNC_(array<string>, n, distinct) - word n-gram shingles"),
       (args: Seq[Expression]) => NGrams(args(0),

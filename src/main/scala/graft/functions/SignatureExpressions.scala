@@ -148,6 +148,17 @@ object Sig {
     acc
   }
 
+  /** Squared L2 distance between two long arrays — the quantized-space
+    * kernel of the PQ/ADC scan and integer k-means; identical to the
+    * `zip_with`+`aggregate` fold and the oracle's `list_reduce` sum. */
+  def l2sq(x: ArrayData, y: ArrayData): Long = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { val d = x.getLong(i) - y.getLong(i); acc += d * d; i += 1 }
+    acc
+  }
+
   /** Polynomial string hash — the scalar form of [[polyHash]], identical
     * to [[Portable.polyHash]]'s declarative per-char fold for ASCII. */
   def polyHashStr(s: org.apache.spark.unsafe.types.UTF8String): Long =
@@ -244,6 +255,18 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `graft_l2sq(array<long>, array<long>) -> long` — see [[Sig.l2sq]]. */
+case class L2Sq(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Sig.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Sig.l2sq($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Sq =
+    copy(left = l, right = r)
+}
+
 /** `graft_polyhash(string) -> long` — see [[Sig.polyHashStr]]. */
 case class PolyHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -280,6 +303,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => HyperplaneBucket8(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_dot",
       (args: Seq[Expression]) => DotProduct(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_l2sq",
+      (args: Seq[Expression]) => L2Sq(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_ngrams",
       (args: Seq[Expression]) => NGrams(args(0),
         args(1).eval().asInstanceOf[Int],
@@ -298,6 +323,7 @@ object GraftFunctions {
   def simhash63(c: Column): Column = call_function("graft_simhash63", c)
   def hyperplaneBucket8(c: Column): Column = call_function("graft_hyperplane_bucket8", c)
   def dotp(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def l2sq(a: Column, b: Column): Column = call_function("graft_l2sq", a, b)
   def ngrams(toks: Column, n: Int, distinct: Boolean): Column =
     call_function("graft_ngrams", toks,
       org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(distinct))

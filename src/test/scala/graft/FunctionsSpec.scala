@@ -62,6 +62,22 @@ class SigExpressionsSpec extends AnyFunSuite {
     assert(nat.as[(Double, Long)].collect().toSeq == dec.as[(Double, Long)].collect().toSeq)
   }
 
+  test("native l2sq equals the declarative zip_with fold on long vectors") {
+    GraftFunctions.register(spark)
+    val vecs = Seq.tabulate(20)(i => (
+      Seq.tabulate(8)(d => ((i * 37 + d * 13) % 2001 - 1000).toLong),
+      Seq.tabulate(8)(d => ((i * 53 + d * 29) % 2001 - 1000).toLong)))
+      .toDF("a", "b")
+    val nat = vecs.select(GraftFunctions.l2sq(col("a"), col("b")))
+      .as[Long].collect().toSeq
+    val dec = vecs.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x))
+      .as[Long].collect().toSeq
+    assert(nat == dec)
+    assert(nat.exists(_ > 0))
+  }
+
   test("native ngrams equals the declarative shingle builder (distinct and not)") {
     GraftFunctions.register(spark)
     val docs = (Gen.listOfN(40, Gen.nonEmptyListOf(asciiWord).map(_.mkString(" ")))
