@@ -66,6 +66,35 @@ object CluesoOps {
       |WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY object_key""".stripMargin
 
+  /** #73 mvcc_asof: time travel — the snapshot AS OF an op-index
+    * watermark (here the deterministic quarter-point of the log). Same
+    * aggregation-form merge as the head snapshot, over the
+    * watermark-filtered log; at scale the op-index filter prunes
+    * whole compaction-group partitions before any merge work happens.
+    */
+  def mvccAsof(spark: SparkSession, dir: String): DataFrame = {
+    val log = opLog(spark, dir)
+    val w = log.agg((max(col("event_id")) / lit(4)).cast("long").as("w"))
+    LatestState.snapshot(
+        log.join(broadcast(w)).filter(col("event_id") <= col("w")).drop("w"),
+        keyCols = Seq("object_key"), versionCol = "event_id",
+        isDelete = col("event_type") === "error")
+      .select(col("object_key"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), (col("v_c") / 100.0).as("value"))
+      .orderBy("object_key")
+  }
+
+  val mvccAsofSql: String =
+    s"""WITH ev AS (
+      |$opLogSql),
+      |m AS (SELECT max(event_id) // 4 AS w FROM ev)
+      |SELECT object_key, event_id AS last_event_id, event_type AS last_type,
+      |       v_c/100.0 AS value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY object_key ORDER BY event_id DESC) AS rn
+      |      FROM ev WHERE event_id <= (SELECT w FROM m)) t
+      |WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY object_key""".stripMargin
+
   /** #52 mvcc_diff: the changelog between two snapshot watermarks — which
     * visible objects were created / updated / deleted between op-index
     * mid (= max/2, a deterministic midpoint) and the head. Incremental

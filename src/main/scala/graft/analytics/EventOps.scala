@@ -286,6 +286,65 @@ object EventOps {
       |ORDER BY ex.event_type""".stripMargin
   }
 
+  // ---------------------------------------------- #74 anomaly detection
+  /** Per-user 2σ outlier events, in EXACT integer arithmetic: with
+    * per-user n, s1=Σcents, s2=Σcents², the test |x−μ| > 2σ rewrites to
+    * (n·x − s1)² > 4·(n·s2 − s1²) — all int64, no float means/stddevs to
+    * diverge between engines. The per-user moments are one map-side
+    * partial aggregation; flagging is a broadcast join back against the
+    * events scan. (Magnitude note: needs n·max(c)² < 2⁶³ — at
+    * petabyte-per-user volumes the moments would aggregate per shard
+    * first.)
+    */
+  def anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), cents(col("value")).as("c"))
+    val stats = ev.groupBy(col("user_id").as("u"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+    val dev = ev("c") * stats("n") - stats("s1")
+    ev.join(broadcast(stats), ev("user_id") === stats("u"))
+      .filter(stats("n") >= 2 &&
+        dev * dev > lit(4L) * (stats("n") * stats("s2") - stats("s1") * stats("s1")))
+      .select(col("event_id"), col("user_id"), (col("c") / 100.0).as("value"))
+      .orderBy("event_id")
+  }
+
+  val anomalySql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events),
+      |stats AS (
+      |  SELECT user_id AS u, count(*) AS n,
+      |         CAST(sum(c) AS BIGINT) AS s1,
+      |         CAST(sum(c * c) AS BIGINT) AS s2
+      |  FROM ev GROUP BY 1)
+      |SELECT event_id, user_id, c/100.0 AS value
+      |FROM ev JOIN stats ON ev.user_id = stats.u
+      |WHERE n >= 2 AND (c*n - s1)*(c*n - s1) > 4*(n*s2 - s1*s1)
+      |ORDER BY event_id""".stripMargin
+
+  // -------------------------------------- #75 semi-structured extraction
+  /** Per-prop aggregation over the JSON `props` payload: extract `$.k`
+    * from every event and aggregate count + exact-cents totals per k —
+    * the schema-on-read projection surface (the ingest pipeline's JSON
+    * hoisting, exposed as a query op). One codegen'd JSON path extraction
+    * per row, one agg shuffle on the extracted key.
+    */
+  def propsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+        cents(col("value")).as("c"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_events"), (sum(col("c")) / 100.0).as("total_value"))
+      .orderBy("k")
+
+  val propsAggSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)/100.0 AS total_value
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
   // ------------------------------------------- #66 moving average window
   /** Per-user trailing 5-minute moving average of event value — the
     * RANGE-frame (time-based, not row-based) window surface: every event

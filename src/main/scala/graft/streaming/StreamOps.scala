@@ -35,6 +35,17 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Stream-static enrichment: join a stream against a static dimension
+    * table. The static side is re-planned per micro-batch (so dimension
+    * REFRESHES are picked up) and broadcast when small — stateless, no
+    * watermark needed; the workhorse join of every streaming ingest that
+    * annotates events with reference data.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   key: String = "event_type"): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** Streaming exact dedup on a business key, state bounded by the
     * watermark (the at-least-once → exactly-once repair stage of an
     * ingest pipeline).

@@ -136,6 +136,29 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the dimension") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "event_type", "value")
+    val dim = Seq(("click", "interactive"), ("view", "passive"))
+      .toDF("event_type", "category")
+    val q = StreamOps.enrichStream(events, dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(1), "click", 1.0), (2L, ts(2), "view", 2.0),
+        (3L, ts(3), "error", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .select(col("event_id"), col("category"))
+        .as[(Long, Option[String])].collect().toMap
+      // matched rows carry the dimension attribute; unmatched survive (left)
+      assert(got == Map(1L -> Some("interactive"), 2L -> Some("passive"),
+        3L -> None))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap timeout") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
