@@ -286,6 +286,29 @@ object EventOps {
       |ORDER BY ex.event_type""".stripMargin
   }
 
+  // ------------------------------------------- #77 sliding-window distinct
+  /** Distinct users per SLIDING hour (15-min slide): each event lands in
+    * 4 overlapping windows — the batch twin of the streaming sliding agg,
+    * and a distinct-aggregation over an Expand (each input row fans out
+    * to its windows before the shuffle; no self-join per offset).
+    */
+  def slidingDistinct(spark: SparkSession, dir: String): DataFrame =
+    withSec(Tables.events(spark, dir))
+      .groupBy(window(timestamp_seconds(col("sec")), "1 hour", "15 minutes"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(Tables.tsStr(col("window.start")).as("window_start"), col("n_users"))
+      .orderBy("window_start")
+
+  val slidingDistinctSql: String =
+    """WITH e AS (
+      |  SELECT epoch_ns(ts)//1000000000 AS sec, user_id FROM events),
+      |w AS (
+      |  SELECT (sec//900 - i)*900 AS wstart, user_id
+      |  FROM e, (SELECT unnest(range(4)) AS i))
+      |SELECT strftime(make_timestamp(wstart*1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM w GROUP BY wstart ORDER BY window_start""".stripMargin
+
   // ---------------------------------------------- #74 anomaly detection
   /** Per-user 2σ outlier events, in EXACT integer arithmetic: with
     * per-user n, s1=Σcents, s2=Σcents², the test |x−μ| > 2σ rewrites to

@@ -475,6 +475,60 @@ object TextOps {
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** Per-language token budget for [[corpusMixture]] (sized so the
+    * majority language is down-sampled and the tail keeps everything). */
+  private val MixBudget = 10000L
+
+  /** #76 corpus_mixture: mixture planning + deterministic weighted
+    * sampling in one pass — compute each language's sampling rate to hit
+    * a per-language token budget (rate in exact ppm, integer division),
+    * then keep documents whose portable hash falls under the rate. The
+    * "hit the target language mix" step between curation and packing in
+    * a training-data pipeline.
+    *
+    * Scale shape: the per-language token totals are one tiny aggregate
+    * that BROADCASTs back onto the scan; the keep decision is a
+    * stateless per-row hash compare, so the sample needs no shuffle, no
+    * sort, and re-runs identically on any cluster size.
+    */
+  def corpusMixture(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val totals = docs.groupBy(col("lang").as("l"))
+      .agg(sum(col("n_tokens")).as("lang_tokens"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr(s"${MixBudget * 1000000L} div lang_tokens")))
+    docs.join(broadcast(totals), col("lang") === col("l"))
+      .filter(Portable.mixCube(
+        Portable.polyHash(concat(lit("d"), col("doc_id").cast("string"))))
+        % 1000000L < col("rate_ppm"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tokens")).as("n_tokens_kept"),
+        max(col("rate_ppm")).as("rate_ppm"))
+      .orderBy("lang")
+  }
+
+  val corpusMixtureSql: String = {
+    import graft.functions.Portable
+    val h = Portable.mixCubeSql(
+      Portable.polyHashSql("'d' || CAST(doc_id AS VARCHAR)"))
+    s"""WITH d AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |totals AS (
+      |  SELECT lang AS l, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens,
+      |         least(1000000, ${MixBudget * 1000000L} // CAST(sum(n_tokens) AS BIGINT)) AS rate_ppm
+      |  FROM d GROUP BY 1)
+      |SELECT lang, count(*) AS n_docs_kept,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept,
+      |       max(rate_ppm) AS rate_ppm
+      |FROM d JOIN totals ON lang = l
+      |WHERE ($h) % 1000000 < rate_ppm
+      |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Tokens per packed training sequence for [[seqPack]]. */
   private val SeqLen = 256
 

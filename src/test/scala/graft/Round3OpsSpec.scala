@@ -121,6 +121,26 @@ class Round3OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_mixture downsamples over-budget languages and keeps the tail") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = TextOps.corpusMixture(spark, sf01).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    import org.apache.spark.sql.functions._
+    val totals = Tables.documents(spark, sf01)
+      .groupBy("lang").agg(count(lit(1)).as("n"),
+        sum(size(split(col("text"), " "))).as("toks"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { case (lang, (kept, keptToks, ppm)) =>
+      val (allDocs, allToks) = totals(lang)
+      if (ppm == 1000000L) {
+        assert(kept == allDocs, s"$lang at rate 1.0 must keep everything")
+        assert(keptToks == allToks)
+      } else {
+        assert(kept < allDocs, s"$lang rate $ppm ppm must drop documents")
+      }
+    }
+  }
+
   test("seq_pack streams are gapless within each language") {
     val rows = TextOps.seqPack(spark, sf).collect()
       .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
