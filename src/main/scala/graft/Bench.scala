@@ -10,18 +10,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session once (parquet footers, codegen, shuffle machinery)
-    // so the first timed query doesn't absorb session startup.
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings")
-      .foreach(t => try Tables.load(spark, sfDir, t).count()
-        catch { case _: Throwable => () })
-    try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
-    // Optional comma-separated query filter for isolating one query's cost
-    // (e.g. SPARK_GRAFT_ONLY=metadata_search,compaction_merge).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(_.contains(name)) }
     def consume(df: org.apache.spark.sql.DataFrame): Unit = {
       df.agg(org.apache.spark.sql.functions.bit_xor(
         org.apache.spark.sql.functions.xxhash64(
@@ -29,6 +17,21 @@ object Bench {
         .collect()
       ()
     }
+    // Warm the session once (parquet footers, codegen, shuffle machinery)
+    // AND fault every table's data pages into the page cache: count() alone
+    // reads only footer metadata, leaving the first query that touches each
+    // column to absorb the cold I/O. The full-column consume decodes and
+    // reads everything, untimed.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => try consume(Tables.load(spark, sfDir, t))
+        catch { case _: Throwable => () })
+    try consume(Tables.events(spark, sfDir)) catch { case _: Throwable => () }
+    // Optional comma-separated query filter for isolating one query's cost
+    // (e.g. SPARK_GRAFT_ONLY=metadata_search,compaction_merge).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.contains(name)) }
     // Untimed warm-up at the smallest scale factor: the generated-code cache
     // keys on plan structure, so running each query's exact shape at sf0.001
     // compiles + JITs every kernel once. Without this, whichever query runs
