@@ -414,7 +414,8 @@ object Dedup {
   /** Connected components over an undirected pair list `(a_id, b_id)`:
     * every vertex gets its component's minimum id as `cluster_id`, and the
     * label-holder is flagged `is_keeper` — distributed min-label
-    * propagation, one join+aggregate per round, no driver-side graph.
+    * propagation with pointer jumping (lbl ← lbl∘lbl each round), so
+    * convergence is O(log diameter) rounds, no driver-side graph.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     // localCheckpoint each round to TRUNCATE LINEAGE: the iterate's logical
@@ -455,17 +456,57 @@ object Dedup {
     var prevSum = Long.MaxValue
     var curSum = lblSum(labels)
     var iter = 0
+    // Each round, on the CONTRACTED label graph (edge endpoints rewritten
+    // to their current labels):
+    //   1. min-neighbor step — every representative label takes the min of
+    //      its label-graph neighbors;
+    //   2. pointer jump — every vertex then takes ITS LABEL'S label
+    //      (lbl ∘ lbl), composing the decreasing map with itself.
+    // The jump doubles the hop distance covered per round, so convergence
+    // is O(log diameter) rounds, not O(diameter) (a 30-hop chain: 31
+    // one-hop rounds → 7). Both joins run against bounded, materialized
+    // inputs; see `rebase` below for why the iterate must also RESET
+    // STATS, not just truncate lineage.
+    //
+    // rebase: localCheckpoint truncates the LINEAGE, but Spark 4's
+    // LogicalRDD keeps the ORIGIN DATASET'S STATS — and a join's estimated
+    // sizeInBytes is the product of its inputs', so carrying the estimate
+    // across rounds compounds it geometrically. By round ~20 the size
+    // "estimate" is a multi-megaBIT BigInteger and Catalyst spends minutes
+    // per round multiplying BigInts inside stats estimation. Rebuilding
+    // the frame over the checkpointed RDD drops the origin stats back to a
+    // constant (and keeps the lineage truncation).
+    def rebase(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      spark.createDataFrame(ck.rdd, ck.schema)
+    }
     while (curSum != prevSum && iter < MaxClusterIters) {
-      val nbrMin = edges.join(labels, edges("b_id") === labels("id"))
-        .groupBy(edges("a_id").as("nid")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      val la = edges.join(labels, edges("a_id") === labels("id"))
+        .select(col("lbl").as("la"), col("b_id"))
+      // edges are symmetrized, so the relabeled list already contains
+      // both directions; self-loops (edges inside one cluster) drop out
+      val rel = la.join(labels, la("b_id") === labels("id"))
+        .select(col("la"), col("lbl").as("lb"))
+        .filter(col("la") =!= col("lb"))
+      val nbrMin = rel.groupBy(col("la").as("nid")).agg(min(col("lb")).as("nlbl"))
+      // materialized before the self-join below so the step runs once,
+      // not once per join side
+      val stepped = rebase(
+        labels.join(nbrMin, labels("lbl") === nbrMin("nid"), "left")
+          .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
+      // pointer jump: labels are always existing vertex ids, so the
+      // composition is a self-join of the stepped labelling
+      val asMap = stepped.select(col("id").as("mid"), col("lbl").as("mlbl"))
+      val next = stepped.join(asMap, stepped("lbl") === asMap("mid"), "left")
+        .select(stepped("id"), coalesce(col("mlbl"), col("lbl")).as("lbl"))
         .repartition(parts, col("id"))
-        .localCheckpoint()
+      val rebased = rebase(next)
       prevSum = curSum
-      curSum = lblSum(next)
-      labels = next
+      curSum = lblSum(rebased)
+      labels = rebased
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $iter labelSum=$curSum")
     }
     if (curSum != prevSum)
       throw new IllegalStateException(

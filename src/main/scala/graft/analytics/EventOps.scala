@@ -403,4 +403,50 @@ object EventOps {
       |WINDOW w AS (PARTITION BY user_id ORDER BY sec
       |             RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
+
+  // --------------------------------------- #84 window-function suite
+  /** The navigation/distribution window-function surface in one pass:
+    * lag/lead, running first_value, ntile quartiles, percent_rank and
+    * cume_dist per user timeline. One window spec → ONE shuffle on
+    * `user_id` and one per-partition ordered scan evaluates all six
+    * functions (Spark collapses same-spec window expressions into a
+    * single Window node).
+    *
+    * Determinism: the ordering key (`sec, event_id`) is unique, so
+    * peer-sensitive functions (cume_dist, percent_rank) see single-row
+    * peer groups and both engines compute identical rationals; lag/lead
+    * boundary nulls are pinned to -1.
+    */
+  def windowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withSec(Tables.events(spark, dir))
+      .select(col("event_id"), col("user_id"), col("sec"),
+        cents(col("value")).as("value_c"))
+      .withColumn("prev_c", coalesce(lag("value_c", 1).over(w), lit(-1L)))
+      .withColumn("next_c", coalesce(lead("value_c", 1).over(w), lit(-1L)))
+      .withColumn("first_c", first("value_c").over(wRun))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy("event_id")
+  }
+
+  val windowSuiteSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_ns(ts)//1000000000 AS sec,
+      |         CAST(round(value * 100) AS BIGINT) AS value_c
+      |  FROM events)
+      |SELECT event_id, user_id, sec, value_c,
+      |       coalesce(lag(value_c, 1) OVER w, -1)  AS prev_c,
+      |       coalesce(lead(value_c, 1) OVER w, -1) AS next_c,
+      |       first_value(value_c) OVER
+      |         (PARTITION BY user_id ORDER BY sec, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_c,
+      |       ntile(4) OVER w       AS quartile,
+      |       percent_rank() OVER w AS pct_rank,
+      |       cume_dist() OVER w    AS cume
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+      |ORDER BY event_id""".stripMargin
 }

@@ -480,4 +480,345 @@ object Relational {
       |                        WHERE o_orderpriority = '1-URGENT')
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
+
+  // ----------------------------------- #78 small-quantity revenue (Q17)
+  /** TPC-H Q17 shape: revenue from small-quantity lineitems of one brand,
+    * where "small" means below 20% of that part's average order quantity —
+    * a correlated scalar AVG subquery, decorrelated into one per-part
+    * aggregate joined back to the fact rows.
+    *
+    * Scale shape: the brand filter broadcasts into the fact scan first, so
+    * both the aggregate and the re-join run over the ~1/|brands| slice,
+    * partial-aggregated map-side. The 20%-of-average comparison is exact
+    * integer math (`5·qty·cnt < Σqty`, all in cents), so the oracle can't
+    * drift on a double threshold.
+    */
+  def avgYearly(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#23").select("p_partkey")
+    val l = Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), cents(col("l_quantity")).as("qty_c"),
+        cents(col("l_extendedprice")).as("price_c"))
+    val perPart = l.groupBy("l_partkey")
+      .agg(sum(col("qty_c")).as("sum_qty_c"), count(lit(1)).as("cnt"))
+    l.join(perPart, "l_partkey")
+      .filter(col("qty_c") * 5 * col("cnt") < col("sum_qty_c"))
+      .agg((coalesce(sum(col("price_c")), lit(0L)) / 700.0).as("avg_yearly"))
+  }
+
+  val avgYearlySql: String =
+    """WITH l AS (
+      |  SELECT l_partkey,
+      |         CAST(round(l_quantity*100) AS BIGINT)      AS qty_c,
+      |         CAST(round(l_extendedprice*100) AS BIGINT) AS price_c
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#23'),
+      |pp AS (SELECT l_partkey, sum(qty_c) AS sum_qty_c, count(*) AS cnt
+      |       FROM l GROUP BY l_partkey)
+      |SELECT CAST(coalesce(sum(price_c), 0) AS BIGINT)/700.0 AS avg_yearly
+      |FROM l JOIN pp USING (l_partkey)
+      |WHERE qty_c * 5 * cnt < sum_qty_c""".stripMargin
+
+  // ------------------------------------------ #79 large orders (Q18)
+  /** TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    * with customer context — a grouped HAVING feeding a semi-style join
+    * back to the order/customer detail, top-100 by price.
+    *
+    * Scale shape: the heavy aggregation (`groupBy l_orderkey`) reduces the
+    * fact table to qualifying keys BEFORE any join; the surviving key set
+    * is tiny (threshold-selective) so both subsequent joins broadcast it.
+    * Top-k plans as TakeOrderedAndProject — no global sort.
+    */
+  def largeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), cents(col("l_quantity")).as("qty_c"))
+      .groupBy("l_orderkey")
+      .agg(sum(col("qty_c")).as("sum_qty_c"))
+      .filter(col("sum_qty_c") > 300 * 100L)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(broadcast(big), o("o_orderkey") === big("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        tsStr(col("o_orderdate")).as("orderdate"),
+        (cents(col("o_totalprice")) / 100.0).as("totalprice"),
+        (col("sum_qty_c") / 100.0).as("sum_qty"))
+      .orderBy(col("totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val largeOrdersSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |         CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(CAST(round(l_quantity*100) AS BIGINT)) > 30000)
+      |SELECT c_name, c_custkey, o_orderkey,
+      |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+      |       CAST(round(o_totalprice*100) AS BIGINT)/100.0 AS totalprice,
+      |       sum_qty_c/100.0 AS sum_qty
+      |FROM orders JOIN big ON o_orderkey = l_orderkey
+      |            JOIN customer ON o_custkey = c_custkey
+      |ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // ------------------------------- #80 disjunctive predicates (Q19)
+  /** TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning both
+    * join sides (brand/size from `part`, quantity from `lineitem`).
+    *
+    * Scale shape: Catalyst extracts the common join key and pushes the
+    * per-side conjuncts into each scan (the `p_brand IN (...)` and
+    * quantity range both reach PushedFilters); the residual disjunction
+    * evaluates post-join inside codegen. One broadcast join, one scalar
+    * aggregate — no shuffle of the fact table at all.
+    */
+  def disjunctivePred(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_partkey"), cents(col("l_quantity")).as("qty_c"),
+      (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_c4"))
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("qty_c").between(100L, 1100L)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("qty_c").between(1000L, 2000L)) ||
+      (col("p_brand") === "Brand#5" && col("p_size").between(1, 35) &&
+        col("qty_c").between(2000L, 3000L))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg((coalesce(sum(col("rev_c4")), lit(0L)) / 10000.0).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val disjunctivePredSql: String =
+    """WITH l AS (
+      |  SELECT l_partkey,
+      |         CAST(round(l_quantity*100) AS BIGINT) AS qty_c,
+      |         CAST(round(l_extendedprice*100) AS BIGINT)
+      |           * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_c4
+      |  FROM lineitem)
+      |SELECT CAST(coalesce(sum(rev_c4), 0) AS BIGINT)/10000.0 AS revenue,
+      |       count(*) AS n_items
+      |FROM l JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND qty_c BETWEEN 100 AND 1100)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND qty_c BETWEEN 1000 AND 2000)
+      |   OR (p_brand = 'Brand#5'  AND p_size BETWEEN 1 AND 35 AND qty_c BETWEEN 2000 AND 3000)""".stripMargin
+
+  // ------------------------------- #81 min-cost supplier (Q2 shape)
+  /** TPC-H Q2 shape (adapted: this schema has no `partsupp`, so the
+    * part↔supplier price relation is derived from observed lineitems):
+    * for each LARGE-type part, the supplier(s) quoting its minimum unit
+    * price — a per-group MIN subquery joined back on equality, the same
+    * decorrelation pattern as Q2's correlated min(ps_supplycost).
+    *
+    * Scale shape: unit price is exact (cents·100 / qty_c, both longs →
+    * one double division); the per-part min is a map-side-combined agg
+    * over the filtered slice, and the equality join back broadcasts it.
+    */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === "LARGE").select("p_partkey", "p_name")
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(cents(col("l_extendedprice")) * 100 / cents(col("l_quantity")), 0)
+          .cast("long").as("unit_c"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val minUnit = l.groupBy(col("l_partkey").as("mk"))
+      .agg(min(col("unit_c")).as("min_unit_c"))
+    l.join(broadcast(minUnit),
+        col("l_partkey") === col("mk") && col("unit_c") === col("min_unit_c"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        (col("unit_c") / 100.0).as("unit_price"))
+      .distinct()
+      .orderBy("p_partkey", "s_suppkey")
+  }
+
+  val minCostSupplierSql: String =
+    """WITH l AS (
+      |  SELECT l_partkey, l_suppkey, p_partkey, p_name,
+      |         CAST(round(CAST(round(l_extendedprice*100) AS BIGINT) * 100
+      |                    / CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS unit_c
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_type = 'LARGE'),
+      |mu AS (SELECT l_partkey AS mk, min(unit_c) AS min_unit_c FROM l GROUP BY 1)
+      |SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name,
+      |       unit_c/100.0 AS unit_price
+      |FROM l JOIN mu ON l_partkey = mk AND unit_c = min_unit_c
+      |       JOIN supplier ON l_suppkey = s_suppkey
+      |ORDER BY p_partkey, s_suppkey""".stripMargin
+
+  // ------------------------------- #82 EXISTS aggregation (Q4 shape)
+  /** TPC-H Q4 shape (adapted: no commit/receipt dates, so "late" means a
+    * lineitem shipped more than 30 days after the order date): order
+    * counts per priority where a correlated EXISTS holds. Expressed on
+    * the SQL surface so Catalyst's decorrelation (EXISTS → left-semi on
+    * `l_orderkey` with the date conjunct in the join) is what runs —
+    * the fact table is never re-scanned per outer row.
+    */
+  def orderPriorityExists(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_q4")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_q4")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders_q4 o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem_q4 l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAYS)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val orderPriorityExistsSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------ #83 top supplier (Q15 shape)
+  /** TPC-H Q15 shape: quarterly revenue per supplier, returning the
+    * supplier(s) achieving the global maximum — an aggregate feeding a
+    * scalar-max filter over itself (the "view + scalar subquery" pattern).
+    *
+    * Scale shape: revenue-per-supplier is one map-side-combined shuffle;
+    * the scalar max is a one-row broadcast back into the filter, so the
+    * ties-included argmax never collects to the driver.
+    */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .select(col("l_suppkey"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_c4"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("rev_c4")).as("total_c4"))
+    val mx = rev.agg(max(col("total_c4")).as("max_c4"))
+    rev.join(broadcast(mx)).filter(col("total_c4") === col("max_c4"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("total_c4") / 10000.0).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val topSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |                  * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS total_c4
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_c4/10000.0 AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_c4 = (SELECT max(total_c4) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ----------------------------------- #85 cross-nation trade (Q7)
+  /** TPC-H Q7 shape: bilateral trade volume — revenue of lineitems where
+    * the SUPPLIER sits in one nation and the ordering CUSTOMER in the
+    * other, per direction per year. Exercises the double-dim join (the
+    * same fact row resolves through two independent dimension chains)
+    * with a symmetric pair predicate.
+    *
+    * Scale shape: both nation dims broadcast; the only shuffles are the
+    * two fact-side key joins (orders⋈customer on custkey, lineitem⋈orders
+    * on orderkey) and the final 4-row aggregate. The pair filter applies
+    * to the broadcast sides BEFORE the fact joins, so non-qualifying
+    * suppliers/customers never leave their scans.
+    */
+  def nationTrade(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = "NATION_1"
+    val n2 = "NATION_2"
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name").isin(n1, n2))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name").isin(n1, n2))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_suppkey"),
+      year(col("l_shipdate")).as("l_year"),
+      (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_c4"))
+    l.join(broadcast(supp), l("l_suppkey") === supp("s_suppkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(cust), o("o_custkey") === cust("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg((sum(col("rev_c4")) / 10000.0).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val nationTradeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n1.n_name <> n2.n_name
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // --------------------------------------------- #86 SQL set operations
+  /** The set-operation surface: INTERSECT / EXCEPT / UNION between
+    * customer key sets defined by different behaviors (has an urgent
+    * order; has a >$150k order). Spark plans INTERSECT/EXCEPT as
+    * distinct-aggregated joins (left-semi / left-anti over the distinct
+    * sets) — the tag column disambiguates the three strata in one output.
+    *
+    * Scale shape: each branch is one semi-join-shaped reduction of
+    * `orders` (map-side distinct first), and the set ops add one shuffle
+    * each over already-distinct key columns.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c")).distinct()
+    val big = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 150000.0)
+      .select(col("o_custkey").as("c")).distinct()
+    val both = urgent.intersect(big).withColumn("stratum", lit("both"))
+    val urgentOnly = urgent.except(big).withColumn("stratum", lit("urgent_only"))
+    val bigOnly = big.except(urgent).withColumn("stratum", lit("big_only"))
+    both.unionByName(urgentOnly).unionByName(bigOnly)
+      .groupBy("stratum").agg(count(lit(1)).as("n_customers"),
+        min(col("c")).as("min_custkey"), max(col("c")).as("max_custkey"))
+      .orderBy("stratum")
+  }
+
+  val setOpsSql: String =
+    """WITH urgent AS (SELECT DISTINCT o_custkey AS c FROM orders
+      |                WHERE o_orderpriority = '1-URGENT'),
+      |big AS (SELECT DISTINCT o_custkey AS c FROM orders
+      |        WHERE o_totalprice > 150000.0),
+      |tagged AS (
+      |  SELECT c, 'both' AS stratum FROM (SELECT c FROM urgent INTERSECT SELECT c FROM big) t
+      |  UNION ALL
+      |  SELECT c, 'urgent_only' FROM (SELECT c FROM urgent EXCEPT SELECT c FROM big) t
+      |  UNION ALL
+      |  SELECT c, 'big_only' FROM (SELECT c FROM big EXCEPT SELECT c FROM urgent) t)
+      |SELECT stratum, count(*) AS n_customers,
+      |       min(c) AS min_custkey, max(c) AS max_custkey
+      |FROM tagged GROUP BY stratum ORDER BY stratum""".stripMargin
 }
