@@ -404,6 +404,37 @@ object EventOps {
       |             RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // --------------------------------------- #88 skew-resilient join
+  /** Salted equi-join, gated on producing EXACTLY the plain join's result:
+    * the events fact (hot user keys) joins the customer dim through
+    * [[graft.ops.Skew.saltedJoin]] — skewed side salted by full-row hash,
+    * dim replicated over the salt domain, join on (key, salt) — then
+    * aggregates per segment. The salt changes only row DISTRIBUTION, so
+    * the DuckDB oracle is the unsalted join: any divergence (lost or
+    * duplicated rows from the salt plumbing) hash-fails.
+    *
+    * Scale posture: this is the pattern for hot keys too big for one
+    * reducer when the dim is too big to broadcast outright — the ×8
+    * replication costs 8·|dim| shuffled rows to buy per-key parallelism 8.
+    */
+  def skewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id").as("k"), cents(col("value")).as("v_c"))
+    val d = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("k"), col("c_mktsegment"))
+    graft.ops.Skew.saltedJoin(e, d, "k", 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("v_c")) / 100.0).as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  val skewJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_events,
+      |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // --------------------------------------- #84 window-function suite
   /** The navigation/distribution window-function surface in one pass:
     * lag/lead, running first_value, ntile quartiles, percent_rank and

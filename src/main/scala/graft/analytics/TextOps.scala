@@ -616,4 +616,69 @@ object TextOps {
       |       md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
       |                          '$PhoneRe', '<PHONE>', 'g')) AS scrub_hash
       |FROM corpus ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------ #87 count-min sketch (CMS)
+  private val CmsDepth = 4
+  private val CmsWidth = 512
+
+  /** #87 text_cms: count-min-sketch term frequencies, reported beside the
+    * exact counts for the corpus's top-50 terms (estimate ≥ exact always;
+    * `overcount` is the collision error the 4×512 sketch admits).
+    *
+    * Scale shape — the reason CMS exists: the sketch build shuffles only
+    * `depth × width` = 2048 CELL keys no matter how many tokens or
+    * distinct terms the corpus has (per-occurrence native `graft_polyhash`
+    * + universal-hash cell assignment are map-side, and the cell counts
+    * partial-aggregate before the shuffle). Cells are sums, so per-shard
+    * sketches merge by addition — the mergeable-summary contract. The
+    * exact top-50 here is the verification harness, not part of the
+    * sketch's cost.
+    */
+  def textCms(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.{GraftFunctions, Portable}
+    val js = sequence(lit(0L), lit(CmsDepth - 1L))
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val cells = toks
+      .select(GraftFunctions.polyhash(col("term")).as("h"))
+      .select(col("h"), explode(js).as("j"))
+      .select(col("j"), pmod(Portable.hashJ(col("h"), col("j")), lit(CmsWidth.toLong)).as("cell"))
+      .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
+    val top = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("term")).limit(50)
+    top
+      .select(col("term"), col("exact_cnt"),
+        GraftFunctions.polyhash(col("term")).as("h"))
+      .select(col("term"), col("exact_cnt"), col("h"), explode(js).as("j"))
+      .withColumn("cell", pmod(Portable.hashJ(col("h"), col("j")), lit(CmsWidth.toLong)))
+      .join(broadcast(cells), Seq("j", "cell"))
+      .groupBy("term", "exact_cnt")
+      .agg(min(col("cnt")).as("cms_estimate"))
+      .select(col("term"), col("exact_cnt"), col("cms_estimate"),
+        (col("cms_estimate") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("exact_cnt").desc, col("term"))
+  }
+
+  val textCmsSql: String = {
+    import graft.functions.Portable
+    s"""WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |hashed AS (SELECT ${Portable.polyHashSql("term")} AS h FROM toks),
+      |js AS (SELECT unnest(range($CmsDepth)) AS j),
+      |cells AS (
+      |  SELECT j, (${Portable.hashJSql("h", "j")}) % $CmsWidth AS cell,
+      |         count(*) AS cnt
+      |  FROM hashed CROSS JOIN js GROUP BY 1, 2),
+      |top AS (
+      |  SELECT term, count(*) AS exact_cnt FROM toks
+      |  GROUP BY term ORDER BY exact_cnt DESC, term LIMIT 50),
+      |th AS (SELECT term, exact_cnt, ${Portable.polyHashSql("term")} AS h FROM top)
+      |SELECT t.term, t.exact_cnt, min(c.cnt) AS cms_estimate,
+      |       min(c.cnt) - t.exact_cnt AS overcount
+      |FROM th t CROSS JOIN js
+      |JOIN cells c ON c.j = js.j AND c.cell = (${Portable.hashJSql("t.h", "js.j")}) % $CmsWidth
+      |GROUP BY t.term, t.exact_cnt
+      |ORDER BY exact_cnt DESC, term""".stripMargin
+  }
 }

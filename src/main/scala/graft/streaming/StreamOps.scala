@@ -234,4 +234,56 @@ object StreamOps {
           }
       }
   }
+
+  // ------------------------------------------- foreachBatch upsert sink
+  /** Highest committed (`_SUCCESS`-marked) `v=<n>` version directory of a
+    * versioned parquet table, if any. */
+  def latestVersionDir(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Option[org.apache.hadoop.fs.Path] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("v="))
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+      .sortBy(_.getName.drop(2).toLong).lastOption
+  }
+
+  /** One micro-batch of the upsert sink: merge the changelog batch with
+    * the current table version (latest-per-key, tombstones dropped) and
+    * commit it as `v=<batchId>`. Idempotent under foreachBatch replay —
+    * re-running a batch rewrites the same version directory.
+    */
+  def upsertBatch(batch: DataFrame, dir: String, batchId: Long,
+                  keyCols: Seq[String], versionCol: String,
+                  isDelete: org.apache.spark.sql.Column): Unit = {
+    val spark = batch.sparkSession
+    val merged = latestVersionDir(spark, dir)
+      .map(p => spark.read.parquet(p.toString).unionByName(batch))
+      .getOrElse(batch)
+    graft.ops.LatestState.snapshot(merged, keyCols, versionCol, isDelete)
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId")
+  }
+
+  /** Continuous upsert of an update-mode changelog into a parquet serving
+    * table via `foreachBatch` — the sink side of [[latestStateStream]].
+    * Every micro-batch commits a NEW `v=<batchId>` directory and readers
+    * resolve the highest `_SUCCESS`-marked version, so a reader never
+    * observes a half-written table (the same version-then-swap discipline
+    * as the compaction staging zone).
+    *
+    * Tombstone shadowing of LATE arrivals is the upstream changelog's job
+    * ([[latestStateStream]] keeps tombstones in state and re-emits); this
+    * sink drops them from the serving table.
+    */
+  def upsertSink(changes: DataFrame, dir: String, checkpointDir: String,
+                 keyCols: Seq[String], versionCol: String,
+                 isDelete: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        upsertBatch(b.toDF(), dir, id, keyCols, versionCol, isDelete))
 }

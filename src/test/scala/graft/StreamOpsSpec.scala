@@ -183,4 +183,42 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(spark.table("sessions").filter(col("user_id") === 1).count() == 1)
     } finally q.stop()
   }
+
+  test("foreachBatch upsert sink maintains a versioned serving table") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = SparkTestSession.tempDir("upsert-table")
+    val ckpt = SparkTestSession.tempDir("upsert-ckpt")
+    val in = MemoryStream[StreamOps.KeyedOp]
+    val changes = StreamOps.latestStateStream(in.toDS())
+      .toDF("key", "op_index", "payload", "deleted")
+    val q = StreamOps.upsertSink(changes, dir, ckpt,
+      keyCols = Seq("key"), versionCol = "op_index",
+      isDelete = col("deleted")).start()
+    try {
+      in.addData(
+        StreamOps.KeyedOp("a", 1, "put", "a1"),
+        StreamOps.KeyedOp("b", 2, "put", "b2"))
+      q.processAllAvailable()
+      val v1 = StreamOps.latestVersionDir(spark, dir)
+      assert(v1.isDefined, "first batch must commit a version")
+      val t1 = spark.read.parquet(v1.get.toString)
+        .select("key", "payload").as[(String, String)].collect().toMap
+      assert(t1 == Map("a" -> "a1", "b" -> "b2"))
+
+      // update a, delete b, add c → new version, old version still intact
+      in.addData(
+        StreamOps.KeyedOp("a", 3, "put", "a3"),
+        StreamOps.KeyedOp("b", 9, "delete", ""),
+        StreamOps.KeyedOp("c", 5, "put", "c5"))
+      q.processAllAvailable()
+      val v2 = StreamOps.latestVersionDir(spark, dir)
+      assert(v2.isDefined && v2.get != v1.get, "second batch commits a NEW version")
+      val t2 = spark.read.parquet(v2.get.toString)
+        .select("key", "payload").as[(String, String)].collect().toMap
+      assert(t2 == Map("a" -> "a3", "c" -> "c5"), s"bad serving state: $t2")
+      // time travel: the previous committed version is still readable
+      assert(spark.read.parquet(v1.get.toString).count() == 2)
+    } finally q.stop()
+  }
 }
