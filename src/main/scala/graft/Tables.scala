@@ -50,4 +50,20 @@ object Tables {
     * DuckDB result frames).
     */
   def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  val All: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view and the `graft_*` functions, so a
+    * session can drive the whole engine from plain `spark.sql(...)` — the
+    * surface a SQL-only user of the reference engine lands on. Views are
+    * lazy (no scan happens here) and inherit full pushdown/pruning.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    All.foreach { t =>
+      val df = if (t == "events") events(spark, sfDir) else load(spark, sfDir, t)
+      df.createOrReplaceTempView(t)
+    }
+    graft.functions.GraftFunctions.register(spark)
+  }
 }

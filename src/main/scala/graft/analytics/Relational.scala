@@ -821,4 +821,118 @@ object Relational {
       |SELECT stratum, count(*) AS n_customers,
       |       min(c) AS min_custkey, max(c) AS max_custkey
       |FROM tagged GROUP BY stratum ORDER BY stratum""".stripMargin
+
+  // ------------------------------------- #89 scan-only aggregate (Q6)
+  /** TPC-H Q6 shape: forecast-revenue — a pure filter+aggregate with NO
+    * join at all. The value of the shape is what the plan must look like:
+    * every predicate (date range, discount band, quantity cap) reaches
+    * the parquet scan as a pushed filter, the projection reads 4 columns,
+    * and the single scalar aggregate partial-aggregates map-side — at
+    * 100 TB this query's cost is the pruned scan and nothing else.
+    */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24.0)
+      .select((cents(col("l_extendedprice")) * cents(col("l_discount"))).as("rev_c4"))
+      .agg((coalesce(sum(col("rev_c4")), lit(0L)) / 10000.0).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val forecastRevenueSql: String =
+    """SELECT CAST(coalesce(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |                         * CAST(round(l_discount*100) AS BIGINT)), 0) AS BIGINT)
+      |         / 10000.0 AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24.0""".stripMargin
+
+  // ----------------------------------- #90 returned-items top-k (Q10)
+  /** TPC-H Q10 shape: revenue lost to returns per customer in one
+    * quarter, with nation context, top-20. The orders date filter and the
+    * returnflag filter both push to their scans; the join order reduces
+    * the fact table first (flag-filtered lineitem ⋈ date-filtered orders),
+    * then resolves the customer/nation dims broadcast; top-k is
+    * TakeOrderedAndProject.
+    */
+  def returnedTop(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_c4"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-04-01"))
+      .select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+        cents(col("c_acctbal")).as("bal_c"))
+      .agg(sum(col("rev_c4")).as("rev_c4"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        (col("bal_c") / 100.0).as("acctbal"),
+        (col("rev_c4") / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val returnedTopSql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |       CAST(round(c_acctbal*100) AS BIGINT)/100.0 AS acctbal,
+      |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS revenue
+      |FROM lineitem, orders, customer, nation
+      |WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+      |  AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name, c_acctbal
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // ------------------------------- #91 global-share HAVING (Q11 shape)
+  /** TPC-H Q11 shape (adapted: part value observed through lineitems):
+    * parts whose traded value exceeds a fixed fraction (0.1%) of the
+    * global traded value — a grouped aggregate filtered by a scalar
+    * aggregate over the SAME aggregation, i.e. GROUP BY ... HAVING
+    * sum(x) > f · (SELECT sum(x)).
+    *
+    * Scale shape: the per-part aggregation is the only fact shuffle; the
+    * global total re-aggregates the per-part result (tiny), broadcasts
+    * back as a one-row join, and the HAVING filter runs post-join — the
+    * fact table is scanned ONCE (the per-part frame is checkpointed
+    * before fan-out, so the scalar branch reuses it instead of
+    * re-scanning).
+    */
+  def importantParts(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        (cents(col("l_extendedprice")) * cents(col("l_quantity"))).as("val_c4"))
+      .groupBy("l_partkey")
+      .agg(sum(col("val_c4")).as("part_val_c4"))
+      .localCheckpoint()
+    val total = perPart.agg(sum(col("part_val_c4")).as("total_c4"))
+    perPart.join(broadcast(total))
+      .filter(col("part_val_c4") * 1000L > col("total_c4"))
+      .select(col("l_partkey"), (col("part_val_c4") / 10000.0).as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  val importantPartsSql: String =
+    """WITH pp AS (
+      |  SELECT l_partkey,
+      |         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |                  * CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS part_val_c4
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT l_partkey, part_val_c4/10000.0 AS part_value
+      |FROM pp
+      |WHERE part_val_c4 * 1000 > (SELECT sum(part_val_c4) FROM pp)
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
 }
