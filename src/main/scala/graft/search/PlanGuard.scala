@@ -1,0 +1,70 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Admission control for user-supplied queries.
+  *
+  * The search surface accepts arbitrary WHERE clauses
+  * ([[MetadataSearch]]), and at 100 TB the difference between a keyed
+  * lookup and a typo'd cross join is a cluster-day. The guard audits the
+  * PHYSICAL plan before execution — what Catalyst actually decided, not
+  * what the query text suggests — and rejects:
+  *
+  *  - cartesian products / nested-loop joins (a join that degenerated
+  *    because its condition didn't survive as an equi-join);
+  *  - scans whose total input size exceeds a byte budget;
+  *  - full-table scans that reached the reader with NO pushed data filter
+  *    and NO partition filter (the signature of a predicate that failed
+  *    to push — e.g. a cast or UDF wrapping the filter column).
+  *
+  * The audit walks `sparkPlan` (pre-AQE: admission happens before
+  * runtime re-planning) including subquery plans. Deliberately a
+  * standalone gate, not wired into the analytics API — `knn_brute`'s
+  * broadcast-nested-loop scan is intentional there.
+  */
+object PlanGuard {
+
+  final case class Audit(
+      cartesian: Boolean,
+      nestedLoop: Boolean,
+      scanBytes: BigInt,
+      unfilteredScans: Seq[String]) {
+    def ok(maxScanBytes: BigInt, allowUnfiltered: Boolean): Boolean =
+      !cartesian && !nestedLoop && scanBytes <= maxScanBytes &&
+        (allowUnfiltered || unfilteredScans.isEmpty)
+  }
+
+  def audit(df: DataFrame): Audit = {
+    val plan: SparkPlan = df.queryExecution.sparkPlan
+    val nodes = plan.collectWithSubqueries { case p => p }
+    val scans = nodes.collect { case f: FileSourceScanExec => f }
+    Audit(
+      cartesian = nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      nestedLoop = nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      scanBytes = scans.map(s => BigInt(s.relation.location.sizeInBytes)).sum,
+      unfilteredScans = scans
+        .filter(s => s.dataFilters.isEmpty && s.partitionFilters.isEmpty)
+        .map(_.relation.location.rootPaths.mkString(",")))
+  }
+
+  /** Throw before any task launches if the plan violates the budget.
+    * Returns `df` unchanged when admitted, so it chains into the query
+    * path: `PlanGuard.admit(search(q))`.
+    */
+  def admit(df: DataFrame, maxScanBytes: BigInt = BigInt(Long.MaxValue),
+            allowUnfiltered: Boolean = true): DataFrame = {
+    val a = audit(df)
+    if (a.cartesian || a.nestedLoop)
+      throw new IllegalStateException(
+        s"PlanGuard: rejected non-equi join (cartesian=${a.cartesian}, nestedLoop=${a.nestedLoop})")
+    if (a.scanBytes > maxScanBytes)
+      throw new IllegalStateException(
+        s"PlanGuard: plan scans ${a.scanBytes} bytes, budget $maxScanBytes")
+    if (!allowUnfiltered && a.unfilteredScans.nonEmpty)
+      throw new IllegalStateException(
+        s"PlanGuard: full scans without pushed filters: ${a.unfilteredScans.mkString("; ")}")
+    df
+  }
+}
