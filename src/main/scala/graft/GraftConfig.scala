@@ -16,6 +16,10 @@ package graft
   *                        tolerance; see [[graft.compact.Compactor]])
   * @param kafkaBootstrap  Kafka bootstrap servers; empty → file journal
   * @param kafkaTopic      Kafka topic carrying the metadata journal
+  * @param maxSearchScanBytes admission budget for one search's scan
+  *                        footprint; 0 disables the [[graft.search.PlanGuard]]
+  *                        gate (cartesian/nested-loop joins are still
+  *                        rejected whenever the gate is on)
   */
 case class GraftConfig(landingDir: String, stagingDir: String,
                        checkpointDir: String,
@@ -24,9 +28,11 @@ case class GraftConfig(landingDir: String, stagingDir: String,
                        excludeBucket: String = "",
                        purgeToleranceMs: Long = 0L,
                        kafkaBootstrap: String = "",
-                       kafkaTopic: String = "") {
+                       kafkaTopic: String = "",
+                       maxSearchScanBytes: Long = 0L) {
   require(groupInterval > 0, "groupInterval must be positive")
   require(purgeToleranceMs >= 0, "purgeToleranceMs must be non-negative")
+  require(maxSearchScanBytes >= 0, "maxSearchScanBytes must be non-negative")
 }
 
 object GraftConfig {
@@ -51,6 +57,7 @@ object GraftConfig {
       excludeBucket = props.getProperty("graft.exclude.bucket", ""),
       purgeToleranceMs = props.getProperty("graft.purge.tolerance.ms", "0").toLong,
       kafkaBootstrap = props.getProperty("graft.kafka.bootstrap", ""),
-      kafkaTopic = props.getProperty("graft.kafka.topic", ""))
+      kafkaTopic = props.getProperty("graft.kafka.topic", ""),
+      maxSearchScanBytes = props.getProperty("graft.search.max.scan.bytes", "0").toLong)
   }
 }

@@ -32,8 +32,17 @@ class GraftEngine(spark: SparkSession, val config: GraftConfig) {
       IngestPipeline.fileJournalStream(spark, inputDir, config.landingDir,
         config.checkpointDir, trigger, config.excludeBucket, config.groupInterval)
 
-  /** Search the live snapshot (landing ∪ staging merged per call). */
-  def search(q: SearchQuery): DataFrame = searcher.search(q)
+  /** Search the live snapshot (landing ∪ staging merged per call).
+    * With `maxSearchScanBytes` configured, the plan is audited BEFORE any
+    * task launches ([[graft.search.PlanGuard]]) so a degenerate predicate
+    * fails fast instead of scanning the world.
+    */
+  def search(q: SearchQuery): DataFrame = {
+    val df = searcher.search(q)
+    if (config.maxSearchScanBytes > 0)
+      graft.search.PlanGuard.admit(df, BigInt(config.maxSearchScanBytes))
+    else df
+  }
 
   /** Search against the TTL-cached materialized snapshot of the bucket —
     * the hot-bucket path (reference: SessionCacheManager): repeated

@@ -124,5 +124,12 @@ class GraftEngineSpec extends AnyFunSuite {
       .filter(_.startsWith("opGroup="))
     assert(left == Seq("opGroup=120"))
     assert(new java.io.File(s"${cfg.stagingDir}/bucket=eb").exists())
+
+    // admission budget: the same search under a 1-byte scan budget is
+    // rejected before any task launches; a sane budget admits
+    val tight = new GraftEngine(spark, cfg.copy(maxSearchScanBytes = 1L))
+    intercept[IllegalStateException](tight.search(q))
+    val roomy = new GraftEngine(spark, cfg.copy(maxSearchScanBytes = Long.MaxValue))
+    assert(roomy.search(q).select("key").as[String].collect().toSeq == direct)
   }
 }
