@@ -404,6 +404,56 @@ object EventOps {
       |             RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------ #92 exact percentiles at scale
+  /** Exact nearest-rank percentiles (p50/p95/p99) of event value per
+    * event type — HISTOGRAM form: aggregate to (type, value)→count first,
+    * then one cumulative window over the distinct values picks the
+    * smallest value whose cumulative count reaches ⌈p·n⌉.
+    *
+    * Two properties matter at 100 TB: the heavy shuffle carries only the
+    * distinct (type, value-cents) histogram (bounded by value domain, not
+    * event count — same trick as `text_length_median`), and nearest-rank
+    * on integer cents is interpolation-free, so there is no float formula
+    * to diverge between engines (`percentile_cont`'s lerp is last-bit
+    * engine-dependent).
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(spark, dir)
+      .select(col("event_type"), cents(col("value")).as("v_c"))
+      .groupBy("event_type", "v_c").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("v_c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("event_type")))
+    def pick(p: Double) =
+      min(when(col("cum") * 100L >= ceil(lit(p * 100) * col("n")), col("v_c")))
+    cum.groupBy("event_type")
+      .agg((pick(0.50) / 100.0).as("p50"),
+        (pick(0.95) / 100.0).as("p95"),
+        (pick(0.99) / 100.0).as("p99"),
+        max(col("n")).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  val percentilesSql: String =
+    """WITH hist AS (
+      |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS v_c,
+      |         count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, v_c,
+      |         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v_c
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |         CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM hist)
+      |SELECT event_type,
+      |       min(CASE WHEN cum * 100 >= ceil(50.0 * n) THEN v_c END)/100.0 AS p50,
+      |       min(CASE WHEN cum * 100 >= ceil(95.0 * n) THEN v_c END)/100.0 AS p95,
+      |       min(CASE WHEN cum * 100 >= ceil(99.0 * n) THEN v_c END)/100.0 AS p99,
+      |       max(n) AS n_events
+      |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --------------------------------------- #88 skew-resilient join
   /** Salted equi-join, gated on producing EXACTLY the plain join's result:
     * the events fact (hot user keys) joins the customer dim through

@@ -617,6 +617,70 @@ object TextOps {
       |                          '$PhoneRe', '<PHONE>', 'g')) AS scrub_hash
       |FROM corpus ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------- #93 LM-table fluency score
+  private val LmVocabSize = 1000
+
+  /** #93 text_lm_score: n-gram-LM-style fluency filter without floats —
+    * the corpus's top-1000 bigram table stands in for the language model,
+    * and each document scores the FRACTION of its bigram occurrences
+    * found in the table (the KenLM-perplexity-filter shape, but as an
+    * exact integer ratio instead of engine-dependent log-prob sums).
+    *
+    * Scale shape: the vocab is built once (bigram histogram shuffle,
+    * map-side combined; deterministic count-desc/gram-asc top-k) and
+    * BROADCASTS into the per-doc membership join, so the corpus-side scan
+    * shuffles only (doc_id → partial counts). Docs shorter than 2 tokens
+    * score 0 explicitly — no 0/0 division reaches either engine.
+    */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val toks = split(col("text"), " ")
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.ngrams(toks, 2, distinct = false))
+          .as("gram"))
+    val vocab = grams.groupBy("gram").agg(count(lit(1)).as("gf"))
+      .orderBy(col("gf").desc, col("gram")).limit(LmVocabSize)
+      .select(col("gram"), lit(1).as("in_vocab"))
+    val perDoc = grams.join(broadcast(vocab), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        coalesce(sum(col("in_vocab")), lit(0L)).as("n_in_vocab"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_in_vocab"), lit(0L)).as("n_in_vocab"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          round(col("n_in_vocab") / col("n_bigrams"), 6)).otherwise(0.0)
+          .as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  val textLmScoreSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |         unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS gram
+      |  FROM t),
+      |vocab AS (
+      |  SELECT gram, 1 AS in_vocab FROM (
+      |    SELECT gram, count(*) AS gf FROM grams GROUP BY gram
+      |    ORDER BY gf DESC, gram LIMIT $LmVocabSize)),
+      |per_doc AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |         coalesce(CAST(sum(in_vocab) AS BIGINT), 0) AS n_in_vocab
+      |  FROM grams LEFT JOIN vocab USING (gram)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       coalesce(p.n_bigrams, 0) AS n_bigrams,
+      |       coalesce(p.n_in_vocab, 0) AS n_in_vocab,
+      |       CASE WHEN coalesce(p.n_bigrams, 0) > 0
+      |            THEN round(p.n_in_vocab / p.n_bigrams, 6) ELSE 0.0 END AS lm_score
+      |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------ #87 count-min sketch (CMS)
   private val CmsDepth = 4
   private val CmsWidth = 512
