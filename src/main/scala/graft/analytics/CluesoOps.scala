@@ -175,6 +175,42 @@ object CluesoOps {
       |WHERE object_key > '5:'
       |ORDER BY object_key LIMIT 50""".stripMargin
 
+  /** #94 list_objects: S3 ListObjectsV2 prefix/delimiter semantics over
+    * the live snapshot — the bread-and-butter call of an object-metadata
+    * engine's console. Keys sharing a delimiter-bounded prefix collapse
+    * to ONE `common_prefix` row (with its key count); the drill-down into
+    * one prefix lists leaf objects. Both pages of the browsing flow in
+    * one gated result.
+    *
+    * Scale shape: the rollup is a groupBy on the derived prefix (map-side
+    * combined — a prefix with 10M keys shuffles one partial row per map
+    * task), and the drill-down predicate is a prefix range the scan can
+    * serve; neither pass sorts the full keyspace.
+    */
+  def listObjects(spark: SparkSession, dir: String): DataFrame = {
+    val snap = mvccSnapshotCore(spark, dir).select("object_key")
+    val prefixes = snap
+      .select(concat(substring_index(col("object_key"), ":", 1), lit(":")).as("name"))
+      .groupBy("name").agg(count(lit(1)).as("n_keys"))
+      .select(lit("common_prefix").as("stratum"), col("name"), col("n_keys"))
+    val drill = snap.filter(col("object_key").startsWith("42:"))
+      .select(lit("object").as("stratum"), col("object_key").as("name"),
+        lit(1L).as("n_keys"))
+    prefixes.unionByName(drill).orderBy("stratum", "name")
+  }
+
+  val listObjectsSql: String =
+    s"""WITH snap AS (
+      |  SELECT object_key FROM (${mvccSnapshotSql.replace("ORDER BY object_key", "")}) s)
+      |SELECT * FROM (
+      |  SELECT 'common_prefix' AS stratum,
+      |         split_part(object_key, ':', 1) || ':' AS name,
+      |         count(*) AS n_keys
+      |  FROM snap GROUP BY name
+      |  UNION ALL
+      |  SELECT 'object', object_key, 1 FROM snap WHERE object_key LIKE '42:%') t
+      |ORDER BY stratum, name""".stripMargin
+
   /** #4 ingest_parse: JSON payload parse + typed extraction + garbage/
     * system-topic filtering (the gate-able core of [[graft.ingest.EventParser]]).
     */
