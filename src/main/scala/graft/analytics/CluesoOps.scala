@@ -211,6 +211,38 @@ object CluesoOps {
       |  SELECT 'object', object_key, 1 FROM snap WHERE object_key LIKE '42:%') t
       |ORDER BY stratum, name""".stripMargin
 
+  /** #95 list_versions: S3 ListObjectVersions semantics — the FULL
+    * version history per key (the snapshot's complement: nothing merged
+    * away), newest first, with `is_latest` and delete markers flagged.
+    * The version rank is one window per key partition; a single shuffle
+    * on `object_key`, then per-partition ordered scans — the same page a
+    * versioned bucket's console shows.
+    */
+  def listVersions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("object_key").orderBy(col("event_id").desc)
+    opLog(spark, dir)
+      .filter(col("object_key") <= lit("11:")) // one console page of keys
+      .withColumn("version_rank", row_number().over(w))
+      .select(col("object_key"), col("event_id").as("version_id"),
+        col("version_rank"),
+        (col("version_rank") === 1).cast("int").as("is_latest"),
+        (col("event_type") === "error").cast("int").as("is_delete_marker"),
+        (col("v_c") / 100.0).as("value"))
+      .orderBy("object_key", "version_rank")
+  }
+
+  val listVersionsSql: String =
+    s"""WITH ev AS (
+      |$opLogSql)
+      |SELECT object_key, event_id AS version_id,
+      |       row_number() OVER (PARTITION BY object_key ORDER BY event_id DESC) AS version_rank,
+      |       CAST(row_number() OVER (PARTITION BY object_key ORDER BY event_id DESC) = 1 AS INT) AS is_latest,
+      |       CAST(event_type = 'error' AS INT) AS is_delete_marker,
+      |       v_c/100.0 AS value
+      |FROM ev WHERE object_key <= '11:'
+      |ORDER BY object_key, version_rank""".stripMargin
+
   /** #4 ingest_parse: JSON payload parse + typed extraction + garbage/
     * system-topic filtering (the gate-able core of [[graft.ingest.EventParser]]).
     */
