@@ -42,13 +42,21 @@ class CurationPipeline(spark: SparkSession, corpusDir: String) {
   }
 
   /** The curated corpus: exact dups out, near-dup losers out, quality
-    * floor applied. */
-  def curated(minQuality: Double = 0.0): DataFrame = {
+    * floor applied, and (when `minLmScore` > 0) the LM-table fluency
+    * floor ([[TextOps.textLmScore]]) on top — the KenLM-filter stage of
+    * a production curation chain. */
+  def curated(minQuality: Double = 0.0, minLmScore: Double = 0.0,
+              lmVocabSize: Int = 1000): DataFrame = {
     val docs = Tables.documents(spark, corpusDir)
     val drop = exactDupIds().unionByName(nearDupIds()).distinct()
-    docs.join(drop, Seq("doc_id"), "left_anti")
+    val base = docs.join(drop, Seq("doc_id"), "left_anti")
       .join(TextOps.textQuality(spark, corpusDir).select("doc_id", "quality"), "doc_id")
       .filter(col("quality") >= minQuality)
+    if (minLmScore <= 0.0) base
+    else base
+      .join(TextOps.textLmScore(spark, corpusDir, lmVocabSize)
+        .select("doc_id", "lm_score"), "doc_id")
+      .filter(col("lm_score") >= minLmScore)
   }
 
   /** Run the pipeline: write the curated corpus (partitioned by lang) and

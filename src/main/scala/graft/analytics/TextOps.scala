@@ -632,7 +632,13 @@ object TextOps {
     * shuffles only (doc_id → partial counts). Docs shorter than 2 tokens
     * score 0 explicitly — no 0/0 division reaches either engine.
     */
-  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+  def textLmScore(spark: SparkSession, dir: String): DataFrame =
+    textLmScore(spark, dir, LmVocabSize)
+
+  /** [[textLmScore]] with a caller-chosen vocabulary size (a corpus-
+    * relative filter needs |vocab| ≪ |distinct bigrams| to discriminate —
+    * the default 1000 suits real corpora, tests shrink it). */
+  def textLmScore(spark: SparkSession, dir: String, vocabSize: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val toks = split(col("text"), " ")
     val grams = Tables.documents(spark, dir)
@@ -640,7 +646,7 @@ object TextOps {
         explode(graft.functions.GraftFunctions.ngrams(toks, 2, distinct = false))
           .as("gram"))
     val vocab = grams.groupBy("gram").agg(count(lit(1)).as("gf"))
-      .orderBy(col("gf").desc, col("gram")).limit(LmVocabSize)
+      .orderBy(col("gf").desc, col("gram")).limit(vocabSize)
       .select(col("gram"), lit(1).as("in_vocab"))
     val perDoc = grams.join(broadcast(vocab), Seq("gram"), "left")
       .groupBy("doc_id")

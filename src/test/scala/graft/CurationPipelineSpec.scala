@@ -17,7 +17,10 @@ class CurationPipelineSpec extends AnyFunSuite {
       (2L, rich, "en"),
       (3L, rich + " again and again it runs through the green field", "en"),
       (4L, "x9 z7 q2", "en"),
-      (5L, "it is a fine day and the people walk in the old town to see the market", "en"))
+      // unique doc phrased from recurring corpus bigrams (shares 2-grams
+      // with `rich` but its 3-gram Jaccard stays ~0.26, under the 0.5
+      // near-dup confirm) — the "fluent" probe for the LM floor below
+      (5L, "the quick brown fox rests while the lazy dog naps near the misty river today", "en"))
     val dir = SparkTestSession.tempDir("curation")
     docs.toDF("doc_id", "text", "lang")
       .withColumn("source", lit("t"))
@@ -44,5 +47,16 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(keptIds.contains(5L))
     // lang partitioning present on disk
     assert(new java.io.File(out).list().exists(_.startsWith("lang=")))
+
+    // LM-fluency floor stacks on top. The vocab is corpus-relative, so a
+    // discriminating test needs |vocab| ≪ |distinct bigrams|: with the
+    // vocab capped to the REPEATED bigrams (count ≥ 2 ≈ the duplicated
+    // passages), doc 4's one-off gibberish bigrams score 0 while doc 5 —
+    // unique, but phrased from recurring corpus bigrams — scores high.
+    val fluent = pipe.curated(minQuality = 0.0, minLmScore = 0.3,
+        lmVocabSize = 24)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!fluent.contains(4L), "gibberish doc must fail the LM floor")
+    assert(fluent.contains(5L), "fluent doc must pass the LM floor")
   }
 }
