@@ -404,6 +404,53 @@ object EventOps {
       |             RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // --------------------------------- #96 native session_window operator
+  /** Gap sessionization through Spark's NATIVE `session_window` aggregate
+    * (the mechanism streaming session aggs use), proven equivalent to the
+    * lag+cumsum formulation by the oracle: DuckDB recomputes the sessions
+    * classically and must agree on every boundary. Session windows are
+    * half-open — an event exactly `gap` after the last one opens a NEW
+    * session, so the oracle's new-session predicate is `gap >= 1800`,
+    * and `session_window.end` is `last event + gap`.
+    *
+    * Scale shape: one shuffle on `user_id` and a single per-partition
+    * merge pass — no window-function sort followed by a regroup, which is
+    * what the lag+cumsum form costs.
+    */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    withSec(Tables.events(spark, dir))
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts_sec"),
+        cents(col("value")).as("v_c"))
+      .groupBy(col("user_id"), session_window(col("ts_sec"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), (sum(col("v_c")) / 100.0).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("end_ts"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_ts")
+  }
+
+  val sessionWindowSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts)//1000000000 AS sec, event_id,
+      |         CAST(round(value*100) AS BIGINT) AS v_c
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+      |                   OR sec - lag(sec) OVER w >= 1800 THEN 1 ELSE 0 END AS ns
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |sess AS (
+      |  SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM flagged)
+      |SELECT user_id,
+      |       strftime(make_timestamp(min(sec)*1000000), '%Y-%m-%d %H:%M:%S') AS start_ts,
+      |       strftime(make_timestamp((max(sec)+1800)*1000000), '%Y-%m-%d %H:%M:%S') AS end_ts,
+      |       count(*) AS n_events,
+      |       CAST(sum(v_c) AS BIGINT)/100.0 AS sum_value
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, start_ts""".stripMargin
+
   // ------------------------------------ #92 exact percentiles at scale
   /** Exact nearest-rank percentiles (p50/p95/p99) of event value per
     * event type — HISTOGRAM form: aggregate to (type, value)→count first,
