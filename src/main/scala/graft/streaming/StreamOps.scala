@@ -235,6 +235,25 @@ object StreamOps {
       }
   }
 
+  // -------------------------------------- native streaming session agg
+  /** Built-in streaming session windows (`session_window` + watermark) —
+    * the declarative counterpart of [[sessionize]]'s custom-state
+    * implementation. State is one open session per key, merged as events
+    * arrive and finalized (append mode) when the watermark passes the
+    * session's close; no user state-management code to get wrong.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        org.apache.spark.sql.functions.session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   // ------------------------------------------- foreachBatch upsert sink
   /** Highest committed (`_SUCCESS`-marked) `v=<n>` version directory of a
     * versioned parquet table, if any. */

@@ -184,6 +184,35 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native streaming session_window agg merges gaps and emits on watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = in.toDF().toDF("user_id", "ts", "value")
+    val q = StreamOps.sessionWindowAgg(events, gap = "30 minutes",
+      watermark = "1 hour")
+      .writeStream.format("memory").queryName("swagg")
+      .outputMode("append").start()
+    try {
+      // user 1: 60 + 65 min (one session); user 2: 61 min
+      in.addData((1L, ts(60), 1.0), (1L, ts(65), 2.0), (2L, ts(61), 7.0))
+      q.processAllAvailable()
+      assert(spark.table("swagg").count() == 0, "sessions still open")
+      // advance the watermark far past session closes
+      in.addData((9L, ts(600), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("swagg")
+        .select(col("user_id"), col("n_events"), col("sum_value"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == Set((1L, 2L, 3.0), (2L, 1L, 7.0)), s"got $got")
+      // the merged session spans first event .. last event + gap
+      val span = spark.table("swagg").filter(col("user_id") === 1)
+        .select(col("session_start"), col("session_end"))
+        .as[(java.sql.Timestamp, java.sql.Timestamp)].head()
+      assert(span._1 == ts(60) && span._2 == ts(95))
+    } finally q.stop()
+  }
+
   test("windowed agg restarts from its checkpoint without loss or duplication") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
