@@ -822,6 +822,74 @@ object Relational {
       |       min(c) AS min_custkey, max(c) AS max_custkey
       |FROM tagged GROUP BY stratum ORDER BY stratum""".stripMargin
 
+  // ----------------------------------------------- #97 UNPIVOT surface
+  /** UNPIVOT (melt): the wide aggregate's measure columns rotated into
+    * (measure, value) rows — [[pivotAgg]]'s inverse, via the native
+    * `Dataset.unpivot` operator (plans as one Expand over the aggregate,
+    * no join or union of re-scans). The oracle expresses the same rotate
+    * as a UNION ALL, pinning the row multiplication semantics.
+    */
+  def unpivotAgg(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), cents(col("l_quantity")).as("qty_c"),
+        cents(col("l_extendedprice")).as("price_c"))
+      .groupBy("l_returnflag")
+      .agg(sum(col("qty_c")).as("sum_qty_c"),
+        sum(col("price_c")).as("sum_price_c"),
+        count(lit(1)).as("n_rows"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty_c"), col("sum_price_c"), col("n_rows")),
+        "measure", "value")
+      .orderBy("l_returnflag", "measure")
+  }
+
+  val unpivotAggSql: String =
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |         CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)      AS sum_qty_c,
+      |         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+      |         count(*) AS n_rows
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, measure, value FROM (
+      |  SELECT l_returnflag, 'sum_qty_c' AS measure, sum_qty_c AS value FROM wide
+      |  UNION ALL
+      |  SELECT l_returnflag, 'sum_price_c', sum_price_c FROM wide
+      |  UNION ALL
+      |  SELECT l_returnflag, 'n_rows', n_rows FROM wide) t
+      |ORDER BY l_returnflag, measure""".stripMargin
+
+  // ------------------------------------------ #98 LATERAL top-n-per-key
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — "each nation's
+    * two richest customers" as a user would write it in SQL. Catalyst
+    * decorrelates the per-row subquery into one distributed rank (no
+    * per-nation re-execution), which is exactly what must happen for the
+    * construct to survive 25 nations → 25M correlation keys.
+    */
+  def lateralTopN(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_lat")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_lat")
+    spark.sql(
+      """SELECT n_name, c_custkey, acctbal
+        |FROM nation_lat,
+        |LATERAL (SELECT c_custkey,
+        |                CAST(round(c_acctbal*100) AS BIGINT)/100.0D AS acctbal
+        |         FROM customer_lat
+        |         WHERE c_nationkey = n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+        |ORDER BY n_name, acctbal DESC, c_custkey""".stripMargin)
+  }
+
+  val lateralTopNSql: String =
+    """SELECT n_name, c_custkey, acctbal
+      |FROM nation,
+      |LATERAL (SELECT c_custkey,
+      |                CAST(round(c_acctbal*100) AS BIGINT)/100.0 AS acctbal
+      |         FROM customer
+      |         WHERE c_nationkey = n_nationkey
+      |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      |ORDER BY n_name, acctbal DESC, c_custkey""".stripMargin
+
   // ------------------------------------- #89 scan-only aggregate (Q6)
   /** TPC-H Q6 shape: forecast-revenue — a pure filter+aggregate with NO
     * join at all. The value of the shape is what the plan must look like:
