@@ -84,6 +84,17 @@ object Formats {
     df.cache().filter(col(CorruptCol).isNotNull).select(col(CorruptCol))
   }
 
+  /** Parquet read that survives corrupt/truncated files: at 100 TB and
+    * billions of objects, a handful of bad files is a WHEN, not an IF,
+    * and the default behavior (fail the whole multi-hour scan on one bad
+    * footer) is operationally wrong for batch analytics. Scoped to this
+    * read (an option, not a session conf) so correctness-critical paths
+    * keep failing loudly. Skipped files surface in Spark's scan metrics;
+    * callers needing an audit should reconcile row counts upstream.
+    */
+  def readParquetLenient(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("ignoreCorruptFiles", "true").parquet(path)
+
   /** Rows that parsed cleanly, with the capture column dropped.
     *
     * Caveat (same Spark restriction as [[corruptRows]]): a bare

@@ -84,4 +84,20 @@ class FormatsSpec extends AnyFunSuite {
     assert(Formats.corruptRows(readBack).count() == 2)
     readBack.unpersist()
   }
+
+  test("lenient parquet read skips a corrupt file instead of failing the scan") {
+    val dir = tmp("graft_lenient")
+    val src = Tables.nation(spark, sf)
+    src.coalesce(1).write.mode("overwrite").parquet(dir)
+    // drop a truncated garbage "parquet" file into the dataset
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/part-corrupt.snappy.parquet"),
+      "PAR1 this is not a real footer".getBytes)
+    // default read fails loudly...
+    intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(dir).count()
+    }
+    // ...the lenient read returns every row of the intact files
+    assert(Formats.readParquetLenient(spark, dir).count() == src.count())
+  }
 }
