@@ -25,10 +25,27 @@ object IngestPipeline {
 
   private val rawSchema = new StructType().add("value", StringType)
 
-  /** Shared landing sink for every source variant. */
+  /** Name under which [[writeLanding]] publishes per-batch data-quality
+    * metrics (rows written, delete-marker share) — read them from
+    * `StreamingQueryProgress.observedMetrics`. */
+  val ObservedMetricsName = "graft_ingest"
+
+  /** Shared landing sink for every source variant. The `observe` call
+    * attaches data-quality counters to the SAME pass that writes the
+    * batch — no second job, no sampling — surfaced per micro-batch in
+    * the query's progress events (the streaming face of the
+    * SearchMetricsSource counters).
+    */
   private def writeLanding(parsed: DataFrame, landingDir: String,
                            checkpointDir: String, trigger: Trigger): StreamingQuery =
-    parsed.writeStream
+    parsed
+      .observe(ObservedMetricsName,
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows_written"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.when(col("type") === "delete", 1))
+          .as("delete_markers"))
+      .writeStream
       .trigger(trigger)
       .outputMode(OutputMode.Append())
       .format("parquet")

@@ -24,6 +24,12 @@ class IngestPipelineSpec extends AnyFunSuite {
     val q = IngestPipeline.fileJournalStream(spark, in, landing, ckpt,
       groupInterval = 50L)
     q.awaitTermination()
+    // data-quality counters ride the write pass itself (observe API):
+    // the batch's progress event carries rows_written / delete_markers
+    val observed = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get(IngestPipeline.ObservedMetricsName)))
+    assert(observed.nonEmpty, "ingest batch must publish observed metrics")
+    assert(observed.map(_.getAs[Long]("rows_written")).sum == 80)
     val landed = spark.read.parquet(landing)
     assert(landed.count() == 80)
     assert(landed.select("bucket").distinct().as[String].collect().toSeq == Seq("sb"))
