@@ -890,6 +890,37 @@ object Relational {
       |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
       |ORDER BY n_name, acctbal DESC, c_custkey""".stripMargin
 
+  // ------------------------------------------ #99 recursive CTE (4.x)
+  /** WITH RECURSIVE on the SQL surface (new in Spark 4) — hierarchy
+    * walking without procedural driver loops: customers arranged in an
+    * implicit binary tree (`child DIV 2 = parent`) are traversed from the
+    * root, counting the population per depth. Each recursion level is ONE
+    * distributed equi-join (`c_custkey DIV 2 = frontier.c`) — reachability
+    * expressed the way a SQL user writes it, executed as iterated joins.
+    */
+  def recursiveChain(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_rec")
+    spark.sql(
+      """WITH RECURSIVE chain(c, depth) AS (
+        |  SELECT CAST(1 AS BIGINT) AS c, 0 AS depth
+        |  UNION ALL
+        |  SELECT c2.c_custkey, chain.depth + 1
+        |  FROM chain JOIN customer_rec c2 ON c2.c_custkey DIV 2 = chain.c
+        |  WHERE chain.depth < 12)
+        |SELECT depth, count(*) AS n, min(c) AS min_key, max(c) AS max_key
+        |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  val recursiveChainSql: String =
+    """WITH RECURSIVE chain(c, depth) AS (
+      |  SELECT CAST(1 AS BIGINT) AS c, 0 AS depth
+      |  UNION ALL
+      |  SELECT c2.c_custkey, chain.depth + 1
+      |  FROM chain JOIN customer c2 ON c2.c_custkey // 2 = chain.c
+      |  WHERE chain.depth < 12)
+      |SELECT depth, count(*) AS n, min(c) AS min_key, max(c) AS max_key
+      |FROM chain GROUP BY depth ORDER BY depth""".stripMargin
+
   // ------------------------------------- #89 scan-only aggregate (Q6)
   /** TPC-H Q6 shape: forecast-revenue — a pure filter+aggregate with NO
     * join at all. The value of the shape is what the plan must look like:
