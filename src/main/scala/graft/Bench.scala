@@ -50,7 +50,13 @@ object Bench {
       // Catalyst prune the projections it doesn't need, which under-times
       // projection-heavy queries. xxhash64 over all columns + bit_xor is a
       // cheap total consumer (and overflow-free, unlike sum under ANSI).
-      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
+      // A query that THROWS is recorded as an error, never silently benched
+      // as ~0 s (a swallowed failure deflates the total unobserved).
+      val err: Option[String] =
+        try { consume(fn(spark, sfDir)); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // Between queries (untimed): drop cached tables and let the
       // ContextCleaner reap localCheckpoint blocks from the finished query.
@@ -59,12 +65,29 @@ object Bench {
       // metadata_search at 58s vs 2s in isolation purely from this).
       spark.catalog.clearCache()
       System.gc()
-      name -> dt
+      (name, dt, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val status = results.map { case (k, _, err) =>
+      s"\"" + k + "\":" + err.map(jstr).getOrElse("\"ok\"") }
+      .mkString("{", ",", "}")
+    val nErr = results.count(_._3.isDefined)
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"queries":$qs,"status":$status,"sf":"$sfDir"}"""
+    // stdout for the driver AND a file artifact: the one-line JSON exceeds
+    // typical capture windows (BENCH_r03 lost 34 of 99 timings + the total
+    // to stdout truncation), so the file is the authoritative record.
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     spark.stop()
   }
 }

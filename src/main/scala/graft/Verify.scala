@@ -45,7 +45,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A FILTERED run must not overwrite the full manifest: stale result
+    // dirs from a previous full run would sit beside a subset-only
+    // oracle_sql.json and a later crosscheck would silently lose the
+    // unfiltered queries' coverage. Subset runs write a partial manifest.
+    val manifest = if (only.isDefined) "oracle_sql.partial.json" else "oracle_sql.json"
+    Files.writeString(Paths.get(s"$outDir/$manifest"), json)
     spark.stop()
   }
 }

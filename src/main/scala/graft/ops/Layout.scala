@@ -22,8 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Bits per dimension in [[mortonCode]] (two dims → 2×16 = 32-bit code). */
-  val MortonBits = 16
+  /** Bits per dimension in [[mortonCode]] (two dims → 2×31 = 62-bit code,
+    * the widest two-dim interleave a signed 64-bit column can carry).
+    * Keys must be non-negative and < 2^31 ≈ 2.1e9 per dimension —
+    * [[writeMortonLayout]] validates this instead of silently aliasing:
+    * a key above the bit budget would wrap onto the same curve positions
+    * as a small key, files would stop being bounded rectangles, and the
+    * advertised two-column skipping would degrade with no visible error.
+    */
+  val MortonBits = 31
 
   /** Z-order curve position: the low [[MortonBits]] bits of `a` and `b`
     * interleaved (a even positions, b odd). Built as a balanced tree of
@@ -45,12 +52,27 @@ object Layout {
       .write.mode("overwrite").parquet(path)
 
   /** Z-order layout on two keys: range-partition + sort on the Morton
-    * code so every file covers a bounded rectangle in (keyA, keyB). */
+    * code so every file covers a bounded rectangle in (keyA, keyB).
+    * Fails loudly if either key exceeds the [[MortonBits]] domain (one
+    * extra min/max aggregate over the input — trivial next to the write's
+    * own shuffle, and the alternative is silent skipping degradation). */
   def writeMortonLayout(df: DataFrame, keyA: String, keyB: String,
-                        nFiles: Int, path: String): Unit =
+                        nFiles: Int, path: String): Unit = {
+    val bound = 1L << MortonBits
+    val r = df.agg(min(col(keyA)), max(col(keyA)),
+                   min(col(keyB)), max(col(keyB))).first()
+    def asL(i: Int): Long = r.get(i) match {
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"morton keys must be integral, got $other")
+    }
+    require(r.anyNull || (asL(0) >= 0 && asL(1) < bound && asL(2) >= 0 && asL(3) < bound),
+      s"morton keys out of domain [0, $bound): " +
+        s"$keyA=[${r.get(0)}, ${r.get(1)}], $keyB=[${r.get(2)}, ${r.get(3)}]")
     df.withColumn("__z", mortonCode(col(keyA), col(keyB)))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
 }

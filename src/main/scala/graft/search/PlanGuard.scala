@@ -1,7 +1,10 @@
 package graft.search
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+import org.apache.spark.sql.execution.{FileSourceScanExec, ProjectExec, SparkPlan}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
 /** Admission control for user-supplied queries.
@@ -36,13 +39,34 @@ object PlanGuard {
         (allowUnfiltered || unfilteredScans.isEmpty)
   }
 
+  /** True when `plan` provably produces at most one row — a global
+    * (no-grouping-key) aggregate, under any exchange/projection wrapping.
+    * A scalar-subquery broadcast plans as BroadcastNestedLoopJoin too,
+    * and rejecting it would bar legitimate "compare to the global max"
+    * search predicates; a one-row build side cannot degenerate (the
+    * "nested loop" is one pass over the probe side).
+    */
+  private def singleRow(plan: SparkPlan): Boolean = plan match {
+    case e: BroadcastExchangeExec => singleRow(e.child)
+    case p: ProjectExec => singleRow(p.child)
+    case f: org.apache.spark.sql.execution.FilterExec => singleRow(f.child)
+    case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+    case _ => false
+  }
+
+  private def degenerateNestedLoop(j: BroadcastNestedLoopJoinExec): Boolean =
+    !singleRow(if (j.buildSide == BuildLeft) j.left else j.right)
+
   def audit(df: DataFrame): Audit = {
     val plan: SparkPlan = df.queryExecution.sparkPlan
     val nodes = plan.collectWithSubqueries { case p => p }
     val scans = nodes.collect { case f: FileSourceScanExec => f }
     Audit(
       cartesian = nodes.exists(_.isInstanceOf[CartesianProductExec]),
-      nestedLoop = nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      nestedLoop = nodes.exists {
+        case j: BroadcastNestedLoopJoinExec => degenerateNestedLoop(j)
+        case _ => false
+      },
       scanBytes = scans.map(s => BigInt(s.relation.location.sizeInBytes)).sum,
       unfilteredScans = scans
         .filter(s => s.dataFilters.isEmpty && s.partitionFilters.isEmpty)

@@ -76,12 +76,17 @@ object Formats {
     *
     * Spark refuses a raw-file scan whose referenced columns are ONLY the
     * corrupt-record capture (`QUERY_ONLY_CORRUPT_RECORD_COLUMN`) — the
-    * parse must be materialized first. The cache here is that
-    * materialization; the caller owns `unpersist()` after the audit.
+    * parse must be materialized first. `localCheckpoint` is that
+    * materialization with a SELF-MANAGED lifetime: unlike `cache()` (which
+    * a caller had to remember to `unpersist()`, and a long-running audit
+    * service would otherwise accumulate full-table parse results in
+    * executor storage), the checkpoint's blocks are reaped by the
+    * ContextCleaner as soon as the returned frame is unreferenced.
     */
   def corruptRows(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
-    df.cache().filter(col(CorruptCol).isNotNull).select(col(CorruptCol))
+    df.localCheckpoint()
+      .filter(col(CorruptCol).isNotNull).select(col(CorruptCol))
   }
 
   /** Parquet read that survives corrupt/truncated files: at 100 TB and

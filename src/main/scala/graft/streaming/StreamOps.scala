@@ -258,13 +258,20 @@ object StreamOps {
   /** Highest committed (`_SUCCESS`-marked) `v=<n>` version directory of a
     * versioned parquet table, if any. */
   def latestVersionDir(spark: org.apache.spark.sql.SparkSession,
-                       dir: String): Option[org.apache.hadoop.fs.Path] = {
+                       dir: String): Option[org.apache.hadoop.fs.Path] =
+    latestVersionBelow(spark, dir, Long.MaxValue)
+
+  /** Highest committed version directory whose version number is strictly
+    * below `bound` (the merge base an upsert of batch `bound` may read). */
+  def latestVersionBelow(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, bound: Long): Option[org.apache.hadoop.fs.Path] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else fs.listStatus(p).toSeq
       .filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.startsWith("v="))
+      .filter(_.getName.drop(2).toLong < bound)
       .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
       .sortBy(_.getName.drop(2).toLong).lastOption
   }
@@ -272,13 +279,20 @@ object StreamOps {
   /** One micro-batch of the upsert sink: merge the changelog batch with
     * the current table version (latest-per-key, tombstones dropped) and
     * commit it as `v=<batchId>`. Idempotent under foreachBatch replay —
-    * re-running a batch rewrites the same version directory.
+    * re-running a batch rewrites the same version directory. The merge
+    * base is the highest committed version STRICTLY BELOW `batchId`: if
+    * batch N replays after its own `v=N` was already committed (the
+    * `_SUCCESS` landed but the checkpoint commit was lost), merging from
+    * `v=N` itself would make the overwrite read its own target path
+    * ("Cannot overwrite a path that is also being read from") and wedge
+    * the stream on every restart — replay must re-derive `v=N` from the
+    * same inputs the original attempt had.
     */
   def upsertBatch(batch: DataFrame, dir: String, batchId: Long,
                   keyCols: Seq[String], versionCol: String,
                   isDelete: org.apache.spark.sql.Column): Unit = {
     val spark = batch.sparkSession
-    val merged = latestVersionDir(spark, dir)
+    val merged = latestVersionBelow(spark, dir, batchId)
       .map(p => spark.read.parquet(p.toString).unionByName(batch))
       .getOrElse(batch)
     graft.ops.LatestState.snapshot(merged, keyCols, versionCol, isDelete)

@@ -35,6 +35,19 @@ class PlanGuardSpec extends AnyFunSuite {
     intercept[IllegalStateException](PlanGuard.admit(theta))
   }
 
+  test("one-row scalar-aggregate broadcast is NOT a degenerate join") {
+    // "value above the global mean" — plans as BroadcastNestedLoopJoin
+    // with a one-row build side; a legitimate search shape that must admit
+    val docs = Tables.documents(spark, sf)
+    val m = docs.agg(avg(length(col("text"))).as("m"))
+    val q = docs.join(broadcast(m)).filter(length(col("text")) > col("m"))
+      .select("doc_id")
+    val a = PlanGuard.audit(q)
+    assert(!a.nestedLoop && !a.cartesian,
+      "scalar broadcast must be exempt from the nested-loop rejection")
+    PlanGuard.admit(q) // must not throw
+  }
+
   test("scan-byte budget rejects oversized inputs") {
     val q = Tables.lineitem(spark, sf).groupBy("l_returnflag").count()
     intercept[IllegalStateException](PlanGuard.admit(q, maxScanBytes = BigInt(1)))

@@ -283,4 +283,32 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(spark.read.parquet(v1.get.toString).count() == 2)
     } finally q.stop()
   }
+
+  test("upsertBatch replay after a committed version is idempotent") {
+    import spark.implicits._
+    val dir = SparkTestSession.tempDir("upsert-replay")
+    def batch(rows: (String, Long, String, Boolean)*) =
+      rows.toDF("key", "op_index", "payload", "deleted")
+    def serving: Map[String, String] =
+      spark.read.parquet(StreamOps.latestVersionDir(spark, dir).get.toString)
+        .select("key", "payload").as[(String, String)].collect().toMap
+    def run(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamOps.upsertBatch(b, dir, id, keyCols = Seq("key"),
+        versionCol = "op_index", isDelete = col("deleted"))
+
+    run(batch(("a", 1L, "a1", false), ("b", 2L, "b2", false)), 0L)
+    val b1 = batch(("a", 3L, "a3", false), ("c", 5L, "c5", false))
+    run(b1, 1L)
+    assert(serving == Map("a" -> "a3", "b" -> "b2", "c" -> "c5"))
+
+    // foreachBatch replay: v=1 is already committed (_SUCCESS written) but
+    // the checkpoint commit was lost, so batch 1 runs AGAIN. The merge
+    // base must be v=0, not the half-trusted v=1 the write targets.
+    run(b1, 1L)
+    assert(serving == Map("a" -> "a3", "b" -> "b2", "c" -> "c5"),
+      "replayed batch must rewrite the same serving state")
+    // and the stream continues normally past the replay
+    run(batch(("b", 9L, "", true)), 2L)
+    assert(serving == Map("a" -> "a3", "c" -> "c5"))
+  }
 }
