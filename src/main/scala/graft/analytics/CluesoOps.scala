@@ -188,7 +188,11 @@ object CluesoOps {
     * serve; neither pass sorts the full keyspace.
     */
   def listObjects(spark: SparkSession, dir: String): DataFrame = {
-    val snap = mvccSnapshotCore(spark, dir).select("object_key")
+    // two consumers (rollup + drill-down) — materialize the merged key
+    // list once instead of running the MVCC merge twice; the checkpoint
+    // is one slim column of the snapshot's keys, and its blocks are
+    // ContextCleaner-reaped when the result frame goes out of scope
+    val snap = mvccSnapshotCore(spark, dir).select("object_key").localCheckpoint()
     val prefixes = snap
       .select(concat(substring_index(col("object_key"), ":", 1), lit(":")).as("name"))
       .groupBy("name").agg(count(lit(1)).as("n_keys"))

@@ -278,7 +278,26 @@ object Dedup {
     * whole trick: signature cost is linear scan work, candidate cost is
     * proportional to true collisions.
     */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    confirmedPairs(spark, dir).orderBy("a_id", "b_id")
+
+  /** Memoized MinHash-confirmed near-dup pair list `(a_id, b_id, jaccard)`
+    * (unordered), shared by the whole cluster family —
+    * [[dedupMinhashLsh]], [[dedupClusters]], [[dedupClusterSizes]],
+    * [[dedupKeepBest]], each of which would otherwise re-run the
+    * signature + banding + confirm pipeline from scratch. The memo holds
+    * the LOCALCHECKPOINTED confirm output (a few rows per duplicate
+    * pair — trivially small next to the corpus), keyed by (session, dir)
+    * so data-dir changes and session restarts never serve stale pairs.
+    */
+  private val pairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[analytics] def confirmedPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsMemo.computeIfAbsent((spark, dir),
+      _ => minhashConfirm(spark, dir).localCheckpoint())
+
+  private def minhashConfirm(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // localCheckpoint, not cache — see dedupNgramJaccard (no leaked blocks).
     val sh = shingled(spark, dir).localCheckpoint()
@@ -305,7 +324,6 @@ object Dedup {
     withSets
       .filter(jac >= 0.5)
       .select(col("a_id"), col("b_id"), round(jac, 6).as("jaccard"))
-      .orderBy("a_id", "b_id")
   }
 
   /** Shared oracle CTE chain ending in `confirmed(a_id, b_id, jaccard)` —
@@ -408,8 +426,22 @@ object Dedup {
     * otherwise diverge from the recursive-CTE oracle). */
   private val MaxClusterIters = 50
 
+  /** Memoized component labels over [[confirmedPairs]] — the closure is
+    * ~10 join rounds, and three registered queries ([[dedupClusters]],
+    * [[dedupClusterSizes]], [[dedupKeepBest]]) consume the same labels;
+    * without the memo each re-runs the whole propagation. Label output is
+    * one row per clustered doc — trivially checkpoint-sized.
+    */
+  private val labelsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    labelsMemo.computeIfAbsent((spark, dir),
+      _ => connectedComponents(confirmedPairs(spark, dir).select("a_id", "b_id"))
+        .localCheckpoint())
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(dedupMinhashLsh(spark, dir).select("a_id", "b_id"))
+    clusterLabels(spark, dir).orderBy("doc_id")
 
   /** Connected components over an undirected pair list `(a_id, b_id)`:
     * every vertex gets its component's minimum id as `cluster_id`, and the
