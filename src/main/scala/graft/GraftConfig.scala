@@ -36,6 +36,76 @@ case class GraftConfig(landingDir: String, stagingDir: String,
 }
 
 object GraftConfig {
+
+  /** Load from a HOCON-style config file — the deployment surface the
+    * reference exposes (CluesoConfig takes a parsed config file; every
+    * CLI tool takes the file's path as its first argument, e.g.
+    * `/root/reference/src/main/scala/com/scality/clueso/tools/
+    * MetadataTableCompactorTool.scala:14-18`). Parameterizing a
+    * deployment means editing a conf file, not writing Scala.
+    *
+    * The runtime classpath is Spark's, which ships no HOCON library, so
+    * this is a self-contained parser for the subset deployment configs
+    * use:
+    *  - `key = value` and `key: value` bindings;
+    *  - nested object blocks `a { b = c }` flattening to dotted keys
+    *    (`a.b`), plus literal dotted keys;
+    *  - `#` and `//` comments (full-line or trailing, quote-aware);
+    *  - quoted or bare scalar values;
+    *  - duration suffixes (`ms`/`s`/`m`/`h`) on the `*.ms` keys, in the
+    *    spirit of the reference's `getDuration` fields.
+    */
+  def fromFile(path: String): GraftConfig = {
+    val props = new java.util.Properties()
+    val stack = scala.collection.mutable.Stack.empty[String]
+    def stripComment(line: String): String = {
+      var inQuote = false
+      var i = 0
+      while (i < line.length) {
+        val c = line.charAt(i)
+        if (c == '"') inQuote = !inQuote
+        else if (!inQuote && (c == '#' ||
+          (c == '/' && i + 1 < line.length && line.charAt(i + 1) == '/')))
+          return line.substring(0, i)
+        i += 1
+      }
+      line
+    }
+    def unquote(v: String): String =
+      if (v.length >= 2 && v.startsWith("\"") && v.endsWith("\""))
+        v.substring(1, v.length - 1)
+      else v
+    val DurationMs = """(\d+)\s*(ms|s|m|h)""".r
+    def normalize(key: String, v: String): String =
+      if (key.endsWith(".ms")) v match {
+        case DurationMs(n, "ms") => n
+        case DurationMs(n, "s") => (n.toLong * 1000L).toString
+        case DurationMs(n, "m") => (n.toLong * 60000L).toString
+        case DurationMs(n, "h") => (n.toLong * 3600000L).toString
+        case other => other
+      } else v
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try src.getLines().foreach { raw =>
+      val line = stripComment(raw).trim
+      if (line.nonEmpty) {
+        if (line == "}") {
+          require(stack.nonEmpty, s"$path: unbalanced '}'")
+          stack.pop(); ()
+        } else if (line.endsWith("{")) {
+          stack.push(line.dropRight(1).trim.stripSuffix(":").stripSuffix("=").trim)
+        } else {
+          val sep = line.indexWhere(c => c == '=' || c == ':')
+          require(sep > 0, s"$path: unparseable config line: $raw")
+          val key = (stack.reverse :+ line.substring(0, sep).trim).mkString(".")
+          val value = unquote(line.substring(sep + 1).trim)
+          props.setProperty(key, normalize(key, value))
+        }
+      }
+    } finally src.close()
+    require(stack.isEmpty, s"$path: unclosed '{' block (${stack.mkString(".")})")
+    fromProperties(props)
+  }
+
   /** Load from Java properties (`graft.landing.dir`, `graft.staging.dir`,
     * `graft.checkpoint.dir`, `graft.group.interval`, `graft.cache.ttl.ms`,
     * `graft.exclude.bucket`), e.g. a `--properties-file` passed to

@@ -18,6 +18,23 @@ import org.apache.spark.sql.functions._
 case class SearchQuery(bucket: String, where: String = "",
                        startKey: Option[String] = None, limit: Int = 1000)
 
+/** An S3 ListObjectsV2-style listing request over a bucket's live
+  * snapshot (the reusable API behind the oracle-gated
+  * `list_objects`/`list_versions` query shapes in
+  * [[graft.analytics.CluesoOps]]).
+  *
+  * @param bucket     bucket whose snapshot is listed
+  * @param prefix     only keys starting with this prefix
+  * @param delimiter  "" → flat listing of objects; non-empty → keys with a
+  *                   delimiter occurrence AFTER the prefix roll up into one
+  *                   `common_prefix` row per delimiter-bounded group
+  * @param startAfter keyset cursor: only names strictly greater
+  * @param maxKeys    page size (objects + common prefixes combined)
+  */
+case class ListRequest(bucket: String, prefix: String = "",
+                       delimiter: String = "",
+                       startAfter: Option[String] = None, maxKeys: Int = 1000)
+
 /** Executes metadata searches over the landing ∪ staging zones
   * (reference: src/main/scala/com/scality/clueso/query/MetadataQueryExecutor.scala).
   *
@@ -86,6 +103,70 @@ class MetadataSearch(spark: SparkSession, landingDir: String, stagingDir: String
       .select(ObjectEvent.resultColumns.map(c => col(s"`$c`")): _*)
       .orderBy(col("key"))
       .limit(q.limit)
+  }
+
+  /** S3 ListObjectsV2 over the live snapshot: delimiter-bounded rollup +
+    * leaf objects in one lexicographically ordered page.
+    *
+    * Result: `(stratum, name, n_keys)` — `stratum` is `object` or
+    * `common_prefix`, `n_keys` the number of keys a common prefix hides
+    * (1 for objects). Scale shape matches the gated `list_objects` query:
+    * the rollup is a map-side-combined groupBy on the DERIVED prefix (a
+    * prefix hiding 10M keys shuffles one partial row per map task), the
+    * prefix/cursor predicates are scan-servable string ranges, and the
+    * page is TakeOrderedAndProject — never a full-keyspace sort.
+    */
+  def listObjects(req: ListRequest): DataFrame = {
+    var keys = bucketSnapshot(req.bucket)
+      .filter(!col("key").contains("\u0000"))
+      .select(col("key"))
+    if (req.prefix.nonEmpty) keys = keys.filter(col("key").startsWith(req.prefix))
+    req.startAfter.foreach(k => keys = keys.filter(col("key") > lit(k)))
+    val page =
+      if (req.delimiter.isEmpty)
+        keys.select(lit("object").as("stratum"), col("key").as("name"),
+          lit(1L).as("n_keys"))
+      else {
+        // first delimiter occurrence strictly after the prefix; locate is
+        // 1-based and returns 0 on no match — the rollup name is the key
+        // up to and including that occurrence
+        val pos = locate(req.delimiter, col("key"), req.prefix.length + 1)
+        val tagged = keys.select(col("key"),
+          when(pos > 0,
+            col("key").substr(lit(1), pos + lit(req.delimiter.length - 1)))
+            .as("common_prefix"))
+        val rollup = tagged.filter(col("common_prefix").isNotNull)
+          .groupBy(col("common_prefix").as("name"))
+          .agg(count(lit(1)).as("n_keys"))
+          .select(lit("common_prefix").as("stratum"), col("name"), col("n_keys"))
+        val leaves = tagged.filter(col("common_prefix").isNull)
+          .select(lit("object").as("stratum"), col("key").as("name"),
+            lit(1L).as("n_keys"))
+        rollup.unionByName(leaves)
+      }
+    page.orderBy(col("name")).limit(req.maxKeys)
+  }
+
+  /** S3 ListObjectVersions: the FULL per-key history (nothing merged
+    * away), newest version first, with `is_latest` and delete markers
+    * flagged — the snapshot's complement, over the same landing ∪ staging
+    * union. One shuffle on `key`, per-partition ordered rank; `maxKeys`
+    * bounds the page of (key, version) rows.
+    */
+  def listVersions(req: ListRequest): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("opIndex").desc)
+    var log = zone(landingDir, req.bucket).unionByName(zone(stagingDir, req.bucket))
+      .filter(!col("key").contains("\u0000"))
+    if (req.prefix.nonEmpty) log = log.filter(col("key").startsWith(req.prefix))
+    req.startAfter.foreach(k => log = log.filter(col("key") > lit(k)))
+    log
+      .withColumn("version_rank", row_number().over(w))
+      .select(col("key"), col("opIndex").as("version_id"), col("version_rank"),
+        (col("version_rank") === 1).cast("int").as("is_latest"),
+        (col("type") === "delete").cast("int").as("is_delete_marker"))
+      .orderBy(col("key"), col("version_rank"))
+      .limit(req.maxKeys)
   }
 
   /** Search and render as JSON lines (the reference returns JSON to the

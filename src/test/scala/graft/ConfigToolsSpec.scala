@@ -1,0 +1,111 @@
+package graft
+
+import graft.tools.{CompactorTool, Populator}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** File-driven deployment surface: HOCON-subset config loading and the
+  * cron-facing compactor CLI (reference parity:
+  * CluesoConfig.scala:1-60 file-driven config;
+  * MetadataTableCompactorTool.scala:1-37 conf + partitions + optional
+  * bucket/force CLI).
+  */
+class ConfigToolsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def writeConf(landing: String, staging: String,
+                        extra: String = ""): String = {
+    val f = java.nio.file.Files.createTempFile("graft", ".conf")
+    java.nio.file.Files.writeString(f,
+      s"""# graft deployment config
+        |graft {
+        |  landing.dir = "$landing"   // zone dirs carry slashes -> quoted
+        |  staging.dir = "$staging"
+        |  group.interval: 50
+        |  cache.ttl.ms = 2m
+        |  purge.tolerance.ms = 0
+        |  kafka {
+        |    bootstrap = "broker-1:9092,broker-2:9092"
+        |    topic = metadata-journal
+        |  }
+        |$extra
+        |}
+        |""".stripMargin)
+    f.toString
+  }
+
+  test("fromFile round-trips a HOCON deployment config") {
+    val conf = GraftConfig.fromFile(writeConf("/zones/landing", "/zones/staging"))
+    assert(conf.landingDir == "/zones/landing")
+    assert(conf.stagingDir == "/zones/staging")
+    // unset checkpoint dir falls back beside the landing zone
+    assert(conf.checkpointDir == "/zones/landing/_checkpoints")
+    assert(conf.groupInterval == 50L)
+    assert(conf.cacheTtlMillis == 120000L, "duration suffix must normalize to ms")
+    assert(conf.purgeToleranceMs == 0L)
+    // kafka block selects the streaming source (IngestPipeline switches
+    // on kafkaBootstrap.nonEmpty); both forms of the binding must carry
+    assert(conf.kafkaBootstrap == "broker-1:9092,broker-2:9092")
+    assert(conf.kafkaTopic == "metadata-journal")
+  }
+
+  test("fromFile without a kafka block selects the file journal source") {
+    val f = java.nio.file.Files.createTempFile("graft", ".conf")
+    java.nio.file.Files.writeString(f,
+      """graft.landing.dir = /l
+        |graft.staging.dir = /s
+        |""".stripMargin)
+    val conf = GraftConfig.fromFile(f.toString)
+    assert(conf.kafkaBootstrap.isEmpty && conf.kafkaTopic.isEmpty)
+    assert(conf.groupInterval == 10000L, "defaults apply for unset keys")
+  }
+
+  test("fromFile rejects unbalanced blocks and junk lines") {
+    val bad = java.nio.file.Files.createTempFile("graft", ".conf")
+    java.nio.file.Files.writeString(bad, "graft {\n landing.dir = /l\n")
+    intercept[IllegalArgumentException](GraftConfig.fromFile(bad.toString))
+    val junk = java.nio.file.Files.createTempFile("graft", ".conf")
+    java.nio.file.Files.writeString(junk, "no separator here\n")
+    intercept[IllegalArgumentException](GraftConfig.fromFile(junk.toString))
+  }
+
+  test("CompactorTool compacts every bucket end-to-end through main's body") {
+    val landing = SparkTestSession.tempDir("ctool-landing")
+    val staging = SparkTestSession.tempDir("ctool-staging")
+    Populator.populateLanding(spark, landing, "b1", 120, groupInterval = 50L)
+    Populator.populateLanding(spark, landing, "b2", 120, groupInterval = 50L)
+    val conf = writeConf(landing, staging)
+
+    assert(CompactorTool.run(Array(conf, "2")) == 0)
+
+    // closed groups (0/50/100) moved to staging; newest (150) stays
+    Seq("b1", "b2").foreach { b =>
+      val left = new java.io.File(s"$landing/bucket=$b").list().toSeq
+        .filter(_.startsWith("opGroup="))
+      assert(left == Seq("opGroup=150"), s"$b landing not purged: $left")
+      assert(spark.read.parquet(s"$staging/bucket=$b").count() > 0)
+    }
+    // compacted rows are the latest-per-key of the closed groups
+    val total = spark.read.option("basePath", staging).parquet(s"$staging/bucket=b1").count() +
+      spark.read.option("basePath", landing).parquet(s"$landing/bucket=b1").count()
+    assert(total == 120L, "compaction must not lose or duplicate keys (all PUTs unique)")
+  }
+
+  test("CompactorTool reports failures per bucket and exits non-zero") {
+    val landing = SparkTestSession.tempDir("ctool-fail-landing")
+    val staging = SparkTestSession.tempDir("ctool-fail-staging")
+    Populator.populateLanding(spark, landing, "bx", 120, groupInterval = 50L)
+    // hold the compaction lock -> every bucket's compaction must fail
+    new java.io.File(staging).mkdirs()
+    val lock = new java.io.File(staging, "_merging")
+    assert(lock.createNewFile())
+    val conf = writeConf(landing, staging)
+
+    val err = new java.io.ByteArrayOutputStream()
+    val code = Console.withErr(new java.io.PrintStream(err)) {
+      CompactorTool.run(Array(conf, "2"))
+    }
+    assert(code == 1, "a failed bucket must surface as a non-zero exit")
+    // usage errors exit 2 without touching Spark
+    assert(CompactorTool.run(Array.empty) == 2)
+  }
+}
