@@ -176,28 +176,49 @@ object Dedup {
     * over the capped shingle sets (any surviving pair shares a sub-cap
     * shingle) and skew-bounded — per-shingle work is ≤ cap².
     */
+  /** Memoized per-(session, dir): the checkpointed shingle sets (shared by
+    * the jaccard/containment inverted indexes AND the MinHash family) and
+    * the pair intersection counts `(a_id, b_id, shared, na, nb)` that both
+    * shingle-overlap measures score — jaccard and containment are just
+    * different final filters over the same Σdf²-bounded self-join, so the
+    * expensive stage runs once per session, not once per registered query.
+    */
+  private val shingledMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val sharedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  // localCheckpoint (not cache): materializes once for every consumer and
+  // is auto-dropped by the ContextCleaner when unreferenced — no
+  // storage-block accumulation across invocations in a long session.
+  private def shingledCk(spark: SparkSession, dir: String): DataFrame =
+    shingledMemo.computeIfAbsent((spark, dir),
+      _ => shingled(spark, dir).localCheckpoint())
+
+  private def sharedCounts(spark: SparkSession, dir: String): DataFrame =
+    sharedMemo.computeIfAbsent((spark, dir), _ => {
+      val sh = shingledCk(spark, dir)
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ShingleDfCap)
+        .select("s")
+      // materialize the capped posting list once: it feeds the size lookup
+      // and BOTH sides of the self-join, which would otherwise re-run the
+      // explode + df-join three times
+      val exC = ex.join(rare, "s").select("doc_id", "s").localCheckpoint()
+      val sizes = exC.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      exC.as("a").join(exC.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("shared"))
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+        .localCheckpoint()
+    })
+
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint (not cache): materializes once for the branches
-    // below and is auto-dropped by the ContextCleaner when unreferenced —
-    // no storage-block accumulation across invocations in a long session.
-    val sh = shingled(spark, dir).localCheckpoint()
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= ShingleDfCap)
-      .select("s")
-    // materialize the capped posting list once: it feeds the size lookup
-    // and BOTH sides of the self-join, which would otherwise re-run the
-    // explode + df-join three times
-    val exC = ex.join(rare, "s").select("doc_id", "s").localCheckpoint()
-    val sizes = exC.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shared = exC.as("a").join(exC.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("shared"))
     val jac = col("shared") / (col("na") + col("nb") - col("shared"))
-    shared
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+    sharedCounts(spark, dir)
       .filter(jac >= 0.5)
       .select(col("a_id"), col("b_id"), round(jac, 6).as("jaccard"))
       .orderBy("a_id", "b_id")
@@ -231,22 +252,8 @@ object Dedup {
     * same [[ShingleDfCap]] skew bound) as [[dedupNgramJaccard]].
     */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).localCheckpoint()
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= ShingleDfCap)
-      .select("s")
-    // materialized once — see the matching note in dedupNgramJaccard
-    val exC = ex.join(rare, "s").select("doc_id", "s").localCheckpoint()
-    val sizes = exC.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shared = exC.as("a").join(exC.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("shared"))
     val cont = col("shared") / least(col("na"), col("nb"))
-    shared
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+    sharedCounts(spark, dir)
       .filter(cont >= 0.8)
       .select(col("a_id"), col("b_id"), round(cont, 6).as("containment"))
       .orderBy("a_id", "b_id")
@@ -299,8 +306,8 @@ object Dedup {
 
   private def minhashConfirm(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    // localCheckpoint, not cache — see dedupNgramJaccard (no leaked blocks).
-    val sh = shingled(spark, dir).localCheckpoint()
+    // checkpointed shingle sets shared with the inverted-index family
+    val sh = shingledCk(spark, dir)
     val sig = sh.select(col("doc_id"), col("sh"),
       graft.functions.GraftFunctions.minhash32(col("sh")).as("sig"))
     def bandKey(b: Int): Column =

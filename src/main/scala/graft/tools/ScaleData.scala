@@ -1,0 +1,124 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derives an N× scale point from an existing test-data directory for
+  * scaling benchmarks (`Bench` at two scale factors), by replicating every
+  * fact table with key-shifted copies.
+  *
+  * Design goals, per table family:
+  *  - **Join integrity per copy**: all foreign keys shift by the same
+  *    `copy * offset`, so each copy is a self-contained TPC-H-ish world
+  *    and join/aggregation work scales exactly with the copy count. The
+  *    `region`/`nation` dims stay fixed (dims don't grow with data scale).
+  *  - **Documents stay copy-disjoint for dedup**: every token of copy
+  *    i>0 gets an `_i` suffix, so shingles/minhash/simhash structure
+  *    WITHIN a copy is isomorphic to the original but shares nothing
+  *    ACROSS copies — near-dup pair counts scale linearly, not
+  *    quadratically (naive text replication would turn the whole corpus
+  *    into 10-clone clusters and measure a different workload).
+  *  - **Embeddings stay copy-disjoint for ANN**: copy i applies a
+  *    copy-keyed coordinate sign-flip pattern. Sign flips preserve every
+  *    within-copy dot product and norm EXACTLY (s_k² = 1), so each copy's
+  *    similarity geometry is identical to the original, while cross-copy
+  *    cosines are scrambled — candidate work scales linearly.
+  *  - **Events keep their time range** (scale-up models higher event RATE,
+  *    so windows get denser rather than the timeline growing).
+  */
+object ScaleData {
+
+  /** Key shift per copy — far above any sf0.1 key (max observed ~600k). */
+  val CopyOffset = 10000000L
+
+  def scale(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    require(factor >= 1, "factor must be >= 1")
+    // events.parquet carries TIMESTAMP(NANOS); read it as epoch-nanos
+    // long (same convention as Tables.events) so the scaled copy is
+    // written with the exact ts representation the engine consumes
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String, files: Int): Unit =
+      df.repartition(files).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    // one distributed pass per table: explode the copy index, shift keys
+    def replicated(df: DataFrame): DataFrame =
+      df.withColumn("cp", explode(sequence(lit(0L), lit(factor - 1L))))
+    def shifted(c: String): Column = col(c) + col("cp") * CopyOffset
+
+    // fixed dims
+    write(read("region"), "region", 1)
+    write(read("nation"), "nation", 1)
+
+    write(replicated(read("customer"))
+      .select(shifted("c_custkey").as("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
+      "customer", 4)
+
+    write(replicated(read("supplier"))
+      .select(shifted("s_suppkey").as("s_suppkey"), col("s_name"),
+        col("s_nationkey"), col("s_acctbal")),
+      "supplier", 2)
+
+    write(replicated(read("part"))
+      .select(shifted("p_partkey").as("p_partkey"), col("p_name"),
+        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")),
+      "part", 4)
+
+    write(replicated(read("orders"))
+      .select(shifted("o_orderkey").as("o_orderkey"),
+        shifted("o_custkey").as("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")),
+      "orders", 8)
+
+    write(replicated(read("lineitem"))
+      .select(shifted("l_orderkey").as("l_orderkey"),
+        shifted("l_partkey").as("l_partkey"),
+        shifted("l_suppkey").as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate")),
+      "lineitem", 16)
+
+    write(replicated(read("events"))
+      .select(shifted("event_id").as("event_id"), col("ts"),
+        shifted("user_id").as("user_id"), col("event_type"),
+        col("value"), col("props")),
+      "events", 16)
+
+    val copyTagged = when(col("cp") === 0L, col("text"))
+      .otherwise(array_join(
+        transform(split(col("text"), " "),
+          w => concat(w, lit("_"), col("cp"))), " "))
+    write(replicated(read("documents"))
+      .select(shifted("doc_id").as("doc_id"), copyTagged.as("text"),
+        col("lang"), col("source"),
+        length(copyTagged).as("n_chars")),
+      "documents", 8)
+
+    // sign pattern s(cp, k) ∈ {−1, +1}; copy 0 is the identity
+    val flip = transform(col("embedding"), (x, k) =>
+      (x * when(col("cp") === 0L, lit(1.0))
+        .otherwise(lit(1.0) - lit(2.0) * pmod(hash(col("cp"), k), lit(2))))
+        .cast("float"))
+    write(replicated(read("embeddings"))
+      .select(shifted("vec_id").as("vec_id"), flip.as("embedding"), col("label")),
+      "embeddings", 8)
+  }
+
+  /** `runMain graft.tools.ScaleData <srcDir> <dstDir> <factor>` */
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleData <srcDir> <dstDir> <factor>")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[16]"))
+      .appName("graft-scaledata")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    scale(spark, args(0), args(1), args(2).toInt)
+    spark.stop()
+  }
+}
