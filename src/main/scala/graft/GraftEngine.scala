@@ -2,7 +2,7 @@ package graft
 
 import graft.compact.Compactor
 import graft.ingest.IngestPipeline
-import graft.search.{MetadataSearch, SearchQuery, SessionCache}
+import graft.search.{ListRequest, MetadataSearch, SearchQuery, SessionCache}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -50,6 +50,14 @@ class GraftEngine(spark: SparkSession, val config: GraftConfig) {
     */
   def searchCached(q: SearchQuery): DataFrame =
     searcher.searchSnapshot(cache.get(q.bucket)(searcher.bucketSnapshot(q.bucket)), q)
+
+  /** S3 ListObjectsV2 page over the live snapshot (delimiter rollup +
+    * leaf objects; see [[MetadataSearch.listObjects]]). */
+  def listObjects(req: ListRequest): DataFrame = searcher.listObjects(req)
+
+  /** S3 ListObjectVersions page over the unmerged zones
+    * (see [[MetadataSearch.listVersions]]). */
+  def listVersions(req: ListRequest): DataFrame = searcher.listVersions(req)
 
   /** Invalidate a bucket's cached snapshot (e.g. after compaction). */
   def invalidateCache(bucket: String): Unit = cache.invalidate(bucket)
