@@ -3,7 +3,7 @@ package graft.analytics
 import graft.Tables
 import graft.Tables.cents
 import graft.ops.LatestState
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Clueso-core semantics exercised over the shared `events` test table
@@ -305,19 +305,25 @@ object CluesoOps {
     * [[graft.compact.Compactor]] writes to staging.
     */
   def compactionMerge(spark: SparkSession, dir: String): DataFrame = {
-    val withGroup = opLog(spark, dir)
-      .withColumn("op_group",
-        when(col("event_id") % 1000 === 0, col("event_id"))
-          .otherwise(col("event_id") + 1000 - (col("event_id") % 1000)))
-    val maxGroup = withGroup.agg(max(col("op_group")).as("max_group"))
-    val closed = withGroup
+    // op_group is a pure function of the event id, so the merge needs no
+    // payload — same (2*id + tombstone) long encoding as [[mvccDiff]]:
+    // the latest-per-key collapse is a plain max(long) HashAggregate
+    // (map-side combined, no SortAggregate sort), and the winner's
+    // op_group is recomputed from the decoded id afterwards.
+    def group(id: Column): Column =
+      when(id % 1000 === 0, id).otherwise(id + 1000 - (id % 1000))
+    val log = opLog(spark, dir).select(col("object_key"), col("event_id"),
+      (col("event_id") * 2 + (col("event_type") === "error").cast("long")).as("ev"),
+      group(col("event_id")).as("op_group"))
+    val maxGroup = log.agg(max(col("op_group")).as("max_group"))
+    val closed = log
       .join(broadcast(maxGroup))
       .filter(col("op_group") < col("max_group"))
-      .drop("max_group")
-    LatestState.snapshot(closed,
-        keyCols = Seq("object_key"), versionCol = "event_id",
-        isDelete = col("event_type") === "error")
-      .select(col("object_key"), col("event_id").as("last_event_id"), col("op_group"))
+    closed.groupBy("object_key").agg(max(col("ev")).as("ev"))
+      .filter(col("ev") % 2 === 0)
+      .select(col("object_key"),
+        (col("ev") / 2).cast("long").as("last_event_id"),
+        group((col("ev") / 2).cast("long")).as("op_group"))
       .orderBy("object_key")
   }
 
