@@ -129,6 +129,79 @@ object Similarity {
       |ORDER BY q_id, rank""".stripMargin
   }
 
+  // -------------------------------------------------- #100 knn graph
+  /** k-NN GRAPH over the whole corpus: every node's top-k most-similar
+    * neighbors — the all-nodes counterpart of [[knnLsh]] (queries are not
+    * a broadcast-able subset; BOTH sides are the corpus), and the input
+    * structure for graph-based curation (SemDeDup-style clustering,
+    * connectivity audits, diversity sampling).
+    *
+    * Scale shape: candidate generation is the LSH bucket EQUALITY
+    * self-join — a shuffle join on the bucket key, work ∝ Σ(bucket
+    * size²) rather than N² — and per-node top-k folds map-side in the
+    * bounded-heap `graft_topk` aggregate, so no node's candidate list
+    * funnels through one task's sort. Nodes alone in their bucket have
+    * no edges (the LSH recall trade, mirrored exactly by the oracle).
+    */
+  /** Candidate budget per node in [[knnGraph]]: a bucket larger than this
+    * splits into `ceil(size / GraphCell)` deterministic cells
+    * (`vec_id % s`) and neighbors are drawn within the cell. This is what
+    * keeps the graph LINEAR in corpus size — with a fixed plane count,
+    * bucket population grows ∝ N and the raw bucket self-join is
+    * Σ bucket² = O(N²/256); the cell split caps per-node candidates at
+    * ~GraphCell regardless of N (the candidate-sampling trade every
+    * production kNN-graph builder makes; recall is tuned by the budget,
+    * and the split is portable integer math the oracle mirrors exactly).
+    * Measured: without the cap the 10× scale point costs 113 s (and
+    * 100× would be a cluster-day); with it, candidates stay bounded.
+    */
+  val GraphCell = 64
+
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val bv = normed(spark, dir).withColumn("bucket",
+      graft.functions.GraftFunctions.hyperplaneBucket8(col("ed")))
+    val cells = bv.groupBy("bucket")
+      .agg(((count(lit(1)) + GraphCell - 1) / GraphCell).cast("long").as("s"))
+    val bvc = bv.join(broadcast(cells), "bucket")
+      .withColumn("cell", col("vec_id") % col("s"))
+    val q = bvc.select(col("vec_id").as("q_id"), col("ed"), col("nrm"),
+      col("bucket"), col("cell"))
+    val scored = bvc.as("c")
+      .join(q.as("q"),
+        col("q.bucket") === col("c.bucket") && col("q.cell") === col("c.cell") &&
+          col("q.q_id") =!= col("c.vec_id"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
+        round(cosAB, 6).as("cosine"))
+    topK(scored, K)
+  }
+
+  val knnGraphSql: String = {
+    def projSql(p: Int): String =
+      seqSumSql(s"list_transform(range(64), i -> " +
+        s"CAST(emb[i+1] AS DOUBLE) * ${planeSignSql(p, "i")})")
+    val bucket = (0 until 8).foldLeft("CAST(0 AS BIGINT)") { (acc, p) =>
+      s"($acc * 2 + (CASE WHEN ${projSql(p)} > 0 THEN 1 ELSE 0 END))"
+    }
+    s"""WITH $normedSql,
+      |bv AS (SELECT *, $bucket AS bucket FROM normed),
+      |cells AS (SELECT bucket, (count(*) + ${GraphCell - 1}) // $GraphCell AS s
+      |          FROM bv GROUP BY bucket),
+      |bvc AS (SELECT bv.*, bv.vec_id % cells.s AS cell
+      |        FROM bv JOIN cells ON bv.bucket = cells.bucket),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |         round($cosABSql, 6) AS cosine
+      |  FROM bvc q JOIN bvc c
+      |    ON q.bucket = c.bucket AND q.cell = c.cell AND c.vec_id <> q.vec_id),
+      |ranked AS (
+      |  SELECT q_id, n_id, cosine,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= $K
+      |ORDER BY q_id, rank""".stripMargin
+  }
+
   // ------------------------------------------------- #37 filtered search
   /** Pre-filtered vector search: a metadata predicate (documents in
     * English with enough tokens) narrows the candidate set BEFORE the
