@@ -176,28 +176,27 @@ object Dedup {
     * over the capped shingle sets (any surviving pair shares a sub-cap
     * shingle) and skew-bounded — per-shingle work is ≤ cap².
     */
-  /** Memoized per-(session, dir): the checkpointed shingle sets (shared by
-    * the jaccard/containment inverted indexes AND the MinHash family) and
-    * the pair intersection counts `(a_id, b_id, shared, na, nb)` that both
-    * shingle-overlap measures score — jaccard and containment are just
-    * different final filters over the same Σdf²-bounded self-join, so the
-    * expensive stage runs once per session, not once per registered query.
+  /** Memoized per-(session, dir): the pair intersection counts
+    * `(a_id, b_id, shared, na, nb)` that both shingle-overlap measures
+    * score — jaccard and containment are just different final filters
+    * over the same Σdf²-bounded self-join, so the expensive stage runs
+    * once per session, not once per registered query.
+    *
+    * Deliberately NOT memoized: the shingle sets themselves. They are
+    * corpus-sized (every doc's shingle array), and pinning them for the
+    * session lifetime would grow executor storage with the corpus; each
+    * memo build materializes its own short-lived shingle checkpoint
+    * (ContextCleaner-reaped when the build returns) and only the small
+    * derived artifact stays resident.
     */
-  private val shingledMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val sharedMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  // localCheckpoint (not cache): materializes once for every consumer and
-  // is auto-dropped by the ContextCleaner when unreferenced — no
-  // storage-block accumulation across invocations in a long session.
-  private def shingledCk(spark: SparkSession, dir: String): DataFrame =
-    shingledMemo.computeIfAbsent((spark, dir),
-      _ => shingled(spark, dir).localCheckpoint())
-
   private def sharedCounts(spark: SparkSession, dir: String): DataFrame =
     sharedMemo.computeIfAbsent((spark, dir), _ => {
-      val sh = shingledCk(spark, dir)
+      // localCheckpoint (not cache): materialized once for the branches
+      // below, auto-dropped when this build's frames go out of scope
+      val sh = shingled(spark, dir).localCheckpoint()
       val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") <= ShingleDfCap)
@@ -306,8 +305,9 @@ object Dedup {
 
   private def minhashConfirm(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    // checkpointed shingle sets shared with the inverted-index family
-    val sh = shingledCk(spark, dir)
+    // short-lived shingle checkpoint — see the sharedCounts note on why
+    // the corpus-sized stage is not held in the session memo
+    val sh = shingled(spark, dir).localCheckpoint()
     val sig = sh.select(col("doc_id"), col("sh"),
       graft.functions.GraftFunctions.minhash32(col("sh")).as("sig"))
     def bandKey(b: Int): Column =
