@@ -58,13 +58,25 @@ object Bench {
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      // Between queries (untimed): drop cached tables and let the
-      // ContextCleaner reap localCheckpoint blocks from the finished query.
-      // Without this, storage blocks accumulate across the 50+ queries and
-      // the tail of the run degrades into GC storms (BENCH_r02 recorded
-      // metadata_search at 58s vs 2s in isolation purely from this).
+      // Between queries (untimed): drop cached tables and WAIT for the
+      // ContextCleaner to actually reap the finished query's checkpoint
+      // blocks. A bare gc() only enqueues the cleanup — the async drop
+      // then competes with the NEXT timed query for storage/execution
+      // memory (measured: mvcc_snapshot 2.3 s clean vs 8-30 s right
+      // after checkpoint-heavy neighbors). Poll the persistent-RDD count
+      // until it stops shrinking; session-memoized stages legitimately
+      // remain (they are still referenced).
       spark.catalog.clearCache()
       System.gc()
+      var last = Int.MaxValue
+      val deadline = System.nanoTime() + 3000000000L
+      var stable = 0
+      while (stable < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val n = spark.sparkContext.getPersistentRDDs.size
+        if (n >= last) stable += 1 else { stable = 0; System.gc() }
+        last = n
+      }
       (name, dt, err)
     }
     def jstr(s: String): String = "\"" + s.flatMap {
