@@ -7,6 +7,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // The generated-class cache defaults to 100 entries; 100 queries x
+      // several codegen units each thrash it, so classes compiled by the
+      // untimed warm-up get evicted and RECOMPILED inside timed windows
+      // (observed as multi-second run-to-run noise on individual
+      // queries). Static conf - must be set before the session starts.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
