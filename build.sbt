@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32 executor threads churn shuffle + parquet buffers; a small heap
   // turns bench runs into GC storms (observed 50s -> 130s swings at 8g)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 100 queries x several whole-stage-codegen units each JIT-compile
+  // hundreds of generated classes; the default 240m code cache flushes
+  // under that load and hot loops silently deoptimize mid-run (isolated
+  // query timings ~20% faster than full-run timings before this)
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:MaxMetaspaceSize=2g",
 )

@@ -50,20 +50,38 @@ object Bench {
       }
       System.gc()
     }
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    // Best-of-N timing (default 2): single-shot timings carry multi-second
+    // JIT/scheduling jitter on individual queries (observed: the same
+    // query bouncing 3.8 s ↔ 9 s between full runs with identical code,
+    // zero GC attribution); the min over two consecutive runs is the
+    // reproducible cost. Reps and the aggregation are recorded in the
+    // output JSON so the artifact is self-describing.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+      val gc0 = gcMillis
+      var best = Double.MaxValue
+      var err: Option[String] = None
       // Force FULL evaluation of every output column: count() alone lets
       // Catalyst prune the projections it doesn't need, which under-times
       // projection-heavy queries. xxhash64 over all columns + bit_xor is a
       // cheap total consumer (and overflow-free, unlike sum under ANSI).
       // A query that THROWS is recorded as an error, never silently benched
       // as ~0 s (a swallowed failure deflates the total unobserved).
-      val err: Option[String] =
-        try { consume(fn(spark, sfDir)); None }
+      for (_ <- 1 to reps if err.isEmpty) {
+        val t0 = System.nanoTime()
+        try consume(fn(spark, sfDir))
         catch { case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
-      val dt = (System.nanoTime() - t0) / 1e9
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      val dt = best
+      val gcDt = (gcMillis - gc0) / 1e3
       // Between queries (untimed): drop cached tables and WAIT for the
       // ContextCleaner to actually reap the finished query's checkpoint
       // blocks. A bare gc() only enqueues the cleanup — the async drop
@@ -83,7 +101,7 @@ object Bench {
         if (n >= last) stable += 1 else { stable = 0; System.gc() }
         last = n
       }
-      (name, dt, err)
+      (name, dt, gcDt, err)
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -91,15 +109,17 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val status = results.map { case (k, _, err) =>
+    val gcs = results.map { case (k, _, g, _) => s"\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val status = results.map { case (k, _, _, err) =>
       s"\"" + k + "\":" + err.map(jstr).getOrElse("\"ok\"") }
       .mkString("{", ",", "}")
-    val nErr = results.count(_._3.isDefined)
+    val nErr = results.count(_._4.isDefined)
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"queries":$qs,"status":$status,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","errors":$nErr,"queries":$qs,"gc_sec":$gcs,"status":$status,"sf":"$sfDir"}"""
     // stdout for the driver AND a file artifact: the one-line JSON exceeds
     // typical capture windows (BENCH_r03 lost 34 of 99 timings + the total
     // to stdout truncation), so the file is the authoritative record.
