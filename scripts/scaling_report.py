@@ -21,10 +21,17 @@ def main() -> None:
         reverse=True)
     ratios = [r for r, _, _, _ in rows]
     flagged = [k for r, _, _, k in rows if r > 20]
+    def first_runs(d):
+        return (sum(r[0] for r in d["runs"].values())
+                if "runs" in d else d["value"])
+
     hdr = f"""# BENCH_SCALING — measured sf0.1 → sf1 (10× data)
 
 Two full `graft.Bench` runs on identical code, same machine, `local[32]`,
-back-to-back. The sf1 data is `tools/ScaleData`'s 10× derivation of
+back-to-back. Timing is best-of-{a.get('reps', 1)} per query (single-shot
+timings carry multi-second JIT/scheduler jitter; `runs` in the JSON keeps
+every rep's wall time, so one-time session-memo builds remain auditable —
+sum of FIRST runs: {first_runs(a):.1f} s (sf0.1) / {first_runs(b):.1f} s (sf1)). The sf1 data is `tools/ScaleData`'s 10× derivation of
 `/root/testdata/sf0.1` (per-copy key-shifted TPC-H worlds, dims fixed;
 token-suffixed document copies so near-dup pair counts scale linearly;
 sign-flipped embedding copies preserving within-copy geometry exactly;

@@ -65,6 +65,7 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val gc0 = gcMillis
       var best = Double.MaxValue
+      val runTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
       // Force FULL evaluation of every output column: count() alone lets
       // Catalyst prune the projections it doesn't need, which under-times
@@ -78,7 +79,9 @@ object Bench {
         catch { case e: Throwable =>
           err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        val dtRep = (System.nanoTime() - t0) / 1e9
+        runTimes += dtRep
+        best = math.min(best, dtRep)
       }
       val dt = best
       val gcDt = (gcMillis - gc0) / 1e3
@@ -101,7 +104,7 @@ object Bench {
         if (n >= last) stable += 1 else { stable = 0; System.gc() }
         last = n
       }
-      (name, dt, gcDt, err)
+      (name, dt, runTimes.toSeq, gcDt, err)
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -109,17 +112,23 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, g, _) => s"\"" + k + "\":" + g }
+    // every rep's wall time, in order — the min is the headline, but a
+    // memoized query's first run carries its one-time stage build; the
+    // full list keeps that cost auditable instead of vanishing into min()
+    val runsJ = results.map { case (k, _, rs, _, _) =>
+      s"\"" + k + "\":" + rs.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val status = results.map { case (k, _, _, err) =>
+    val gcs = results.map { case (k, _, _, g, _) => s"\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val status = results.map { case (k, _, _, _, err) =>
       s"\"" + k + "\":" + err.map(jstr).getOrElse("\"ok\"") }
       .mkString("{", ",", "}")
-    val nErr = results.count(_._4.isDefined)
+    val nErr = results.count(_._5.isDefined)
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","errors":$nErr,"queries":$qs,"gc_sec":$gcs,"status":$status,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","errors":$nErr,"queries":$qs,"runs":$runsJ,"gc_sec":$gcs,"status":$status,"sf":"$sfDir"}"""
     // stdout for the driver AND a file artifact: the one-line JSON exceeds
     // typical capture windows (BENCH_r03 lost 34 of 99 timings + the total
     // to stdout truncation), so the file is the authoritative record.
