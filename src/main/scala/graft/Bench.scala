@@ -2,7 +2,6 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,6 +15,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val json = run(spark,
+      sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+      only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet),
+      reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1))
+    // stdout for the driver AND a file artifact: the one-line JSON exceeds
+    // typical capture windows (BENCH_r03 lost 34 of 99 timings + the total
+    // to stdout truncation), so the file is the authoritative record.
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    spark.stop()
+  }
+
+  /** The bench body, session-in/JSON-out (testable: no env reads, no
+    * session lifecycle, no process output). */
+  def run(spark: SparkSession, sfDir: String,
+          only: Option[Set[String]], reps: Int): String = {
     def consume(df: org.apache.spark.sql.DataFrame): Unit = {
       df.agg(org.apache.spark.sql.functions.bit_xor(
         org.apache.spark.sql.functions.xxhash64(
@@ -33,9 +49,8 @@ object Bench {
       .foreach(t => try consume(Tables.load(spark, sfDir, t))
         catch { case _: Throwable => () })
     try consume(Tables.events(spark, sfDir)) catch { case _: Throwable => () }
-    // Optional comma-separated query filter for isolating one query's cost
+    // `only`: optional query filter for isolating one query's cost
     // (e.g. SPARK_GRAFT_ONLY=metadata_search,compaction_merge).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name)) }
     // Untimed warm-up at the smallest scale factor: the generated-code cache
@@ -58,10 +73,9 @@ object Bench {
     // Best-of-N timing (default 2): single-shot timings carry multi-second
     // JIT/scheduling jitter on individual queries (observed: the same
     // query bouncing 3.8 s ↔ 9 s between full runs with identical code,
-    // zero GC attribution); the min over two consecutive runs is the
+    // zero GC attribution); the min over `reps` consecutive runs is the
     // reproducible cost. Reps and the aggregation are recorded in the
     // output JSON so the artifact is self-describing.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     val results = selected.map { case (name, fn) =>
       val gc0 = gcMillis
       var best = Double.MaxValue
@@ -127,14 +141,6 @@ object Bench {
       .mkString("{", ",", "}")
     val nErr = results.count(_._5.isDefined)
     val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","errors":$nErr,"queries":$qs,"runs":$runsJ,"gc_sec":$gcs,"status":$status,"sf":"$sfDir"}"""
-    // stdout for the driver AND a file artifact: the one-line JSON exceeds
-    // typical capture windows (BENCH_r03 lost 34 of 99 timings + the total
-    // to stdout truncation), so the file is the authoritative record.
-    println(json)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-out.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
-    spark.stop()
+    s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","errors":$nErr,"queries":$qs,"runs":$runsJ,"gc_sec":$gcs,"status":$status,"sf":"$sfDir"}"""
   }
 }
