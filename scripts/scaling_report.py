@@ -15,10 +15,25 @@ def main() -> None:
     a = json.load(open(sys.argv[1]))
     b = json.load(open(sys.argv[2]))
     out = sys.argv[3] if len(sys.argv) > 3 else "BENCH_SCALING.md"
+    # only queries present AND ok at both scale points are comparable —
+    # an errored query's partial time would fabricate a bogus ratio
+    common = sorted(set(a["queries"]) & set(b["queries"]))
+    skipped = [k for k in common
+               if a.get("status", {}).get(k, "ok") != "ok"
+               or b.get("status", {}).get(k, "ok") != "ok"]
+    if skipped:
+        print(f"WARNING: skipping errored queries: {skipped}", file=sys.stderr)
+    only_one = set(a["queries"]) ^ set(b["queries"])
+    if only_one:
+        print(f"WARNING: queries present at one scale only: {sorted(only_one)}",
+              file=sys.stderr)
     rows = sorted(
         ((b["queries"][k] / max(a["queries"][k], 1e-9),
-          a["queries"][k], b["queries"][k], k) for k in a["queries"]),
+          a["queries"][k], b["queries"][k], k)
+         for k in common if k not in skipped),
         reverse=True)
+    if not rows:
+        sys.exit("no comparable queries between the two artifacts")
     ratios = [r for r, _, _, _ in rows]
     flagged = [k for r, _, _, k in rows if r > 20]
     def first_runs(d):

@@ -89,15 +89,20 @@ object Bench {
       // as ~0 s (a swallowed failure deflates the total unobserved).
       for (_ <- 1 to reps if err.isEmpty) {
         val t0 = System.nanoTime()
-        try consume(fn(spark, sfDir))
+        val ok = try { consume(fn(spark, sfDir)); true }
         catch { case e: Throwable =>
           err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          false
         }
         val dtRep = (System.nanoTime() - t0) / 1e9
         runTimes += dtRep
-        best = math.min(best, dtRep)
+        // only SUCCESSFUL reps compete for the headline time: a rep that
+        // crashed fast must not become min() and masquerade as the
+        // query's reproducible cost
+        if (ok) best = math.min(best, dtRep)
       }
-      val dt = best
+      // an errored query reports its time-to-failure (never a silent ~0)
+      val dt = if (best != Double.MaxValue) best else runTimes.lastOption.getOrElse(0.0)
       val gcDt = (gcMillis - gc0) / 1e3
       // Between queries (untimed): drop cached tables and WAIT for the
       // ContextCleaner to actually reap the finished query's checkpoint

@@ -98,6 +98,12 @@ object GraftConfig {
           require(sep > 0, s"$path: unparseable config line: $raw")
           val key = (stack.reverse :+ line.substring(0, sep).trim).mkString(".")
           val value = unquote(line.substring(sep + 1).trim)
+          // an UNQUOTED s3a://... value gets comment-truncated at `//`
+          // (HOCON's own rule) — a landing dir of "s3a:" would surface
+          // as a confusing failure far from the config mistake, so make
+          // the truncation loud here instead
+          require(!(value.endsWith(":") && raw.contains("://")),
+            s"$path: value for $key was comment-truncated at '//' — quote URIs: $key = \"...\"")
           props.setProperty(key, normalize(key, value))
         }
       }

@@ -74,7 +74,7 @@ object CluesoOps {
     */
   def mvccAsof(spark: SparkSession, dir: String): DataFrame = {
     val log = opLog(spark, dir)
-    val w = log.agg((max(col("event_id")) / lit(4)).cast("long").as("w"))
+    val w = log.agg(expr("max(event_id) div 4").as("w"))
     LatestState.snapshot(
         log.join(broadcast(w)).filter(col("event_id") <= col("w")).drop("w"),
         keyCols = Seq("object_key"), versionCol = "event_id",
@@ -114,11 +114,11 @@ object CluesoOps {
     // 25 s → ~3 s for the full diff.
     val log = opLog(spark, dir).select(col("object_key"), col("event_id"),
       (col("event_id") * 2 + (col("event_type") === "error").cast("long")).as("ev"))
-    val mid = log.agg((max(col("event_id")) / lit(2)).cast("long").as("mid"))
+    val mid = log.agg(expr("max(event_id) div 2").as("mid"))
     def snap(df: DataFrame): DataFrame =
       df.groupBy("object_key").agg(max(col("ev")).as("ev"))
         .filter(col("ev") % 2 === 0) // latest event is a tombstone -> key invisible
-        .select(col("object_key"), (col("ev") / 2).cast("long").as("event_id"))
+        .select(col("object_key"), expr("ev div 2").as("event_id"))
     val s1 = snap(log.join(broadcast(mid)).filter(col("event_id") <= col("mid")).drop("mid"))
       .withColumnRenamed("object_key", "k1").withColumnRenamed("event_id", "old_event_id")
     val s2 = snap(log)
@@ -322,8 +322,8 @@ object CluesoOps {
     closed.groupBy("object_key").agg(max(col("ev")).as("ev"))
       .filter(col("ev") % 2 === 0)
       .select(col("object_key"),
-        (col("ev") / 2).cast("long").as("last_event_id"),
-        group((col("ev") / 2).cast("long")).as("op_group"))
+        expr("ev div 2").as("last_event_id"),
+        group(expr("ev div 2")).as("op_group"))
       .orderBy("object_key")
   }
 

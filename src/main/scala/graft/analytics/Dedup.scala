@@ -299,6 +299,18 @@ object Dedup {
   private val pairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Drop every session memo (confirmed pairs, cluster labels, shingle
+    * intersection counts). The memos key on (session, data dir), which
+    * covers path CHANGES but not an in-place rewrite of the same path —
+    * a caller that overwrites a data dir within one session must call
+    * this, or the family serves the pre-rewrite results. Also the escape
+    * hatch for long-lived multi-session processes (the maps hold strong
+    * references to their sessions' frames until cleared).
+    */
+  def clearMemos(): Unit = {
+    pairsMemo.clear(); labelsMemo.clear(); sharedMemo.clear()
+  }
+
   private[analytics] def confirmedPairs(spark: SparkSession, dir: String): DataFrame =
     pairsMemo.computeIfAbsent((spark, dir),
       _ => minhashConfirm(spark, dir).localCheckpoint())

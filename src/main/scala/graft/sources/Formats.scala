@@ -82,6 +82,10 @@ object Formats {
     * service would otherwise accumulate full-table parse results in
     * executor storage), the checkpoint's blocks are reaped by the
     * ContextCleaner as soon as the returned frame is unreferenced.
+    *
+    * The checkpoint is private to this call — an audit that wants the
+    * corrupt AND clean views off ONE parse should checkpoint once itself
+    * (`val ck = df.localCheckpoint()`) and pass `ck` to both helpers.
     */
   def corruptRows(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col

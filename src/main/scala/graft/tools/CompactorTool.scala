@@ -26,15 +26,20 @@ object CompactorTool {
   /** Testable body: returns the process exit code instead of calling
     * `sys.exit`, and leaves the (possibly shared) session running. */
   def run(args: Array[String]): Int = {
-    if (args.length < 2 || args.length > 4) {
+    def usage(): Int = {
       System.err.println(
         "usage: CompactorTool <path/to/graft.conf> <numPartitions> [<bucket>] [<force>]")
-      return 2
+      2
     }
+    if (args.length < 2 || args.length > 4) return usage()
+    // malformed numeric/boolean args are operator mistakes too — they get
+    // the usage exit (2), not the "a bucket failed" exit (1)
+    val (numPartitions, force) =
+      try (args(1).toInt,
+        if (args.length > 3) args(3).toBoolean else false)
+      catch { case _: IllegalArgumentException => return usage() }
     val conf = GraftConfig.fromFile(args(0))
-    val numPartitions = args(1).toInt
     val bucket = if (args.length > 2) Some(args(2)) else None
-    val force = if (args.length > 3) args(3).toBoolean else false
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-compactor")

@@ -39,6 +39,20 @@ object ScaleData {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    // fail loudly if any source key reaches the copy shift — silent
+    // aliasing across copies (e.g. chaining ScaleData onto its own
+    // output) would break per-copy join/dedup disjointness with zero
+    // errors and the benchmark would measure a different workload
+    def assertKeyDomain(df: DataFrame, keys: String*): Unit = {
+      val aggs = keys.map(k => max(col(k)).cast("long").as(k))
+      val r = df.agg(aggs.head, aggs.tail: _*).first()
+      keys.indices.foreach { i =>
+        if (!r.isNullAt(i))
+          require(r.getLong(i) < CopyOffset,
+            s"source key ${keys(i)} reaches ${r.getLong(i)} >= CopyOffset " +
+              s"$CopyOffset — copies would alias; rescale from the ORIGINAL data")
+      }
+    }
     def write(df: DataFrame, t: String, files: Int): Unit =
       df.repartition(files).write.mode("overwrite").parquet(s"$dst/$t.parquet")
 
@@ -50,6 +64,15 @@ object ScaleData {
     // fixed dims
     write(read("region"), "region", 1)
     write(read("nation"), "nation", 1)
+
+    assertKeyDomain(read("customer"), "c_custkey")
+    assertKeyDomain(read("supplier"), "s_suppkey")
+    assertKeyDomain(read("part"), "p_partkey")
+    assertKeyDomain(read("orders"), "o_orderkey", "o_custkey")
+    assertKeyDomain(read("lineitem"), "l_orderkey", "l_partkey", "l_suppkey")
+    assertKeyDomain(read("events"), "event_id", "user_id")
+    assertKeyDomain(read("documents"), "doc_id")
+    assertKeyDomain(read("embeddings"), "vec_id")
 
     write(replicated(read("customer"))
       .select(shifted("c_custkey").as("c_custkey"), col("c_name"),

@@ -68,6 +68,19 @@ class ConfigToolsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](GraftConfig.fromFile(junk.toString))
   }
 
+  test("unquoted URI values fail loudly instead of comment-truncating") {
+    val f = java.nio.file.Files.createTempFile("graft", ".conf")
+    java.nio.file.Files.writeString(f,
+      "graft.landing.dir = s3a://zones/landing\ngraft.staging.dir = /s\n")
+    val e = intercept[IllegalArgumentException](GraftConfig.fromFile(f.toString))
+    assert(e.getMessage.contains("quote URIs"))
+  }
+
+  test("CompactorTool rejects malformed numeric args with the usage code") {
+    assert(graft.tools.CompactorTool.run(Array("/no/conf", "abc")) == 2)
+    assert(graft.tools.CompactorTool.run(Array("/no/conf", "4", "b1", "maybe")) == 2)
+  }
+
   test("CompactorTool compacts every bucket end-to-end through main's body") {
     val landing = SparkTestSession.tempDir("ctool-landing")
     val staging = SparkTestSession.tempDir("ctool-staging")
