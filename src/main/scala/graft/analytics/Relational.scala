@@ -998,13 +998,18 @@ object Relational {
 
   // ------------------------------- #91 global-share HAVING (Q11 shape)
   /** TPC-H Q11 shape (adapted: part value observed through lineitems):
-    * parts whose traded value exceeds a fixed fraction (0.1%) of the
-    * global traded value — a grouped aggregate filtered by a scalar
-    * aggregate over the SAME aggregation, i.e. GROUP BY ... HAVING
-    * sum(x) > f · (SELECT sum(x)).
+    * parts whose traded value exceeds 1.3× the AVERAGE per-part traded
+    * value — a grouped aggregate filtered by a scalar aggregate over the
+    * SAME aggregation, i.e. GROUP BY ... HAVING sum(x) > f · avg.
+    * The threshold is relative to the average (not a fixed fraction of
+    * the total) so the predicate is scale-invariant: it selects ~10% of
+    * parts at every SF instead of going vacuous as the part count grows.
+    * All comparisons are integer (cents⁴, integer-division average) so
+    * Spark and the oracle agree bit-for-bit at the boundary, and the
+    * operand magnitudes stay far below Long overflow even at sf10.
     *
     * Scale shape: the per-part aggregation is the only fact shuffle; the
-    * global total re-aggregates the per-part result (tiny), broadcasts
+    * global average re-aggregates the per-part result (tiny), broadcasts
     * back as a one-row join, and the HAVING filter runs post-join — the
     * fact table is scanned ONCE (the per-part frame is checkpointed
     * before fan-out, so the scalar branch reuses it instead of
@@ -1017,9 +1022,10 @@ object Relational {
       .groupBy("l_partkey")
       .agg(sum(col("val_c4")).as("part_val_c4"))
       .localCheckpoint()
-    val total = perPart.agg(sum(col("part_val_c4")).as("total_c4"))
-    perPart.join(broadcast(total))
-      .filter(col("part_val_c4") * 1000L > col("total_c4"))
+    val avg = perPart
+      .agg(expr("sum(part_val_c4) div count(*)").as("avg_c4"))
+    perPart.join(broadcast(avg))
+      .filter(col("part_val_c4") * 10L > col("avg_c4") * 13L)
       .select(col("l_partkey"), (col("part_val_c4") / 10000.0).as("part_value"))
       .orderBy(col("part_value").desc, col("l_partkey"))
   }
@@ -1032,6 +1038,6 @@ object Relational {
       |  FROM lineitem GROUP BY l_partkey)
       |SELECT l_partkey, part_val_c4/10000.0 AS part_value
       |FROM pp
-      |WHERE part_val_c4 * 1000 > (SELECT sum(part_val_c4) FROM pp)
+      |WHERE part_val_c4 * 10 > (SELECT sum(part_val_c4)//count(*) FROM pp) * 13
       |ORDER BY part_value DESC, l_partkey""".stripMargin
 }
