@@ -18,15 +18,40 @@ import org.apache.spark.sql.functions._
   */
 object CluesoOps {
 
-  /** events → op-log view with exact-integer value/time columns. */
+  /** events → op-log view with exact-integer value/time columns.
+    *
+    * Memoized per (session, dir, on-disk fingerprint): the JSON key
+    * extraction (`get_json_object` + `concat`) is the shared parse tax
+    * under SEVEN registered queries (snapshot/asof/diff/search/page/
+    * list_objects/list_versions/compaction_merge) — re-parsing it per
+    * query dominated the sf1 profile (it underlay 7 of the 10 most
+    * expensive queries). The memo holds a localCheckpoint of the slim
+    * 5-column projection — narrow longs + the derived key, a small
+    * fraction of the raw events table (`props` JSON and all unused
+    * columns dropped). At 100 TB this residency decision is the
+    * compactor's job (the staging zone IS the pre-parsed projection,
+    * written once, partition-pruned per query); the session memo is the
+    * same parse-once design applied to the shared-session query surface.
+    *
+    * Trade-off, made explicitly: downstream op-index/key predicates now
+    * filter the checkpointed frame instead of pushing into the parquet
+    * scan. The parse cost is O(corpus) per QUERY while the pushdown
+    * saves O(corpus) once — measured at sf1, parse-once wins decisively
+    * (the whole slim projection scans in memory in milliseconds).
+    */
+  private val opLogMemo = new graft.ops.SessionMemo(Seq("events.parquet"))
+
   private def opLog(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).select(
-      concat(col("user_id").cast("string"), lit(":"),
-        get_json_object(col("props"), "$.k")).as("object_key"),
-      col("event_id"),
-      col("event_type"),
-      cents(col("value")).as("v_c"),
-      expr("ts div 1000000000").as("sec"))
+    opLogMemo.get(spark, dir) {
+      Tables.events(spark, dir).select(
+        concat(col("user_id").cast("string"), lit(":"),
+          get_json_object(col("props"), "$.k")).as("object_key"),
+        col("event_id"),
+        col("event_type"),
+        cents(col("value")).as("v_c"),
+        expr("ts div 1000000000").as("sec"))
+        .localCheckpoint()
+    }
 
   private val opLogSql =
     """SELECT CAST(user_id AS VARCHAR) || ':' || json_extract_string(props, '$.k') AS object_key,

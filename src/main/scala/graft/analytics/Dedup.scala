@@ -189,11 +189,10 @@ object Dedup {
     * (ContextCleaner-reaped when the build returns) and only the small
     * derived artifact stays resident.
     */
-  private val sharedMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val sharedMemo = new graft.ops.SessionMemo(Seq("documents.parquet"))
 
   private def sharedCounts(spark: SparkSession, dir: String): DataFrame =
-    sharedMemo.computeIfAbsent((spark, dir), _ => {
+    sharedMemo.get(spark, dir) {
       // localCheckpoint (not cache): materialized once for the branches
       // below, auto-dropped when this build's frames go out of scope
       val sh = shingled(spark, dir).localCheckpoint()
@@ -213,7 +212,7 @@ object Dedup {
         .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
         .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
         .localCheckpoint()
-    })
+    }
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val jac = col("shared") / (col("na") + col("nb") - col("shared"))
@@ -293,27 +292,26 @@ object Dedup {
     * [[dedupKeepBest]], each of which would otherwise re-run the
     * signature + banding + confirm pipeline from scratch. The memo holds
     * the LOCALCHECKPOINTED confirm output (a few rows per duplicate
-    * pair — trivially small next to the corpus), keyed by (session, dir)
-    * so data-dir changes and session restarts never serve stale pairs.
+    * pair — trivially small next to the corpus), revalidated against the
+    * documents table's on-disk fingerprint ([[graft.ops.SessionMemo]]) so
+    * path changes AND in-place rewrites both rebuild instead of serving
+    * stale pairs.
     */
-  private val pairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val pairsMemo = new graft.ops.SessionMemo(Seq("documents.parquet"))
 
   /** Drop every session memo (confirmed pairs, cluster labels, shingle
-    * intersection counts). The memos key on (session, data dir), which
-    * covers path CHANGES but not an in-place rewrite of the same path —
-    * a caller that overwrites a data dir within one session must call
-    * this, or the family serves the pre-rewrite results. Also the escape
-    * hatch for long-lived multi-session processes (the maps hold strong
-    * references to their sessions' frames until cleared).
+    * intersection counts). Staleness is handled automatically — each
+    * access revalidates against the input table's on-disk fingerprint —
+    * so this is only the eviction hatch for long-lived multi-session
+    * processes (the maps hold strong references to their sessions'
+    * frames until cleared).
     */
   def clearMemos(): Unit = {
     pairsMemo.clear(); labelsMemo.clear(); sharedMemo.clear()
   }
 
   private[analytics] def confirmedPairs(spark: SparkSession, dir: String): DataFrame =
-    pairsMemo.computeIfAbsent((spark, dir),
-      _ => minhashConfirm(spark, dir).localCheckpoint())
+    pairsMemo.get(spark, dir)(minhashConfirm(spark, dir).localCheckpoint())
 
   private def minhashConfirm(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -451,12 +449,11 @@ object Dedup {
     * without the memo each re-runs the whole propagation. Label output is
     * one row per clustered doc — trivially checkpoint-sized.
     */
-  private val labelsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val labelsMemo = new graft.ops.SessionMemo(Seq("documents.parquet"))
 
   private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
-    labelsMemo.computeIfAbsent((spark, dir),
-      _ => connectedComponents(confirmedPairs(spark, dir).select("a_id", "b_id"))
+    labelsMemo.get(spark, dir)(
+      connectedComponents(confirmedPairs(spark, dir).select("a_id", "b_id"))
         .localCheckpoint())
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
