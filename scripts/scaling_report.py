@@ -37,16 +37,19 @@ def main() -> None:
     ratios = [r for r, _, _, _ in rows]
     flagged = [k for r, _, _, k in rows if r > 20]
     def first_runs(d):
+        # first_value (Bench-emitted) is authoritative; fall back to
+        # summing the first entry of each query's runs array
+        if "first_value" in d:
+            return d["first_value"]
         return (sum(r[0] for r in d["runs"].values())
                 if "runs" in d else d["value"])
 
     hdr = f"""# BENCH_SCALING — measured sf0.1 → sf1 (10× data)
 
 Two full `graft.Bench` runs on identical code, same machine, `local[32]`,
-back-to-back. Timing is best-of-{a.get('reps', 1)} per query (single-shot
+back-to-back. Per-query timing is best-of-{a.get('reps', 1)} (single-shot
 timings carry multi-second JIT/scheduler jitter; `runs` in the JSON keeps
-every rep's wall time, so one-time session-memo builds remain auditable —
-sum of FIRST runs: {first_runs(a):.1f} s (sf0.1) / {first_runs(b):.1f} s (sf1)). The sf1 data is `tools/ScaleData`'s 10× derivation of
+every rep's wall time). The sf1 data is `tools/ScaleData`'s 10× derivation of
 `/root/testdata/sf0.1` (per-copy key-shifted TPC-H worlds, dims fixed;
 token-suffixed document copies so near-dup pair counts scale linearly;
 sign-flipped embedding copies preserving within-copy geometry exactly;
@@ -57,7 +60,13 @@ beside this file: `bench_scaling_sf01.json`, `bench_scaling_sf1.json`
 
 ## Headline
 
-- **Total: {a['value']:.1f} s → {b['value']:.1f} s = {b['value']/a['value']:.2f}× for 10× data**
+- **First-run total (one-time session-memo builds INCLUDED):
+  {first_runs(a):.1f} s → {first_runs(b):.1f} s =
+  {first_runs(b)/first_runs(a):.2f}× for 10× data** — the honest
+  scaling headline: memoized families' shared-stage builds grow with the
+  data and a best-of aggregate would hide them (rep 2 is a memo hit).
+- Best-of-{a.get('reps', 1)} total (steady-state, jitter-stripped):
+  {a['value']:.1f} s → {b['value']:.1f} s = {b['value']/a['value']:.2f}×
   ({len(rows)} queries, {a['errors']}+{b['errors']} errors).
 - **Median per-query ratio {statistics.median(ratios):.2f}×; worst {max(ratios):.1f}×.** Expected
   row-count factor is ~10× for nearly every query (facts scale 10×, dims

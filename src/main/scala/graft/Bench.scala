@@ -146,6 +146,12 @@ object Bench {
       .mkString("{", ",", "}")
     val nErr = results.count(_._5.isDefined)
     val total = results.map(_._2).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","errors":$nErr,"queries":$qs,"runs":$runsJ,"gc_sec":$gcs,"status":$status,"sf":"$sfDir"}"""
+    // first_value: sum of every query's FIRST rep. The best-of headline
+    // deliberately strips JIT/scheduler jitter, but it also strips the
+    // one-time session-memo builds (a memoized query's rep 2 is a memo
+    // hit) — scaling comparisons need the first-run total or the builds'
+    // growth with data vanishes from the curve.
+    val firstTotal = results.map(_._3.headOption.getOrElse(0.0)).sum
+    s"""{"metric":"total","value":$total,"first_value":$firstTotal,"unit":"sec","reps":$reps,"agg":"min","errors":$nErr,"queries":$qs,"runs":$runsJ,"gc_sec":$gcs,"status":$status,"sf":"$sfDir"}"""
   }
 }

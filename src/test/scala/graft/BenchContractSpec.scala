@@ -15,8 +15,14 @@ class BenchContractSpec extends AnyFunSuite {
     assert(json.startsWith("{") && json.endsWith("}"))
     for (field <- Seq("\"metric\":\"total\"", "\"reps\":2", "\"agg\":\"min\"",
         "\"errors\":0", "\"q1_agg\":", "\"storage_info\":", "\"runs\":",
-        "\"gc_sec\":", "\"status\":"))
+        "\"gc_sec\":", "\"status\":", "\"first_value\":"))
       assert(json.contains(field), s"missing $field in $json")
+    // first_value sums FIRST reps (memo builds included) and can only be
+    // >= the best-of total
+    val num = """"(value|first_value)":([0-9.eE+-]+)""".r
+    val vals = num.findAllMatchIn(json).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    assert(vals("first_value") >= vals("value") - 1e-9,
+      s"first_value must dominate best-of value: $json")
     // each query ran `reps` times and every rep is recorded
     val runsRe = """"q1_agg":\[([0-9.eE,-]+)\]""".r
     val reps = runsRe.findFirstMatchIn(json).map(_.group(1).split(",").length)
