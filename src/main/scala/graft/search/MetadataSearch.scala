@@ -121,20 +121,28 @@ class MetadataSearch(spark: SparkSession, landingDir: String, stagingDir: String
       .filter(!col("key").contains("\u0000"))
       .select(col("key"))
     if (req.prefix.nonEmpty) keys = keys.filter(col("key").startsWith(req.prefix))
-    req.startAfter.foreach(k => keys = keys.filter(col("key") > lit(k)))
     val page =
-      if (req.delimiter.isEmpty)
+      if (req.delimiter.isEmpty) {
+        req.startAfter.foreach(k => keys = keys.filter(col("key") > lit(k)))
         keys.select(lit("object").as("stratum"), col("key").as("name"),
           lit(1L).as("n_keys"))
-      else {
+      } else {
         // first delimiter occurrence strictly after the prefix; locate is
         // 1-based and returns 0 on no match — the rollup name is the key
         // up to and including that occurrence
         val pos = locate(req.delimiter, col("key"), req.prefix.length + 1)
-        val tagged = keys.select(col("key"),
+        var tagged = keys.select(col("key"),
           when(pos > 0,
             col("key").substr(lit(1), pos + lit(req.delimiter.length - 1)))
             .as("common_prefix"))
+        // S3 ListObjectsV2 continuation skips past a WHOLE delimiter
+        // group: the cursor compares against the DERIVED name (the
+        // common prefix for rolled-up keys, the key itself for leaves).
+        // Filtering raw keys instead would re-emit a group that
+        // straddles a page boundary on the next page — with a partial
+        // n_keys count.
+        req.startAfter.foreach(k => tagged = tagged.filter(
+          coalesce(col("common_prefix"), col("key")) > lit(k)))
         val rollup = tagged.filter(col("common_prefix").isNotNull)
           .groupBy(col("common_prefix").as("name"))
           .agg(count(lit(1)).as("n_keys"))

@@ -62,6 +62,49 @@ class ListApiSpec extends AnyFunSuite {
     assert(leaves.length == 5 && leaves.forall(_.getString(0) == "object"))
   }
 
+  test("delimiter pagination skips whole groups (S3 continuation semantics)") {
+    // dedicated fixture: keys forming three delimiter groups + loose leaves
+    val l2 = SparkTestSession.tempDir("listapi2-landing")
+    val s2 = SparkTestSession.tempDir("listapi2-staging")
+    import spark.implicits._
+    val puts = Seq("a/x", "a/y", "a/z", "b/x", "b/y", "c", "d/z")
+      .zipWithIndex.map { case (k, i) =>
+        s"""{"opIndex":"${"%012d".format(i)}_000000","type":"put","bucket":"pb","key":"$k","value":{"content-length":1}}"""
+      }.toDF("value")
+    EventParser.parse(puts, "value", excludeBucket = "", groupInterval = 20L)
+      .write.partitionBy("bucket", "opGroup").mode("append").parquet(l2)
+    val s = new MetadataSearch(spark, l2, s2)
+
+    // full listing: groups a/ (3), b/ (2), d/ (1) + leaf c
+    val all = s.listObjects(ListRequest("pb", delimiter = "/"))
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq
+    assert(all == Seq(("common_prefix", "a/", 3L), ("common_prefix", "b/", 2L),
+      ("object", "c", 1L), ("common_prefix", "d/", 1L)))
+
+    // page 1 of 2 ends mid-keyspace INSIDE what raw-key filtering would
+    // consider group b/'s key range
+    val p1 = s.listObjects(ListRequest("pb", delimiter = "/", maxKeys = 2))
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq
+    assert(p1 == Seq(("common_prefix", "a/", 3L), ("common_prefix", "b/", 2L)))
+
+    // continuation from the last DERIVED name: the a/ and b/ groups must
+    // not re-emit (raw-key filtering would re-list b/ — its keys b/x,b/y
+    // sort after the cursor "b/" — with the same or a partial count)
+    val p2 = s.listObjects(ListRequest("pb", delimiter = "/",
+        startAfter = Some(p1.last._2), maxKeys = 2))
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq
+    assert(p2 == Seq(("object", "c", 1L), ("common_prefix", "d/", 1L)),
+      s"page 2 must start past the whole b/ group, got $p2")
+
+    // cursor straddling a group (mid-group cursor "a/"): the whole group
+    // is skipped, never re-emitted with a partial n_keys
+    val afterA = s.listObjects(ListRequest("pb", delimiter = "/",
+        startAfter = Some("a/"), maxKeys = 10))
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq
+    assert(afterA == Seq(("common_prefix", "b/", 2L), ("object", "c", 1L),
+      ("common_prefix", "d/", 1L)))
+  }
+
   test("version listing shows full history newest-first with markers") {
     val vs = search.listVersions(ListRequest("lb", prefix = "obj_00000000"))
       .collect()
