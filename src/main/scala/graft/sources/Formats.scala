@@ -72,6 +72,15 @@ object Formats {
       .schema(schema.add(CorruptCol, "string"))
       .json(path)
 
+  /** Is this frame already a materialized (checkpointed) scan? Both view
+    * helpers use this so a caller following the one-checkpoint-for-both-
+    * views pattern (`val ck = df.localCheckpoint(); corruptRows(ck);
+    * cleanRows(ck)`) is never checkpointed a second time.
+    */
+  private def isMaterialized(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.isInstanceOf[
+      org.apache.spark.sql.execution.LogicalRDD]
+
   /** The quarantined lines of a PERMISSIVE read (for audit/replay).
     *
     * Spark refuses a raw-file scan whose referenced columns are ONLY the
@@ -83,14 +92,16 @@ object Formats {
     * executor storage), the checkpoint's blocks are reaped by the
     * ContextCleaner as soon as the returned frame is unreferenced.
     *
-    * The checkpoint is private to this call — an audit that wants the
-    * corrupt AND clean views off ONE parse should checkpoint once itself
-    * (`val ck = df.localCheckpoint()`) and pass `ck` to both helpers.
+    * The checkpoint is LAZY (`eager = false`): building this view costs
+    * nothing until it is consumed, and a pre-checkpointed input is used
+    * as-is. An audit that wants the corrupt AND clean views off ONE parse
+    * checkpoints once itself (`val ck = df.localCheckpoint()`) and passes
+    * `ck` to both this and [[cleanRows]] — one table scan total.
     */
   def corruptRows(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
-    df.localCheckpoint()
-      .filter(col(CorruptCol).isNotNull).select(col(CorruptCol))
+    val base = if (isMaterialized(df)) df else df.localCheckpoint(eager = false)
+    base.filter(col(CorruptCol).isNotNull).select(col(CorruptCol))
   }
 
   /** Parquet read that survives corrupt/truncated files: at 100 TB and
@@ -111,6 +122,12 @@ object Formats {
     * corrupt-record reference, which Spark rejects on raw JSON/CSV scans
     * — count a data column (`agg(count(col))`) or cache first. Any real
     * consumption that reads data columns is unaffected.
+    *
+    * One-checkpoint-for-both-views: an audit that also wants
+    * [[corruptRows]] should checkpoint the parse once
+    * (`val ck = df.localCheckpoint()`) and pass `ck` to both helpers —
+    * this view adds no materialization of its own, so the shared
+    * checkpoint is the single table scan behind both.
     */
   def cleanRows(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col

@@ -83,6 +83,17 @@ class FormatsSpec extends AnyFunSuite {
     assert(Formats.cleanRows(readBack).agg(count("doc_id")).head().getLong(0) == 1)
     assert(Formats.corruptRows(readBack).count() == 2)
     readBack.unpersist()
+
+    // one-checkpoint-for-both-views: a pre-checkpointed parse feeds BOTH
+    // helpers without corruptRows checkpointing a second time
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val ck = Formats.readJsonl(spark, mixed, schema).localCheckpoint()
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 1)
+    assert(Formats.corruptRows(ck).count() == 2)
+    assert(Formats.cleanRows(ck).agg(count("doc_id")).head().getLong(0) == 1)
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 1,
+      "shared checkpoint must be the ONLY materialization behind both views")
+    ck.unpersist()
   }
 
   test("lenient parquet read skips a corrupt file instead of failing the scan") {
