@@ -21,7 +21,7 @@ class PlanQualitySpec extends AnyFunSuite {
     */
   private val nestedLoopByDesign = Set(
     "knn_brute", "knn_recall", "knn_filtered", "knn_hard_negatives",
-    "knn_lsh", "knn_pq", "knn_ivf_pq", "centroid_ivf", "kmeans_iter",
+    "knn_lsh", "knn_pq", "knn_pq_recall", "knn_ivf_pq", "centroid_ivf", "kmeans_iter",
     "q_wealthy_inactive", "q_important_parts", "q_top_supplier",
     "q_avg_yearly", "text_decontaminate", "corpus_mixture",
     "dedup_semantic", "dedup_embedding",
