@@ -184,6 +184,127 @@ object StreamOps {
       }
   }
 
+  // ---------------------------------------------- incremental kNN graph
+  /** One emitted neighbor-list row: `gen` is a per-bucket monotonically
+    * increasing generation — a consumer (or the equality spec) keeps the
+    * max-gen list per `q_id`, exactly the upsert-latest discipline of
+    * [[upsertSink]]. */
+  case class NeighborEdge(q_id: Long, gen: Long, rank: Int, n_id: Long,
+                          cosine: Double)
+  /** Bucket state: member ids, their vectors (flattened, `dim` doubles
+    * each), norms, and each member's CURRENT top-k heap (scores + ids,
+    * ordered score desc then id asc). */
+  case class GraphBucketState(ids: Seq[Long], vecs: Seq[Double],
+                              nrms: Seq[Double], tops: Seq[Seq[Double]],
+                              topIds: Seq[Seq[Long]], gen: Long)
+
+  /** Incremental maintenance of the corpus k-NN graph — the streaming
+    * face of [[graft.analytics.Similarity.knnGraph]]: new vectors route
+    * to their LSH bucket's state (`flatMapGroupsWithState` keyed by the
+    * same 8-hyperplane bucket), score only against that bucket's members,
+    * and emit UPDATED neighbor lists — the new node's list plus any
+    * member list the arrival actually entered. Cosines replicate the
+    * batch math exactly (sequential dot, HALF_UP 6-dp rounding,
+    * score-desc/id-asc tie-break), so on buckets below the batch
+    * cell-split threshold the maintained graph is BIT-EQUAL to the batch
+    * graph over the union of all arrivals (spec-asserted on two
+    * micro-batches).
+    *
+    * State bounds: each bucket keeps ≤ `maxBucketDocs` vectors (the
+    * [[nearDupStream]] policy: a full bucket stops admitting but still
+    * serves incoming arrivals' own lists), so state is O(buckets × cap ×
+    * dim) regardless of stream length; per-arrival work is O(bucket
+    * size · dim) — the same Σ bucket² economics as the batch self-join,
+    * paid once per arrival instead of per rebuild. Emission is
+    * update-shaped and at-least-once per list version; `gen` makes
+    * upserts order-safe.
+    */
+  def knnGraphStream(vectors: DataFrame, k: Int = 5,
+                     maxBucketDocs: Int = 256): Dataset[NeighborEdge] = {
+    val spark = vectors.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    import graft.functions.Portable.toDouble
+    val dim = 64
+    def round6(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    def dot(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // (score desc, id asc) insertion returning None when nothing changed
+    def insert(tops: Seq[Double], ids: Seq[Long], score: Double, id: Long)
+        : Option[(Seq[Double], Seq[Long])] = {
+      val beats = (s: Double, i: Long) => score > s || (score == s && id < i)
+      if (tops.size >= k && !beats(tops.last, ids.last)) None
+      else {
+        val pos = tops.indices.find(j => beats(tops(j), ids(j))).getOrElse(tops.size)
+        Some((
+          ((tops.take(pos) :+ score) ++ tops.drop(pos)).take(k),
+          ((ids.take(pos) :+ id) ++ ids.drop(pos)).take(k)))
+      }
+    }
+    val ed = toDouble(col("embedding"))
+    vectors
+      .select(col("vec_id").cast("long").as("vec_id"), ed.as("ed"),
+        graft.functions.GraftFunctions.hyperplaneBucket8(ed).as("bucket"))
+      .as[(Long, Seq[Double], Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[GraphBucketState, NeighborEdge](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Seq[Double], Long)],
+         state: GroupState[GraphBucketState]) =>
+          val cur = state.getOption.getOrElse(
+            GraphBucketState(Vector.empty, Vector.empty, Vector.empty,
+              Vector.empty, Vector.empty, 0L))
+          var ids = cur.ids.toVector
+          var vecs = cur.vecs.toVector
+          var nrms = cur.nrms.toVector
+          var tops = cur.tops.toVector.map(_.toVector)
+          var topIds = cur.topIds.toVector.map(_.toVector)
+          var gen = cur.gen
+          val out = List.newBuilder[NeighborEdge]
+          def emit(q: Long, ts: Seq[Double], is: Seq[Long]): Unit = {
+            gen += 1
+            var r = 0
+            while (r < ts.size) {
+              out += NeighborEdge(q, gen, r + 1, is(r), ts(r)); r += 1
+            }
+          }
+          rows.toSeq.sortBy(_._1).foreach { case (id, e, _) =>
+            if (!ids.contains(id)) {
+              val v = e.toIndexedSeq
+              val nrm = math.sqrt(dot(v, v))
+              var myTops = Vector.empty[Double]
+              var myIds = Vector.empty[Long]
+              var d = 0
+              while (d < ids.length) {
+                val w = vecs.slice(d * dim, d * dim + dim)
+                val cos = round6(dot(v, w) / (nrm * nrms(d)))
+                insert(myTops, myIds, cos, ids(d)).foreach { case (t, i) =>
+                  myTops = t.toVector; myIds = i.toVector
+                }
+                insert(tops(d), topIds(d), cos, id).foreach { case (t, i) =>
+                  tops = tops.updated(d, t.toVector)
+                  topIds = topIds.updated(d, i.toVector)
+                  emit(ids(d), t, i)
+                }
+                d += 1
+              }
+              if (myTops.nonEmpty) emit(id, myTops, myIds)
+              if (ids.length < maxBucketDocs) {
+                ids :+= id; vecs ++= v; nrms :+= nrm
+                tops :+= myTops; topIds :+= myIds
+              }
+            }
+          }
+          state.update(GraphBucketState(ids, vecs, nrms, tops, topIds, gen))
+          out.result().iterator
+      }
+  }
+
   // ------------------------------------------------------- sessionization
   case class Click(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)

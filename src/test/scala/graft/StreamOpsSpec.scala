@@ -311,4 +311,45 @@ class StreamOpsSpec extends AnyFunSuite {
     run(batch(("b", 9L, "", true)), 2L)
     assert(serving == Map("a" -> "a3", "c" -> "c5"))
   }
+
+  test("incremental kNN graph over two micro-batches equals the batch graph on the union") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // 60 real vectors from the test corpus, split 35 + 25: well under the
+    // batch cell-split threshold (GraphCell=64), so the bucket-keyed
+    // stream and the cell-split batch build the same candidate sets
+    val all = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 60)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val vectors = in.toDF().toDF("vec_id", "embedding")
+    val q = StreamOps.knnGraphStream(vectors)
+      .writeStream.format("memory").queryName("knngraph")
+      .outputMode("append").start()
+    try {
+      in.addData(all.take(35).toIndexedSeq)
+      q.processAllAvailable()
+      val afterB1 = spark.table("knngraph").count()
+      assert(afterB1 > 0, "first batch must emit neighbor lists")
+      in.addData(all.drop(35).toIndexedSeq)
+      q.processAllAvailable()
+      assert(spark.table("knngraph").count() > afterB1,
+        "second batch must emit UPDATED lists without re-feeding batch 1")
+
+      // consumer discipline: latest generation per node wins
+      val latest = spark.table("knngraph")
+        .withColumn("maxg", max(col("gen")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")))
+        .filter(col("gen") === col("maxg"))
+        .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+        .as[(Long, Int, Long, Double)].collect().toSet
+
+      val unionDf = all.toSeq.toDF("vec_id", "embedding")
+      val expected = graft.analytics.Similarity.knnGraphFrame(spark, unionDf)
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(latest == expected,
+        "maintained graph must be bit-equal to the batch graph on the union")
+    } finally q.stop()
+  }
 }
