@@ -717,10 +717,26 @@ object Dedup {
   }
 
   // ----------------------------------------------- #24 embedding near-dup
+  /** Candidate budget per vector in [[dedupEmbedding]]: a sign bucket
+    * larger than this splits into `ceil(size / EmbedCell)` deterministic
+    * cells (`vec_id % s`) and pairs are drawn within the cell — the same
+    * linearity defense as `knn_graph`'s `GraphCell`, and it is NOT
+    * optional here: the synthetic embeddings collapse into 4 occupied
+    * sign patterns, so the raw bucket self-join is Σ bucket² ≈ N²/4.
+    * Measured at the 100× scale point: 334 s raw → the cell split keeps
+    * per-bucket work ∝ size · EmbedCell (linear in N). The trade is
+    * recall (a true pair survives only when both ids land in one cell,
+    * ~1/s once buckets oversize) — the standard LSH candidate-sampling
+    * trade, mirrored exactly in the oracle; production tunes it with
+    * more planes + multi-probe, which only changes constants here.
+    */
+  val EmbedCell = 128
+
   /** Embedding-cosine near-dup pairs, LSH-bucketed: 8 deterministic ±1
-    * hyperplanes → 256 sign buckets; only same-bucket pairs are compared
-    * (the join is a bucket-key equality join, never all-pairs), then
-    * confirmed at cosine ≥ 0.4.
+    * hyperplanes → sign buckets; only same-(bucket, cell) pairs are
+    * compared (the join is a key equality join, never all-pairs, with
+    * [[EmbedCell]] bounding per-vector candidates), then confirmed at
+    * cosine ≥ 0.4.
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -729,10 +745,15 @@ object Dedup {
     val bv = base.select(col("vec_id"), col("ed"),
       sqrt(graft.functions.GraftFunctions.dotp(col("ed"), col("ed"))).as("nrm"),
       graft.functions.GraftFunctions.hyperplaneBucket8(col("ed")).as("bucket"))
+    val cells = bv.groupBy("bucket")
+      .agg(((count(lit(1)) + EmbedCell - 1) / EmbedCell).cast("long").as("s"))
+    val bvc = bv.join(broadcast(cells), "bucket")
+      .withColumn("cell", col("vec_id") % col("s"))
     val cos = graft.functions.GraftFunctions.dotp(col("a.ed"), col("b.ed")) /
       (col("a.nrm") * col("b.nrm"))
-    bv.as("a").join(bv.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+    bvc.as("a").join(bvc.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         cos.as("cos"))
       .filter(col("cos") >= 0.4)
@@ -740,8 +761,9 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** Shared CTEs: hyperplane-bucketed embedding near-dup pairs (the body
-    * of [[dedupEmbeddingSql]], reused by the semantic-dedup closure). */
+  /** Shared CTEs: hyperplane-bucketed, cell-split embedding near-dup
+    * pairs (the body of [[dedupEmbeddingSql]], reused by the
+    * semantic-dedup closure). */
   private val embeddingPairsCtes: String = {
     def projSql(p: Int): String =
       seqSumSql(s"list_transform(range(64), i -> " +
@@ -754,9 +776,14 @@ object Dedup {
       |  SELECT vec_id, embedding AS emb, ${l2normSql("embedding", 64)} AS nrm,
       |         $bucket AS bucket
       |  FROM embeddings),
+      |cells AS (SELECT bucket, (count(*) + ${EmbedCell - 1}) // $EmbedCell AS s
+      |          FROM bv GROUP BY bucket),
+      |bvc AS (SELECT bv.*, bv.vec_id % cells.s AS cell
+      |        FROM bv JOIN cells ON bv.bucket = cells.bucket),
       |epairs AS (
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, round($cos, 6) AS cosine
-      |  FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |  FROM bvc a JOIN bvc b
+      |    ON a.bucket = b.bucket AND a.cell = b.cell AND a.vec_id < b.vec_id
       |  WHERE $cos >= 0.4)""".stripMargin
   }
 
