@@ -33,4 +33,27 @@ object StorageInfo {
       else spark.read.parquet(dir).count()
     ZoneStats(dir, files, bytes, if (files == 0) 0 else bytes / files, records)
   }
+
+  /** CLI (reference: MetadataStorageInfoTool via bin/info.sh): one JSON
+    * line of zone statistics per directory argument.
+    * `runMain graft.tools.StorageInfo <zoneDir> [zoneDir ...]`
+    */
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: StorageInfo <zoneDir> [zoneDir ...]")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-storage-info")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.foreach { dir =>
+      val s = zoneStats(spark, dir)
+      println(s"""{"path":"${s.path}","parquetFiles":${s.parquetFiles},""" +
+        s""""totalBytes":${s.totalBytes},"avgFileBytes":${s.avgFileBytes},""" +
+        s""""records":${s.records}}""")
+    }
+    spark.stop()
+  }
 }

@@ -48,6 +48,18 @@ class ConfigToolsSpec extends AnyFunSuite {
     assert(conf.kafkaTopic == "metadata-journal")
   }
 
+  test("the committed example config parses with documented defaults") {
+    val conf = GraftConfig.fromFile("conf/graft.conf.example")
+    assert(conf.landingDir == "/zones/landing")
+    assert(conf.stagingDir == "/zones/staging")
+    assert(conf.checkpointDir == "/zones/landing/_checkpoints")
+    assert(conf.groupInterval == 10000L)
+    assert(conf.cacheTtlMillis == 60000L)
+    assert(conf.purgeToleranceMs == 10000L)
+    assert(conf.kafkaBootstrap.isEmpty, "kafka stays commented out")
+    assert(conf.maxSearchScanBytes == 0L)
+  }
+
   test("fromFile without a kafka block selects the file journal source") {
     val f = java.nio.file.Files.createTempFile("graft", ".conf")
     java.nio.file.Files.writeString(f,
