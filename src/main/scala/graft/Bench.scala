@@ -13,6 +13,14 @@ object Bench {
       // queries). Static conf - must be set before the session starts.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
+      // Long-bench resilience: a multi-minute driver stall (GC storm or a
+      // saturated dispatcher at the largest scale points) must not let
+      // HeartbeatReceiver expire the ONLY executor — in local mode that is
+      // unrecoverable (observed: 175 s heartbeat gap at sf10 → executor
+      // deregistered → RPC endpoint storm → JVM death at minute 39 with no
+      // artifact). 600 s tolerates any observed stall; real clusters run
+      // the same setting for large shuffles.
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val json = run(spark,
@@ -123,6 +131,11 @@ object Bench {
         if (n >= last) stable += 1 else { stable = 0; System.gc() }
         last = n
       }
+      // progress breadcrumb (stderr, not part of the JSON contract): when a
+      // run dies mid-flight this is the only way to attribute the death to
+      // a query; timing cost is one syscall per query.
+      System.err.println(
+        f"[bench] $name done best=$dt%.3fs runs=${runTimes.mkString(",")} err=${err.getOrElse("-")}")
       (name, dt, runTimes.toSeq, gcDt, err)
     }
     def jstr(s: String): String = "\"" + s.flatMap {

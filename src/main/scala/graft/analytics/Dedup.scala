@@ -74,12 +74,15 @@ object Dedup {
     * its reformatted twin.
     */
   def dedupNormalized(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val corpus = docs.unionByName(
       docs.select((col("doc_id") + 1000000L).as("doc_id"),
         concat(upper(col("text")), lit("  !!")).as("text")))
-    val normalized = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    // Native single-pass kernel, byte-equal to
+    // trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+    // (the oracle's form) — see [[graft.functions.Sig.normalizeText]].
+    val normalized = graft.functions.GraftFunctions.normalize(col("text"))
     corpus
       .groupBy(md5(normalized).as("norm_hash"))
       .agg(count(lit(1)).as("n_copies"),

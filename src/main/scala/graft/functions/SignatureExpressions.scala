@@ -39,8 +39,21 @@ object Sig {
     h
   }
 
+  // hashJ(h, j) = ((j+1)*1000003 % P * h + (j*999983 + 12345) % P) % P.
+  // The per-j coefficients are constants; precomputing them turns the
+  // 3-mul/3-mod formula into 1 mul + 1 add + 1 mod per (token, bit) in the
+  // minhash/simhash inner loops. Values are reduced mod P up front, so the
+  // result is bit-identical to the original formula (and to
+  // [[Portable.hashJ]] / the oracle SQL). A·h < P² ≈ 10¹⁸ stays in Long.
+  private final val HJMax = 64
+  private val HJa: Array[Long] =
+    Array.tabulate(HJMax)(j => (j + 1) * 1000003L % P)
+  private val HJb: Array[Long] =
+    Array.tabulate(HJMax)(j => (j * 999983L + 12345L) % P)
+
   @inline def hashJ(h: Long, j: Long): Long =
-    ((j + 1) * 1000003L % P * h + (j * 999983L + 12345L) % P) % P
+    if (j >= 0 && j < HJMax) (HJa(j.toInt) * h + HJb(j.toInt)) % P
+    else ((j + 1) * 1000003L % P * h + (j * 999983L + 12345L) % P) % P
 
   // ---- per-row kernels, called from both nullSafeEval and generated code
   // (Scala object methods compile to static forwarders, so Janino-built
@@ -164,6 +177,38 @@ object Sig {
   def polyHashStr(s: org.apache.spark.unsafe.types.UTF8String): Long =
     polyHash(s.getBytes)
 
+  /** Single-pass text canonicalization: ASCII lowercase, every byte
+    * outside `[a-z0-9]` becomes a space, runs of spaces collapse to one,
+    * leading/trailing spaces dropped. Byte-for-byte equal to
+    * `trim(regexp_replace(regexp_replace(lower(s), "[^a-z0-9 ]", " "), " +", " "))`
+    * for any input whose non-ASCII characters don't lowercase into
+    * `[a-z0-9]` (each byte of a multi-byte char maps to a space, and the
+    * collapse step merges them exactly as the regex merges the one space
+    * the character-level replace emits). One linear scan, no regex
+    * machinery, no intermediate strings. */
+  def normalizeText(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val b = s.getBytes
+    val out = new Array[Byte](b.length)
+    var n = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < b.length) {
+      var c = b(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toByte
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && n > 0) { out(n) = ' '; n += 1 }
+        out(n) = c
+        n += 1
+        pendingSpace = false
+      } else {
+        pendingSpace = true
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out, 0, n)
+  }
+
   /** Winnowing fingerprint profile: polyhash every gram, slide a window of
     * `w` consecutive hashes keeping each window's minimum, distinct the
     * mins (first-occurrence order). Degenerate cases match the declarative
@@ -277,6 +322,16 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): PolyHashExpr = copy(child = c)
 }
 
+/** `graft_normalize(string) -> string` — see [[Sig.normalizeText]]. */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Sig.normalizeText(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sig.normalizeText($c)")
+  override protected def withNewChildInternal(c: Expression): NormalizeText = copy(child = c)
+}
+
 /** `graft_winnow(array<string>, w) -> array<long>` — see [[Sig.winnow]]. */
 case class WinnowFingerprint(child: Expression, w: Int) extends UnaryExpression {
   require(w > 0, "graft_winnow: window must be positive")
@@ -314,6 +369,8 @@ object GraftFunctions {
         args(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_polyhash",
       (args: Seq[Expression]) => PolyHashExpr(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_normalize",
+      (args: Seq[Expression]) => NormalizeText(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_winnow",
       (args: Seq[Expression]) => WinnowFingerprint(args(0),
         args(1).eval().asInstanceOf[Int]), "built-in")
@@ -331,6 +388,7 @@ object GraftFunctions {
   def topk(scoreAndId: Column, k: Int): Column =
     call_function("graft_topk", scoreAndId, org.apache.spark.sql.functions.lit(k))
   def polyhash(c: Column): Column = call_function("graft_polyhash", c)
+  def normalize(c: Column): Column = call_function("graft_normalize", c)
   def winnow(grams: Column, w: Int): Column =
     call_function("graft_winnow", grams, org.apache.spark.sql.functions.lit(w))
 }

@@ -135,6 +135,23 @@ class SigExpressionsSpec extends AnyFunSuite {
     got.foreach { case (nat, dec) => assert(nat == dec) }
   }
 
+  test("native normalize equals the two-regex-pass canonicalization") {
+    GraftFunctions.register(spark)
+    val edge = Seq("", "   ", "!!##@@", "  Hello,   WORLD!42  ", "a", "A.B.C",
+      "tabs\tand\nnewlines stay punct", "MiXeD 09 CaSe--joined_words",
+      "trailing space ", " leading", "many     internal      gaps",
+      "café naïve résumé 中文")
+    val rand = Gen.listOfN(60, Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar, 2 -> Gen.const(' '), 2 -> Gen.oneOf("!?.,-_#/\\:;'\"()".toSeq)
+    )).map(_.mkString)).sample.get
+    val docs = (edge ++ rand).toDF("text")
+    val regexForm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val got = docs.select(GraftFunctions.normalize(col("text")).as("nat"),
+      regexForm.as("dec")).as[(String, String)].collect()
+    got.foreach { case (nat, dec) => assert(nat == dec) }
+  }
+
   test("graft_topk equals row_number window top-k including ties") {
     GraftFunctions.register(spark)
     // deliberately include score ties so tie-break-by-id is exercised
