@@ -214,6 +214,16 @@ object Dedup {
         .agg(count(lit(1)).as("shared"))
         .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
         .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+        // Keep only pairs that can pass EITHER downstream filter before
+        // materializing: containment ≥ jaccard always (with shared ≤
+        // min(na,nb), na+nb−shared ≥ max(na,nb) ≥ min(na,nb)), so
+        // containment ≥ 0.5 is a superset of both jaccard ≥ 0.5 and
+        // containment ≥ 0.8. The UNFILTERED candidate table is not small —
+        // 113M rows (~10+ GB deserialized) at the 100× scale point, and
+        // pinning it in executor storage turned this one-time build into a
+        // 641 s heap-thrash; the filtered near-dup table is the actually
+        // small derived artifact the memo was designed to hold.
+        .filter(col("shared") / least(col("na"), col("nb")) >= 0.5)
         .localCheckpoint()
     }
 
