@@ -20,14 +20,19 @@ object TextOps {
   // ------------------------------------------------------- #28 token stats
   /** Per-document token counts: whitespace tokens, regex word tokens, and
     * distinct-token vocabulary size. */
-  def textTokens(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      size(split(col("text"), " ")).as("n_ws_tokens"),
-      size(regexp_extract_all(lower(col("text")), lit(WordRe), lit(0))).as("n_words"),
-      size(array_distinct(split(col("text"), " "))).as("n_vocab"),
-      length(col("text")).as("n_chars"))
+  def textTokens(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // Fused native kernel ([[graft.functions.Sig.tokenStats]]): one byte
+    // pass per doc instead of two split arrays + a regex match array —
+    // spec-checked equal to the declarative form below and to the oracle.
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.tokenStats(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts.n_ws_tokens").as("n_ws_tokens"),
+        col("ts.n_words").as("n_words"), col("ts.n_vocab").as("n_vocab"),
+        col("ts.n_chars").as("n_chars"))
       .orderBy("doc_id")
+  }
 
   val textTokensSql: String =
     s"""SELECT doc_id,

@@ -177,6 +177,59 @@ object Sig {
   def polyHashStr(s: org.apache.spark.unsafe.types.UTF8String): Long =
     polyHash(s.getBytes)
 
+  /** One-pass per-document token statistics, the fused kernel behind
+    * `text_tokens`:
+    *  - `n_ws_tokens` = `size(split(text, " "))` = spaces + 1 (trailing
+    *    empties kept, as both Spark and the oracle's `string_split` do);
+    *  - `n_words` = match count of `[a-z]+|[0-9]+|[^a-z0-9 ]` over the
+    *    lowercased text, counted with a run state machine (a letter/digit
+    *    run is one match; every other non-space char is its own match);
+    *  - `n_vocab` = exact distinct whitespace-token count (hash set of
+    *    token byte-slices — same result as `array_distinct(split(...))`);
+    *  - `n_chars` = codepoint count (non-continuation bytes), identical
+    *    to `length()` in both engines.
+    * ASCII-exact like [[normalizeText]]; a non-ASCII char counts one
+    * codepoint but its bytes each count as a punctuation match. */
+  def tokenStats(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val b = s.getBytes
+    var spaces = 0
+    var chars = 0
+    var words = 0
+    var inLetter = false
+    var inDigit = false
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var tokStart = 0
+    var i = 0
+    while (i < b.length) {
+      val c0 = b(i)
+      if ((c0 & 0xc0) != 0x80) chars += 1
+      var c = c0
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toByte
+      if (c == ' ') {
+        spaces += 1
+        seen.add(org.apache.spark.unsafe.types.UTF8String
+          .fromBytes(b, tokStart, i - tokStart))
+        tokStart = i + 1
+        inLetter = false
+        inDigit = false
+      } else {
+        val isL = c >= 'a' && c <= 'z'
+        val isD = c >= '0' && c <= '9'
+        if (isL) { if (!inLetter) words += 1 }
+        else if (isD) { if (!inDigit) words += 1 }
+        else words += 1
+        inLetter = isL
+        inDigit = isD
+      }
+      i += 1
+    }
+    seen.add(org.apache.spark.unsafe.types.UTF8String
+      .fromBytes(b, tokStart, b.length - tokStart))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](spaces + 1, words, seen.size, chars))
+  }
+
   /** Single-pass text canonicalization: ASCII lowercase, every byte
     * outside `[a-z0-9]` becomes a space, runs of spaces collapse to one,
     * leading/trailing spaces dropped. Byte-for-byte equal to
@@ -322,6 +375,21 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): PolyHashExpr = copy(child = c)
 }
 
+/** `graft_token_stats(string) -> struct<n_ws_tokens:int, n_words:int,
+  * n_vocab:int, n_chars:int>` — see [[Sig.tokenStats]]. */
+case class TokenStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_ws_tokens", IntegerType, nullable = false),
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_vocab", IntegerType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    Sig.tokenStats(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sig.tokenStats($c)")
+  override protected def withNewChildInternal(c: Expression): TokenStats = copy(child = c)
+}
+
 /** `graft_normalize(string) -> string` — see [[Sig.normalizeText]]. */
 case class NormalizeText(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -371,6 +439,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => PolyHashExpr(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_normalize",
       (args: Seq[Expression]) => NormalizeText(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_token_stats",
+      (args: Seq[Expression]) => TokenStats(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_winnow",
       (args: Seq[Expression]) => WinnowFingerprint(args(0),
         args(1).eval().asInstanceOf[Int]), "built-in")
@@ -389,6 +459,7 @@ object GraftFunctions {
     call_function("graft_topk", scoreAndId, org.apache.spark.sql.functions.lit(k))
   def polyhash(c: Column): Column = call_function("graft_polyhash", c)
   def normalize(c: Column): Column = call_function("graft_normalize", c)
+  def tokenStats(c: Column): Column = call_function("graft_token_stats", c)
   def winnow(grams: Column, w: Int): Column =
     call_function("graft_winnow", grams, org.apache.spark.sql.functions.lit(w))
 }

@@ -152,6 +152,29 @@ class SigExpressionsSpec extends AnyFunSuite {
     got.foreach { case (nat, dec) => assert(nat == dec) }
   }
 
+  test("native token_stats equals the declarative split/regex/distinct forms") {
+    GraftFunctions.register(spark)
+    val wordRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    val edge = Seq("", " ", "  ", "a", "a b a b", "Hello, WORLD!42x",
+      "trailing ", " leading", "double  space", "a!!b??c", "42 42 43",
+      "MiXeD-CaSe_under 9lives 9lives")
+    val rand = Gen.listOfN(60, Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar, 2 -> Gen.const(' '), 2 -> Gen.oneOf("!?.,-_#/\\:;'\"()".toSeq)
+    )).map(_.mkString)).sample.get
+    val docs = (edge ++ rand).toDF("text")
+    val got = docs.select(
+      GraftFunctions.tokenStats(col("text")).as("ts"),
+      size(split(col("text"), " ")).as("ws"),
+      size(regexp_extract_all(lower(col("text")), lit(wordRe), lit(0))).as("words"),
+      size(array_distinct(split(col("text"), " "))).as("vocab"),
+      length(col("text")).as("chars"))
+      .select(col("ts.n_ws_tokens"), col("ts.n_words"), col("ts.n_vocab"),
+        col("ts.n_chars"), col("ws"), col("words"), col("vocab"), col("chars"))
+      .as[(Int, Int, Int, Int, Int, Int, Int, Int)].collect()
+    got.foreach { case (a1, a2, a3, a4, b1, b2, b3, b4) =>
+      assert((a1, a2, a3, a4) == (b1, b2, b3, b4)) }
+  }
+
   test("graft_topk equals row_number window top-k including ties") {
     GraftFunctions.register(spark)
     // deliberately include score ties so tie-break-by-id is exercised
