@@ -411,8 +411,11 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         ham.cast("int").as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup shuffle: the chunk join emits ~Σ bucket²
+      // candidate pairs (16M at the 100× point) but only the hamming-≤3
+      // survivors need the distinct — same result, tiny exchange
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 

@@ -68,10 +68,20 @@ object Sig {
     var i = 0
     while (i < n) {
       val h = polyHash(arr.getUTF8String(i).getBytes)
+      // incremental residues: A_j and B_j advance by constants as j
+      // increments, so A_j·h mod P and B_j mod P update with one add and
+      // one conditional subtract each — no multiply/divide in the loop.
+      // Values are exactly hashJ(h, j) = (A_j·h + B_j) mod P.
+      val step = 1000003L * h % P
+      var ah = step // A_0·h mod P, A_0 = 1000003
+      var bj = 12345L // B_0
       var j = 0
       while (j < 32) {
-        val v = hashJ(h, j)
+        var v = ah + bj
+        if (v >= P) v -= P
         if (v < mins(j)) mins(j) = v
+        ah += step; if (ah >= P) ah -= P
+        bj += 999983L; if (bj >= P) bj -= P
         j += 1
       }
       i += 1
@@ -87,9 +97,19 @@ object Sig {
     var i = 0
     while (i < n) {
       val h = polyHash(arr.getUTF8String(i).getBytes)
+      // same incremental-residue walk as [[minhash32]]: per (token, bit)
+      // the hashJ value costs two adds + two conditional subtracts,
+      // bit-identical to ((b+1)·1000003 % P · h + (b·999983+12345) % P) % P
+      val step = 1000003L * h % P
+      var ah = step
+      var bj = 12345L
       var b = 0
       while (b < 63) {
-        sums(b) += hashJ(h, b) % 2 * 2 - 1
+        var v = ah + bj
+        if (v >= P) v -= P
+        sums(b) += v % 2 * 2 - 1
+        ah += step; if (ah >= P) ah -= P
+        bj += 999983L; if (bj >= P) bj -= P
         b += 1
       }
       i += 1
