@@ -61,7 +61,7 @@ object CluesoOps {
       |  FROM events""".stripMargin
 
   /** #1 mvcc_snapshot: latest event per key, tombstoned keys dropped —
-    * [[LatestState.snapshot]] (aggregation form) vs the oracle's window
+    * [[LatestState.snapshot]] (argmax-join form) vs the oracle's window
     * formulation (the reference's own plan shape).
     */
   /** Unordered snapshot core — callers that filter/paginate on top apply
@@ -93,7 +93,7 @@ object CluesoOps {
 
   /** #73 mvcc_asof: time travel — the snapshot AS OF an op-index
     * watermark (here the deterministic quarter-point of the log). Same
-    * aggregation-form merge as the head snapshot, over the
+    * argmax-join merge as the head snapshot, over the
     * watermark-filtered log; at scale the op-index filter prunes
     * whole compaction-group partitions before any merge work happens.
     */
@@ -124,7 +124,7 @@ object CluesoOps {
     * visible objects were created / updated / deleted between op-index
     * mid (= max/2, a deterministic midpoint) and the head. Incremental
     * consumers (cache invalidation, downstream sync) read this instead of
-    * re-diffing full snapshots. Both snapshots are the aggregation-form
+    * re-diffing full snapshots. Both snapshots are the argmax-join-form
     * [[LatestState]]; the diff is one full-outer join on the key.
     */
   def mvccDiff(spark: SparkSession, dir: String): DataFrame = {

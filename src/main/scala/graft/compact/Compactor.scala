@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * keys dropped, appended to staging, and then purged from landing.
   *
   * Scale posture: compaction is per-(bucket, op-group slice) — reads are
-  * partition-pruned, the merge is the aggregation-form [[LatestState]]
+  * partition-pruned, the merge is the argmax-join [[LatestState]]
   * (map-side combine), and output files are `repartition(n)`-sized so the
   * staging zone keeps a bounded file count regardless of ingest churn.
   * A staging-side lock file serializes concurrent compactor runs

@@ -41,7 +41,7 @@ case class ListRequest(bucket: String, prefix: String = "",
   * Scale posture:
   *  - both zones are partitioned by `bucket=` (and `opGroup=`), so a search
   *    scans exactly one bucket's files — partition pruning by construction;
-  *  - the snapshot merge is the aggregation form of [[LatestState]] (no
+  *  - the snapshot merge is the argmax-join form of [[LatestState]] (no
   *    per-partition sort, map-side combine);
   *  - pagination is keyset-based (`key > cursor`), and `ORDER BY key
   *    LIMIT n` is planned by Spark as TakeOrderedAndProject — per-partition

@@ -33,7 +33,7 @@ import org.json4s.jackson.JsonMethods
   *    CONTINUES (one bad query must not kill the warm executor)
   *
   * Scale posture: identical to [[MetadataSearch]] (pruned per-bucket
-  * scans, aggregation-form merge, TakeOrderedAndProject pages) — the
+  * scans, argmax-join merge, TakeOrderedAndProject pages) — the
   * server adds residency, not new plan shapes. The cached snapshot is one
   * bucket's live keys (bounded by the bucket, not the corpus); a
   * 1000-executor deployment holds hot buckets in cluster memory and the
