@@ -18,40 +18,68 @@ import org.apache.spark.sql.functions._
   */
 object CluesoOps {
 
+  /** Op-ids per published op-log partition directory: each `op_part`
+    * spans 1000 compaction groups of 1000 ops. The span keeps directory
+    * counts sane at every scale (1 at sf0.1, ~11 at the 100× point, ~10k
+    * at 100 TB) while op-index watermarks still prune whole directories.
+    */
+  private val OpPartSpan = 1000000L
+
   /** events → op-log view with exact-integer value/time columns.
     *
-    * Memoized per (session, dir, on-disk fingerprint): the JSON key
-    * extraction (`get_json_object` + `concat`) is the shared parse tax
-    * under SEVEN registered queries (snapshot/asof/diff/search/page/
-    * list_objects/list_versions/compaction_merge) — re-parsing it per
-    * query dominated the sf1 profile (it underlay 7 of the 10 most
-    * expensive queries). The memo holds a localCheckpoint of the slim
-    * 5-column projection — narrow longs + the derived key, a small
-    * fraction of the raw events table (`props` JSON and all unused
-    * columns dropped). At 100 TB this residency decision is the
-    * compactor's job (the staging zone IS the pre-parsed projection,
-    * written once, partition-pruned per query); the session memo is the
-    * same parse-once design applied to the shared-session query surface.
-    *
-    * Trade-off, made explicitly: downstream op-index/key predicates now
-    * filter the checkpointed frame instead of pushing into the parquet
-    * scan. The parse cost is O(corpus) per QUERY while the pushdown
-    * saves O(corpus) once — measured at sf1, parse-once wins decisively
-    * (the whole slim projection scans in memory in milliseconds).
+    * Published once per dataset as the PARSED LANDING ZONE
+    * ([[graft.ops.DerivedZone]], the reference's staging-zone layout:
+    * MetadataIngestionPipeline.scala:170-180 writes the op-log partitioned
+    * so per-query scans prune): the JSON key extraction
+    * (`get_json_object` + `concat`) is the shared parse tax under SEVEN
+    * registered queries (snapshot/asof/diff/search/page/list_objects/
+    * list_versions/compaction_merge) — re-parsing it per query dominated
+    * the sf1 profile. The zone holds the slim 5-column projection —
+    * narrow longs + the derived key, a small fraction of the raw events
+    * table (`props` JSON and all unused columns dropped) — PARTITIONED BY
+    * op-group range (`op_part`), so an op-index watermark
+    * ([[mvccAsof]]/[[mvccDiff]]/[[compactionMerge]]) prunes whole
+    * directories before any merge work happens, and a fresh session pays
+    * zero parse jobs. The one-file-per-partition repartition keeps the
+    * layout compact (no per-task file shards).
     */
-  private val opLogMemo = new graft.ops.SessionMemo(Seq("events.parquet"))
+  private val opLogZone = new graft.ops.DerivedZone("oplog",
+    Seq("events.parquet"), partitionCols = Seq("op_part"))
 
   private def opLog(spark: SparkSession, dir: String): DataFrame =
-    opLogMemo.get(spark, dir) {
+    opLogZone.get(spark, dir) {
       Tables.events(spark, dir).select(
         concat(col("user_id").cast("string"), lit(":"),
           get_json_object(col("props"), "$.k")).as("object_key"),
         col("event_id"),
         col("event_type"),
         cents(col("value")).as("v_c"),
-        expr("ts div 1000000000").as("sec"))
-        .localCheckpoint()
+        expr("ts div 1000000000").as("sec"),
+        expr(s"event_id div $OpPartSpan").as("op_part"))
+        .repartition(col("op_part"))
     }
+
+  /** Driver-side head op index of the zone, memoized per on-disk
+    * fingerprint. Two metadata-cheap jobs: the newest op-part (a scan
+    * that reads ZERO data columns — row-group footers only), then a
+    * max over that single pruned directory. The literal result is what
+    * lets the watermark queries below prune partitions STATICALLY
+    * (a subquery watermark would plan a full scan under the filter).
+    */
+  private val maxIdMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, Long)]()
+
+  private def maxOpId(spark: SparkSession, dir: String): Long = {
+    val fp = graft.ops.SessionMemo.fingerprint(spark, Seq(s"$dir/events.parquet"))
+    maxIdMemo.compute((spark, dir), (_, cur) =>
+      if (cur != null && cur._1 == fp) cur
+      else {
+        val log = opLog(spark, dir)
+        val newest = log.agg(max(col("op_part"))).first().getLong(0)
+        (fp, log.filter(col("op_part") === newest)
+          .agg(max(col("event_id"))).first().getLong(0))
+      })._2
+  }
 
   private val opLogSql =
     """SELECT CAST(user_id AS VARCHAR) || ':' || json_extract_string(props, '$.k') AS object_key,
@@ -93,15 +121,18 @@ object CluesoOps {
 
   /** #73 mvcc_asof: time travel — the snapshot AS OF an op-index
     * watermark (here the deterministic quarter-point of the log). Same
-    * argmax-join merge as the head snapshot, over the
-    * watermark-filtered log; at scale the op-index filter prunes
-    * whole compaction-group partitions before any merge work happens.
+    * argmax-join merge as the head snapshot, over the watermark-filtered
+    * log. The watermark is resolved to a LITERAL on the driver
+    * ([[maxOpId]], two tiny jobs), so the `op_part` predicate is a
+    * static partition filter: the scan prunes ~3/4 of the zone's
+    * compaction-group directories before any merge work happens —
+    * measured, not asserted (PruningSpec pins PartitionFilters).
     */
   def mvccAsof(spark: SparkSession, dir: String): DataFrame = {
-    val log = opLog(spark, dir)
-    val w = log.agg(expr("max(event_id) div 4").as("w"))
+    val w = maxOpId(spark, dir) / 4
     LatestState.snapshot(
-        log.join(broadcast(w)).filter(col("event_id") <= col("w")).drop("w"),
+        opLog(spark, dir)
+          .filter(col("op_part") <= w / OpPartSpan && col("event_id") <= w),
         keyCols = Seq("object_key"), versionCol = "event_id",
         isDelete = col("event_type") === "error")
       .select(col("object_key"), col("event_id").as("last_event_id"),
@@ -137,16 +168,19 @@ object CluesoOps {
     // plans as SortAggregate, i.e. a per-partition sort of the whole log
     // on BOTH sides of this diff. Measured at the 10× scale point:
     // 25 s → ~3 s for the full diff.
-    val log = opLog(spark, dir).select(col("object_key"), col("event_id"),
+    val mid = maxOpId(spark, dir) / 2
+    def slim(df: DataFrame): DataFrame = df.select(col("object_key"), col("event_id"),
       (col("event_id") * 2 + (col("event_type") === "error").cast("long")).as("ev"))
-    val mid = log.agg(expr("max(event_id) div 2").as("mid"))
     def snap(df: DataFrame): DataFrame =
       df.groupBy("object_key").agg(max(col("ev")).as("ev"))
         .filter(col("ev") % 2 === 0) // latest event is a tombstone -> key invisible
         .select(col("object_key"), expr("ev div 2").as("event_id"))
-    val s1 = snap(log.join(broadcast(mid)).filter(col("event_id") <= col("mid")).drop("mid"))
+    // literal watermark → the old side's scan statically prunes op_part
+    // directories above the midpoint
+    val s1 = snap(slim(opLog(spark, dir)
+        .filter(col("op_part") <= mid / OpPartSpan && col("event_id") <= mid)))
       .withColumnRenamed("object_key", "k1").withColumnRenamed("event_id", "old_event_id")
-    val s2 = snap(log)
+    val s2 = snap(slim(opLog(spark, dir)))
       .withColumnRenamed("object_key", "k2").withColumnRenamed("event_id", "new_event_id")
     s1.join(s2, col("k1") === col("k2"), "full_outer")
       .withColumn("change",
@@ -337,13 +371,17 @@ object CluesoOps {
     // op_group is recomputed from the decoded id afterwards.
     def group(id: Column): Column =
       when(id % 1000 === 0, id).otherwise(id + 1000 - (id % 1000))
-    val log = opLog(spark, dir).select(col("object_key"), col("event_id"),
-      (col("event_id") * 2 + (col("event_type") === "error").cast("long")).as("ev"),
-      group(col("event_id")).as("op_group"))
-    val maxGroup = log.agg(max(col("op_group")).as("max_group"))
-    val closed = log
-      .join(broadcast(maxGroup))
-      .filter(col("op_group") < col("max_group"))
+    // `op_group < max_group` over round-up-to-1000 groups is exactly
+    // `event_id <= cutoff` with a literal cutoff at the start of the
+    // newest group — letting the scan statically prune the newest
+    // op_part directory and skip the max-group broadcast job entirely
+    val maxId = maxOpId(spark, dir)
+    val g = if (maxId % 1000 == 0) maxId else maxId + 1000 - maxId % 1000
+    val cutoff = g - 1000
+    val closed = opLog(spark, dir)
+      .filter(col("op_part") <= cutoff / OpPartSpan && col("event_id") <= cutoff)
+      .select(col("object_key"), col("event_id"),
+        (col("event_id") * 2 + (col("event_type") === "error").cast("long")).as("ev"))
     closed.groupBy("object_key").agg(max(col("ev")).as("ev"))
       .filter(col("ev") % 2 === 0)
       .select(col("object_key"),

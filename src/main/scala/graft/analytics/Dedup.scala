@@ -179,20 +179,23 @@ object Dedup {
     * over the capped shingle sets (any surviving pair shares a sub-cap
     * shingle) and skew-bounded — per-shingle work is ≤ cap².
     */
-  /** Memoized per-(session, dir): the pair intersection counts
-    * `(a_id, b_id, shared, na, nb)` that both shingle-overlap measures
-    * score — jaccard and containment are just different final filters
-    * over the same Σdf²-bounded self-join, so the expensive stage runs
-    * once per session, not once per registered query.
+  /** Persisted once per DATASET ([[graft.ops.DerivedZone]]): the pair
+    * intersection counts `(a_id, b_id, shared, na, nb)` that both
+    * shingle-overlap measures score — jaccard and containment are just
+    * different final filters over the same Σdf²-bounded self-join. The
+    * first session to need it publishes the near-dup pair table as
+    * parquet keyed by the documents table's fingerprint; every later
+    * session (fresh JVMs included) serves the published files with zero
+    * rebuild jobs — this build was the single largest first-run cost at
+    * the 100× scale point (73–224 s measured).
     *
-    * Deliberately NOT memoized: the shingle sets themselves. They are
-    * corpus-sized (every doc's shingle array), and pinning them for the
-    * session lifetime would grow executor storage with the corpus; each
-    * memo build materializes its own short-lived shingle checkpoint
-    * (ContextCleaner-reaped when the build returns) and only the small
-    * derived artifact stays resident.
+    * Deliberately NOT persisted: the shingle sets themselves. They are
+    * corpus-sized (every doc's shingle array); each build materializes
+    * its own short-lived shingle checkpoint (ContextCleaner-reaped when
+    * the build returns) and only the small derived artifact is published.
     */
-  private val sharedMemo = new graft.ops.SessionMemo(Seq("documents.parquet"))
+  private[graft] val sharedMemo =
+    new graft.ops.DerivedZone("dedup_shared_counts", Seq("documents.parquet"))
 
   private def sharedCounts(spark: SparkSession, dir: String): DataFrame =
     sharedMemo.get(spark, dir) {
@@ -222,9 +225,9 @@ object Dedup {
         // 113M rows (~10+ GB deserialized) at the 100× scale point, and
         // pinning it in executor storage turned this one-time build into a
         // 641 s heap-thrash; the filtered near-dup table is the actually
-        // small derived artifact the memo was designed to hold.
+        // small derived artifact worth publishing. (No localCheckpoint
+        // here: the DerivedZone parquet write IS the materialization.)
         .filter(col("shared") / least(col("na"), col("nb")) >= 0.5)
-        .localCheckpoint()
     }
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
@@ -299,18 +302,18 @@ object Dedup {
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     confirmedPairs(spark, dir).orderBy("a_id", "b_id")
 
-  /** Memoized MinHash-confirmed near-dup pair list `(a_id, b_id, jaccard)`
+  /** MinHash-confirmed near-dup pair list `(a_id, b_id, jaccard)`
     * (unordered), shared by the whole cluster family —
     * [[dedupMinhashLsh]], [[dedupClusters]], [[dedupClusterSizes]],
     * [[dedupKeepBest]], each of which would otherwise re-run the
-    * signature + banding + confirm pipeline from scratch. The memo holds
-    * the LOCALCHECKPOINTED confirm output (a few rows per duplicate
+    * signature + banding + confirm pipeline from scratch. Published once
+    * per dataset ([[graft.ops.DerivedZone]], a few rows per duplicate
     * pair — trivially small next to the corpus), revalidated against the
-    * documents table's on-disk fingerprint ([[graft.ops.SessionMemo]]) so
-    * path changes AND in-place rewrites both rebuild instead of serving
-    * stale pairs.
+    * documents table's on-disk fingerprint so path changes AND in-place
+    * rewrites both rebuild instead of serving stale pairs.
     */
-  private val pairsMemo = new graft.ops.SessionMemo(Seq("documents.parquet"))
+  private[graft] val pairsMemo =
+    new graft.ops.DerivedZone("dedup_minhash_pairs", Seq("documents.parquet"))
 
   /** Drop every session memo (confirmed pairs, cluster labels, shingle
     * intersection counts). Staleness is handled automatically — each
@@ -324,7 +327,7 @@ object Dedup {
   }
 
   private[analytics] def confirmedPairs(spark: SparkSession, dir: String): DataFrame =
-    pairsMemo.get(spark, dir)(minhashConfirm(spark, dir).localCheckpoint())
+    pairsMemo.get(spark, dir)(minhashConfirm(spark, dir))
 
   private def minhashConfirm(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -398,9 +401,14 @@ object Dedup {
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // materialize the signatures BEFORE the self-join: both join sides
+    // reference this frame, and without the checkpoint each side re-runs
+    // the whole text scan + simhash fold — the signature pass is the
+    // dominant cost, so the un-materialized form pays it twice
     val sh = Tables.documents(spark, dir).select(col("doc_id"),
       graft.functions.GraftFunctions
         .simhash63(array_distinct(split(col("text"), " "))).as("simhash"))
+      .localCheckpoint()
     val chunks = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(c => struct(lit(c).as("c"),
           shiftright(col("simhash"), c * 16).bitwiseAND(lit(65535L)).as("ck"))): _*)).as("cc"))
@@ -459,18 +467,19 @@ object Dedup {
     * otherwise diverge from the recursive-CTE oracle). */
   private val MaxClusterIters = 50
 
-  /** Memoized component labels over [[confirmedPairs]] — the closure is
-    * ~10 join rounds, and three registered queries ([[dedupClusters]],
+  /** Component labels over [[confirmedPairs]] — the closure is ~10 join
+    * rounds, and three registered queries ([[dedupClusters]],
     * [[dedupClusterSizes]], [[dedupKeepBest]]) consume the same labels;
-    * without the memo each re-runs the whole propagation. Label output is
-    * one row per clustered doc — trivially checkpoint-sized.
+    * without sharing each re-runs the whole propagation. Label output is
+    * one row per clustered doc — published once per dataset
+    * ([[graft.ops.DerivedZone]]) so a fresh session pays zero rounds.
     */
-  private val labelsMemo = new graft.ops.SessionMemo(Seq("documents.parquet"))
+  private[graft] val labelsMemo =
+    new graft.ops.DerivedZone("dedup_cluster_labels", Seq("documents.parquet"))
 
   private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
     labelsMemo.get(spark, dir)(
-      connectedComponents(confirmedPairs(spark, dir).select("a_id", "b_id"))
-        .localCheckpoint())
+      connectedComponents(confirmedPairs(spark, dir).select("a_id", "b_id")))
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     clusterLabels(spark, dir).orderBy("doc_id")

@@ -103,6 +103,12 @@ class Compactor(spark: SparkSession, landingDir: String, stagingDir: String,
         groups.foreach { g =>
           fs.delete(new Path(s"$landingDir/bucket=$bucket/opGroup=$g"), true)
         }
+        // completion drives the warm executor's cache invalidation: stamp
+        // the bucket's epoch so a resident SearchServer drops its cached
+        // snapshot and rebuilds on the next query (the reference couples
+        // compactor → executor through its gateway; graft couples them
+        // through the zone itself — see ZoneEpoch)
+        graft.ops.ZoneEpoch.stamp(spark, stagingDir, bucket)
       }
       // the streaming writer's commit log must not shadow compacted files
       // (reference: TableFilesCompactor.deleteSparkMetadataDir)

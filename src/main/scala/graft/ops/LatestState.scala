@@ -48,10 +48,28 @@ object LatestState {
     val payload = df.columns.filterNot(keyCols.contains).toSeq
     val slim = df.groupBy(keyCols.map(col): _*)
       .agg(max(col(versionCol)).as(versionCol))
-    df.join(slim, keyCols :+ versionCol, "left_semi")
+    val winners = df.join(slim, keyCols :+ versionCol, "left_semi")
       // same column contract as the old aggregation form: keys first
       .select(keyCols.map(col) ++ payload.map(col): _*)
       .filter(!isDelete)
+    // The semi-join emits one row per PHYSICAL copy of the winning
+    // (key, version) row. The op-log can legitimately hold two copies of
+    // the same event — landing and staging both contain a compaction
+    // group during the compactor's purge-tolerance window (and
+    // permanently if a crashed run re-appends a group). An event is
+    // immutable, so copies are value-identical; keep one arbitrarily via
+    // a rank window. Crucially the window input here is the
+    // already-collapsed winners frame (≈ one row per live key), so the
+    // sort is OUTPUT-bounded — unlike the reference's full-history
+    // window, and unlike the alternatives: distinct()/except reject MAP
+    // payload columns outright, and dropDuplicates(subset)'s
+    // first(payload) buffer forces the ObjectHashAggregate path, which
+    // silently turns sort-based past its 128-key fallback threshold —
+    // the very landmine the argmax split removed.
+    val copies = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc)
+    winners.withColumn("__copy", row_number().over(copies))
+      .filter(col("__copy") === 1).drop("__copy")
   }
 
   /** Reference formulation: rank window + filter. Same result, kept for

@@ -61,6 +61,15 @@ private[graft] object SessionMemo {
     * (path, length, mtime), sorted and hashed. A metadata-only listing —
     * no data is read — so the check is microseconds on a local FS and one
     * round-trip per table on an object store.
+    *
+    * ==Granularity caveat==
+    * mtime resolution is filesystem-dependent (1 s on several local
+    * stores, coarser on some object stores), so an in-place rewrite that
+    * preserves every file name AND length within one mtime tick is not
+    * detected. Spark's own writers make this practically unreachable
+    * (part files carry a fresh job/task UUID in the name, so any rewrite
+    * changes paths), but a byte-patching writer that edits files in place
+    * must call the owning family's `clearMemos()` after such a rewrite.
     */
   def fingerprint(spark: SparkSession, paths: Seq[String]): String = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -47,6 +47,10 @@ class SearchServer(spark: SparkSession, landingDir: String, stagingDir: String,
   val searcher = new MetadataSearch(spark, landingDir, stagingDir)
   private val cache = new SessionCache(cacheTtlMillis)
   private val rebuilds = new AtomicLong(0L)
+  // compaction epoch each cached snapshot was built at — revalidated per
+  // request so a compactor in ANOTHER process invalidates this server's
+  // cache just by finishing (see graft.ops.ZoneEpoch)
+  private val epochs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Cache-miss snapshot builds since start. A warm second query on a
     * bucket must NOT move this — the spec's no-re-scan assertion.
@@ -73,11 +77,19 @@ class SearchServer(spark: SparkSession, landingDir: String, stagingDir: String,
       Some(t)
     }
 
-  private def snapshot(bucket: String): DataFrame =
+  private def snapshot(bucket: String): DataFrame = {
+    // one metadata-sized read per request: a compaction that completed
+    // since this bucket's snapshot was cached changes the epoch, and the
+    // stale snapshot is dropped HERE — compactor completion drives the
+    // invalidation, no explicit invalidate round-trip required
+    val epoch = graft.ops.ZoneEpoch.read(spark, stagingDir, bucket)
+    if (epochs.getOrDefault(bucket, "") != epoch) cache.invalidate(bucket)
     cache.get(bucket) {
       rebuilds.incrementAndGet()
+      epochs.put(bucket, epoch)
       searcher.bucketSnapshot(bucket)
     }
+  }
 
   /** Plan one search against the warm snapshot (reference `execute`,
     * MetadataQueryExecutor.scala:62-95, with cache delegation :42-50).
@@ -126,7 +138,11 @@ class SearchServer(spark: SparkSession, landingDir: String, stagingDir: String,
                   s""""rowsReturned":${m.rowsReturned.getCount},""" +
                   s""""snapshotRebuilds":${snapshotRebuilds}}"""
               case Some(other) =>
-                s"""{"error":"unknown cmd: $other"}"""
+                // client-supplied string: escape it or a quote/control char
+                // in `cmd` breaks the one-JSON-object-per-line protocol
+                val esc = other.replace("\\", "\\\\").replace("\"", "\\\"")
+                  .replaceAll("[\\x00-\\x1f]", " ")
+                s"""{"error":"unknown cmd: $esc"}"""
               case None =>
                 executeJson(SearchQuery(
                   bucket = (j \ "bucket").extract[String],

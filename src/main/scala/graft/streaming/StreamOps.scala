@@ -226,8 +226,14 @@ object StreamOps {
     import spark.implicits._
     import graft.functions.Portable.toDouble
     val dim = 64
+    // valueOf (Double.toString semantics), NOT new BigDecimal(x) (exact
+    // binary expansion): Spark's Round — which the batch graph's
+    // round(col, 6) lowers to — goes through Decimal(double) =
+    // scala.BigDecimal(double) = valueOf. For cosines whose shortest
+    // decimal straddles a 6-dp HALF_UP tie the two constructors disagree,
+    // which would break the spec-pinned bit-equality with the batch graph.
     def round6(x: Double): Double =
-      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
         .doubleValue()
     def dot(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
       var s = 0.0; var i = 0

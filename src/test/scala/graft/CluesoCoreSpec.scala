@@ -128,6 +128,27 @@ class LatestStateSpec extends AnyFunSuite {
     }
   }
 
+  test("collapses physical copies of the winning event (compactor purge-tolerance window)") {
+    // During the purge-tolerance window the same compaction group exists in
+    // BOTH the landing and staging zones, so the union op-log holds two
+    // byte-identical copies of every event in the group — including the
+    // per-key winner. The snapshot must still emit exactly one row per key
+    // (the reference's row_number()=1 window collapses copies implicitly).
+    val doubled = opLog.union(opLog) // worst case: the whole log re-appended
+    val snap = LatestState.snapshot(doubled, Seq("key"), "op", col("type") === "delete")
+    val keys = snap.select("key").as[String].collect().toSeq
+    assert(keys.sorted == keys.distinct.sorted, s"duplicate keys in snapshot: $keys")
+    assert(snap.select("key", "payload").as[(String, String)].collect().toMap ==
+      Map("k1" -> "v3", "k3" -> "z", "k4" -> "resurrected"))
+    // partial double-presence: only one group (k1's events) is mid-purge
+    val partial = opLog.union(opLog.filter(col("key") === "k1"))
+    val partialSnap = LatestState.snapshot(partial, Seq("key"), "op", col("type") === "delete")
+    assert(partialSnap.count() == 3L)
+    assert(partialSnap.select("key", "op", "type", "payload").collect().toSet ==
+      LatestState.snapshotWindowed(partial, Seq("key"), "op", col("type") === "delete")
+        .select("key", "op", "type", "payload").collect().toSet)
+  }
+
   test("argmax-join form combines map-side, hash-aggregates, never windows") {
     val plan = LatestState.snapshot(opLog, Seq("key"), "op", col("type") === "delete")
       .queryExecution.executedPlan.toString
@@ -140,8 +161,17 @@ class LatestStateSpec extends AnyFunSuite {
       s"slim max must stay in HashAggregate:\n$plan")
     // ...the payload is recovered by a semi-join, not carried in a buffer...
     assert(plan.contains("LeftSemi"), s"expected argmax semi-join:\n$plan")
-    // ...and no full-history rank window is materialized
-    assert(!plan.contains("Window"), s"snapshot plan must not window:\n$plan")
+    // ...and the only window (the physical-copy collapse) sits ABOVE the
+    // semi-join, i.e. its input is the already-collapsed winners frame —
+    // output-bounded, never the full history. (Spark additionally inserts
+    // a WindowGroupLimit pair for the rank<=1 shape, whose Partial mode
+    // keeps one row per key BEFORE the exchange — map-side collapse.)
+    val win = plan.indexOf("Window [")
+    val semi = plan.indexOf("LeftSemi")
+    assert(win >= 0 && win < semi,
+      s"copy-collapse window must be above the semi-join (output-bounded):\n$plan")
+    assert(plan.indexOf("Window [", win + 1) == -1,
+      s"exactly one window (the copy collapse) allowed:\n$plan")
   }
 }
 

@@ -115,6 +115,23 @@ class ConfigToolsSpec extends AnyFunSuite {
     assert(total == 120L, "compaction must not lose or duplicate keys (all PUTs unique)")
   }
 
+  test("IngestTool validates its CLI contract before touching Spark") {
+    // no args at all
+    intercept[IllegalArgumentException](graft.tools.IngestTool.main(Array.empty))
+    // a file-journal config (no kafka.bootstrap) REQUIRES a journal dir —
+    // the stream body itself (Kafka/file selection, parse, sink) is
+    // GraftEngine.startIngest, covered end-to-end by GraftEngineSpec
+    val f = java.nio.file.Files.createTempFile("graft-nokafka", ".conf")
+    java.nio.file.Files.writeString(f,
+      """graft {
+        |  landing.dir = "/zones/landing"
+        |  staging.dir = "/zones/staging"
+        |}
+        |""".stripMargin)
+    intercept[IllegalArgumentException](
+      graft.tools.IngestTool.main(Array(f.toString)))
+  }
+
   test("CompactorTool reports failures per bucket and exits non-zero") {
     val landing = SparkTestSession.tempDir("ctool-fail-landing")
     val staging = SparkTestSession.tempDir("ctool-fail-staging")

@@ -1,0 +1,124 @@
+package graft
+
+import graft.analytics.Dedup
+import graft.ops.DerivedZone
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The derived-zone contract (the compactor pattern applied to shared
+  * analytics artifacts): pay the build once per DATASET, publish as
+  * parquet keyed by the input fingerprint, serve every later session —
+  * fresh JVMs included — with zero rebuild jobs; an in-place input
+  * rewrite republishes and prunes the stale zone.
+  */
+class DerivedZoneSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("build once, memory-hit, fresh-entry disk-hit, rewrite republish + prune") {
+    val root = SparkTestSession.tempDir("zone-root")
+    spark.conf.set("spark.graft.derived.dir", root)
+    try {
+      val dir = SparkTestSession.tempDir("zone-data")
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$dir/t.parquet")
+
+      val zone = new DerivedZone("spec_artifact", Seq("t.parquet"))
+      def read() = zone.get(spark, dir)(
+        spark.read.parquet(s"$dir/t.parquet").select("id", "v"))
+
+      assert(read().count() == 2 && zone.builds.get == 1)
+      assert(read().count() == 2 && zone.builds.get == 1, "unchanged data must memory-hit")
+
+      // a fresh process has empty in-memory state but the same zone root:
+      // clear() simulates it — the artifact must come off disk, zero builds
+      zone.clear()
+      assert(read().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+      assert(zone.builds.get == 1, "published artifact must serve without rebuilding")
+      assert(zone.diskHits.get == 1)
+
+      // in-place rewrite: new fingerprint → republish; stale zone pruned
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$dir/t.parquet")
+      assert(read().count() == 3, "rewrite must serve the NEW data")
+      assert(zone.builds.get == 2)
+      val artifactDir = new java.io.File(s"$root/spec_artifact").listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles()).filter(_.isDirectory)
+        .filterNot(_.getName.startsWith("."))
+      assert(artifactDir.length == 1, s"superseded fingerprint zones must be pruned: ${artifactDir.toSeq}")
+
+      // a bumped build-logic revision is a different artifact even on
+      // identical data — the data fingerprint alone cannot see code changes
+      val zone2 = new DerivedZone("spec_artifact", Seq("t.parquet"), rev = 2)
+      assert(zone2.get(spark, dir)(
+        spark.read.parquet(s"$dir/t.parquet").limit(1)).count() == 1)
+      assert(zone2.builds.get == 1, "new rev must rebuild, not serve rev-1 files")
+    } finally spark.conf.unset("spark.graft.derived.dir")
+  }
+
+  test("partitioned artifact round-trips schema, column order and partition-column type") {
+    val root = SparkTestSession.tempDir("zone-root-p")
+    spark.conf.set("spark.graft.derived.dir", root)
+    try {
+      val dir = SparkTestSession.tempDir("zone-data-p")
+      Seq((1L, 0L, "x"), (2L, 0L, "y"), (3L, 1L, "z")).toDF("id", "part", "v")
+        .write.mode("overwrite").parquet(s"$dir/t.parquet")
+
+      val zone = new DerivedZone("spec_part", Seq("t.parquet"),
+        partitionCols = Seq("part"))
+      def read() = zone.get(spark, dir)(
+        spark.read.parquet(s"$dir/t.parquet").select("id", "part", "v"))
+
+      val built = read()
+      // partition dirs exist on disk
+      zone.clear()
+      val served = read()
+      assert(zone.builds.get == 1 && zone.diskHits.get == 1)
+      // column ORDER survives (partitioned reads natively reorder) and the
+      // partition column keeps its LONG type (dir-name inference would
+      // narrow it to int)
+      assert(served.columns.toSeq == Seq("id", "part", "v"))
+      assert(served.schema("part").dataType == org.apache.spark.sql.types.LongType)
+      assert(served.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq ==
+        built.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq)
+      // a literal predicate on the partition column prunes statically
+      val plan = served.filter(org.apache.spark.sql.functions.col("part") === 0L)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") && plan.contains("part#"),
+        s"expected a partition filter in:\n$plan")
+    } finally spark.conf.unset("spark.graft.derived.dir")
+  }
+
+  test("fresh session serves dedup_clusters/dedup_keep_best with zero rebuild jobs") {
+    val root = SparkTestSession.tempDir("zone-root-dedup")
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.graft.derived.dir", root)
+    try {
+      Dedup.clearMemos()
+      val pairsBuilds0 = Dedup.pairsMemo.builds.get
+      val labelsBuilds0 = Dedup.labelsMemo.builds.get
+
+      // session 1 pays the builds and publishes
+      val clusters1 = Dedup.dedupClusters(spark, dir).collect()
+      val keepBest1 = Dedup.dedupKeepBest(spark, dir).collect()
+      assert(Dedup.pairsMemo.builds.get == pairsBuilds0 + 1)
+      assert(Dedup.labelsMemo.builds.get == labelsBuilds0 + 1)
+
+      // "session 2": fresh in-memory state (what a new JVM starts with),
+      // same zone root — served entirely from the published artifacts
+      Dedup.clearMemos()
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.derived.dir", root)
+      val clusters2 = Dedup.dedupClusters(s2, dir).collect()
+      val keepBest2 = Dedup.dedupKeepBest(s2, dir).collect()
+      assert(Dedup.pairsMemo.builds.get == pairsBuilds0 + 1,
+        "fresh session must not rebuild the confirmed-pairs artifact")
+      assert(Dedup.labelsMemo.builds.get == labelsBuilds0 + 1,
+        "fresh session must not re-run the label propagation")
+      assert(clusters2.toSeq == clusters1.toSeq, "served clusters must match built")
+      assert(keepBest2.toSeq == keepBest1.toSeq, "served keep-best must match built")
+    } finally {
+      spark.conf.unset("spark.graft.derived.dir")
+      Dedup.clearMemos()
+    }
+  }
+}

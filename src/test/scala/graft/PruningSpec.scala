@@ -42,6 +42,57 @@ class PruningSpec extends AnyFunSuite {
       s"scan read $scanned files, matching partition has $clickFiles")
   }
 
+  test("mvcc_asof watermark prunes op-part directories of the op-log zone") {
+    val root = SparkTestSession.tempDir("zone-root-asof")
+    spark.conf.set("spark.graft.derived.dir", root)
+    try {
+      // synthetic op-log spanning four op_part directories (ids div 1e6)
+      val dir = SparkTestSession.tempDir("asof-data")
+      import spark.implicits._
+      Seq(
+        (1L, 1L, "purchase", 10.0, 1000000000L, """{"k":"1"}"""),
+        (2L, 800000L, "purchase", 20.0, 2000000000L, """{"k":"2"}"""),
+        (3L, 1000001L, "purchase", 30.0, 3000000000L, """{"k":"3"}"""),
+        (4L, 2000001L, "purchase", 40.0, 4000000000L, """{"k":"4"}"""),
+        (5L, 3500000L, "purchase", 50.0, 5000000000L, """{"k":"5"}"""))
+        .toDF("user_id", "event_id", "event_type", "value", "ts", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+      // watermark = 3500000/4 = 875000 → only op_part=0 may survive
+      val q = graft.analytics.CluesoOps.mvccAsof(spark, dir)
+      val keys = q.collect().map(_.getString(0)).toSeq
+      assert(keys == Seq("1:1", "2:2"), s"asof keys: $keys")
+
+      // AQE hides executed stages behind QueryStageExec nodes — descend
+      // explicitly to reach the materialized scans
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(s.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => allScans(r.child)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(allScans)
+      }
+      val scans = allScans(q.queryExecution.executedPlan)
+      assert(scans.nonEmpty, "expected op-log zone scans in the asof plan")
+      scans.foreach { s =>
+        assert(s.partitionFilters.nonEmpty,
+          s"asof watermark must become a PartitionFilter: ${s.metadata}")
+      }
+      // the zone has 4 op_part dirs; the pruned scans read only op_part=0
+      val zoneFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .filter(p => p.toString.endsWith(".parquet") && p.toString.contains("op_part="))
+        .count()
+      val keptFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .filter(p => p.toString.endsWith(".parquet") && p.toString.contains("op_part=0"))
+        .count()
+      assert(zoneFiles > keptFiles, "zone should span several op_part dirs")
+      scans.foreach { s =>
+        assert(s.metrics("numFiles").value == keptFiles,
+          s"scan read ${s.metrics("numFiles").value} files, pruned set is $keptFiles")
+      }
+    } finally spark.conf.unset("spark.graft.derived.dir")
+  }
+
   test("predicate and projection push down into the parquet scan") {
     val q = Tables.documents(spark, sf)
       .filter(col("doc_id") < 10).select("doc_id", "lang")

@@ -111,6 +111,35 @@ class SearchServerSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("compactor completion invalidates the warm snapshot via the zone epoch") {
+    // fresh zones — compaction purges landing, so the shared fixture
+    // must not be touched
+    val l = SparkTestSession.tempDir("srv-epoch-landing")
+    val s = SparkTestSession.tempDir("srv-epoch-staging")
+    Populator.populateLanding(spark, l, "eb1", 60, groupInterval = 20L)
+    val server = new SearchServer(spark, l, s, cacheTtlMillis = 600000L)
+    try {
+      val warm = serve(server, Seq(
+        """{"bucket":"eb1","limit":50}""",
+        """{"bucket":"eb1","limit":50}"""))
+      val before = keysOf(warm(0))
+      assert(before.nonEmpty && keysOf(warm(1)) == before)
+      assert(server.snapshotRebuilds == 1, "second query must be warm")
+
+      // a compactor in what is operationally ANOTHER process rewrites the
+      // zones; no invalidate command is ever sent to the server
+      new graft.compact.Compactor(spark, l, s).compactBucket("eb1", numPartitions = 2)
+
+      val after = serve(server, Seq(
+        """{"bucket":"eb1","limit":50}""",
+        """{"bucket":"eb1","limit":50}"""))
+      assert(server.snapshotRebuilds == 2,
+        s"compaction must force exactly one rebuild, got ${server.snapshotRebuilds}")
+      // compaction preserves latest-state semantics: same page before/after
+      assert(keysOf(after(0)) == before && keysOf(after(1)) == before)
+    } finally server.close()
+  }
+
   test("warm queries launch no scan of the zone files (persisted snapshot reused)") {
     val server = new SearchServer(spark, landing, staging, cacheTtlMillis = 600000L)
     try {
