@@ -21,14 +21,50 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads via
-    * the `nanosAsLong` escape hatch. We keep it as an epoch-nanos long —
-    * event-time math stays exact integer arithmetic (and matches the
-    * DuckDB oracle bit-for-bit).
+  /** The engine's canonical event-time representation: `ts` as an
+    * epoch-nanos LONG. Event-time math downstream is exact integer
+    * arithmetic (`ts div 1e9` → seconds), which matches the DuckDB
+    * oracle's `epoch_ns(ts)` bit-for-bit regardless of how the parquet
+    * writer encoded the column.
+    *
+    * The loader is **physical-type-robust** — the driver has regenerated
+    * testdata with different encodings across rounds (TIMESTAMP(NANOS) →
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false)), so we normalize by the
+    * schema Spark surfaces rather than assuming one encoding:
+    *  - LONG (NANOS via the `nanosAsLong` escape hatch, or already
+    *    canonical, e.g. ScaleData output): kept as-is;
+    *  - TIMESTAMP (LTZ, isAdjustedToUTC=true): `unix_micros * 1000`,
+    *    timezone-independent;
+    *  - TIMESTAMP_NTZ (isAdjustedToUTC=false): wall clock interpreted as
+    *    UTC — exactly DuckDB's `epoch_ns` convention for naive timestamps.
+    *    The session timezone is pinned to UTC before the NTZ→LTZ cast is
+    *    analyzed so the conversion is deterministic.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
+    normalizeEventTs(spark, load(spark, dir, "events"))
+  }
+
+  /** Normalize an events frame's `ts` column to epoch-nanos long (see
+    * [[events]]). Micros→nanos is `*1000`: exact 64-bit math, no overflow
+    * until year 2262.
+    */
+  def normalizeEventTs(spark: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType =>
+        // NTZ wall clock ≡ UTC (the oracle's convention). Pin the session
+        // tz so the NTZ→LTZ cast below resolves against UTC at analysis.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — expected LONG (epoch " +
+            "nanos), TIMESTAMP, or TIMESTAMP_NTZ; testdata encoding changed?")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -2,8 +2,71 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Fail-loud contract: EVERY key in SparkEntry.queries produces an output
+  * dir. A query that throws writes a one-row error-sentinel parquet
+  * (column `__graft_error__`) — so the driver's compare records a visible
+  * schema/hash mismatch for that key instead of silently dropping it from
+  * the artifact (round 6 lost 18 failing queries from CORRECTNESS_r06
+  * exactly that way; the artifact alone read as 100% green). Alongside,
+  * `verify_status.json` maps every attempted key to ok/err for auditing.
+  */
 object Verify {
+  final case class Status(ok: Boolean, err: Option[String])
+
+  /** Run the dump; returns per-query status keyed by EVERY attempted name
+    * (= queries keyset ∩ filter). Total function — never throws per-query.
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          only: Option[Set[String]]): Map[String, Status] = {
+    new java.io.File(outDir).mkdirs()
+    val statuses = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val st =
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            Status(ok = true, err = None)
+          } catch { case e: Throwable =>
+            val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+            System.err.println(s"[verify] $name failed: $msg")
+            // Error sentinel: guarantees a row in the driver's correctness
+            // artifact (as a loud mismatch) for this key.
+            try {
+              import spark.implicits._
+              Seq(msg).toDF("__graft_error__").coalesce(1)
+                .write.mode("overwrite").parquet(s"$outDir/$name")
+            } catch { case _: Throwable => () }
+            Status(ok = false, err = Some(msg))
+          }
+        // Storage hygiene between queries — see the matching note in Bench.
+        spark.catalog.clearCache()
+        System.gc()
+        name -> st
+      }
+    Files.writeString(Paths.get(s"$outDir/verify_status.json"),
+      statuses.map { case (k, s) =>
+        val err = s.err.map(e => s""", "err": ${q(e)}""").getOrElse("")
+        s"${q(k)}: {\"ok\": ${s.ok}$err}"
+      }.mkString("{", ",", "}"))
+    statuses
+  }
+
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir, only) = args match {
       case Array(s, o)      => (s, o, None)
@@ -17,31 +80,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // Storage hygiene between queries — see the matching note in Bench.
-      spark.catalog.clearCache()
-      System.gc()
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    run(spark, sfDir, outDir, only)
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

@@ -65,6 +65,10 @@ private[graft] final class DerivedZone(artifact: String, tables: Seq[String],
   val diskHits = new AtomicLong(0)
 
   def get(spark: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+    // Hygiene for long-lived drivers (the SearchServer shape): entries key
+    // by session, and a stopped session's frames are dead weight that
+    // would otherwise accumulate forever. O(sessions×dirs) — tiny.
+    entries.keySet.removeIf(_._1.sparkContext.isStopped)
     val fp = DerivedZone.md5(
       s"r$rev:" + SessionMemo.fingerprint(spark, tables.map(t => s"$dir/$t")))
     val key = (spark, dir)
@@ -96,7 +100,7 @@ private[graft] final class DerivedZone(artifact: String, tables: Seq[String],
         // lost the publish race to a concurrent session — serve the winner
         fs.delete(tmp, true)
         require(fs.exists(sidecar), s"derived zone $target vanished mid-publish")
-      } else DerivedZone.pruneSuperseded(fs, zone, fp)
+      } else DerivedZone.pruneSuperseded(fs, zone, fp, DerivedZone.purgeGraceMs(spark))
     }
     val lines = DerivedZone.readString(fs, sidecar).split("\n")
     val schema = DataType.fromJson(lines(0)).asInstanceOf[StructType]
@@ -126,14 +130,33 @@ private[graft] object DerivedZone {
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  /** Purge grace for superseded zones — a reader in ANOTHER JVM may be
+    * mid-scan on the previous fingerprint's files (its frame is lazy; the
+    * scan can run long after it revalidated). Deleting eagerly turns that
+    * into a FileNotFound in the reader, so superseded zones are kept for a
+    * grace window first — the same tolerance pattern the compactor applies
+    * to replaced source files (see Compactor purge tolerance). */
+  private[ops] def purgeGraceMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.derived.purgeGraceMs")
+      .map(_.toLong).getOrElse(15L * 60 * 1000)
+
   /** Best-effort removal of zones for superseded fingerprints of the same
     * (artifact, dir) — a rewritten dataset's old artifacts are garbage.
-    * In-flight `.tmp-*` writers are left alone.
+    * Only zones older than the grace window are removed (concurrent-reader
+    * tolerance, see [[purgeGraceMs]]); in-flight `.tmp-*` writers are left
+    * alone. Skipped zones are garbage-collected by a LATER publish once
+    * they age out — superseding always re-runs the prune.
     */
-  private def pruneSuperseded(fs: FileSystem, zone: Path, keep: String): Unit =
-    try fs.listStatus(zone).foreach { st =>
-      val n = st.getPath.getName
-      if (n != keep && !n.startsWith(".")) fs.delete(st.getPath, true)
+  private def pruneSuperseded(fs: FileSystem, zone: Path, keep: String,
+                              graceMs: Long): Unit =
+    try {
+      val now = System.currentTimeMillis()
+      fs.listStatus(zone).foreach { st =>
+        val n = st.getPath.getName
+        if (n != keep && !n.startsWith(".") &&
+            now - st.getModificationTime > graceMs)
+          fs.delete(st.getPath, true)
+      }
     } catch { case _: java.io.IOException => () }
 
   private[ops] def writeString(fs: FileSystem, p: Path, s: String): Unit = {

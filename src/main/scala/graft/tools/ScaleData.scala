@@ -33,12 +33,16 @@ object ScaleData {
 
   def scale(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
     require(factor >= 1, "factor must be >= 1")
-    // events.parquet carries TIMESTAMP(NANOS); read it as epoch-nanos
-    // long (same convention as Tables.events) so the scaled copy is
-    // written with the exact ts representation the engine consumes
+    // events.ts is normalized to epoch-nanos long on read (whatever the
+    // source physical type — see Tables.events) so the scaled copy is
+    // written with the exact canonical ts representation the engine
+    // consumes; re-reading a scaled dir hits Tables' LongType fast path.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def read(t: String): DataFrame = {
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      if (t == "events") graft.Tables.normalizeEventTs(spark, df) else df
+    }
     // fail loudly if any source key reaches the copy shift — silent
     // aliasing across copies (e.g. chaining ScaleData onto its own
     // output) would break per-copy join/dedup disjointness with zero

@@ -17,6 +17,9 @@ class DerivedZoneSpec extends AnyFunSuite {
   test("build once, memory-hit, fresh-entry disk-hit, rewrite republish + prune") {
     val root = SparkTestSession.tempDir("zone-root")
     spark.conf.set("spark.graft.derived.dir", root)
+    // grace < 0 ⇒ superseded zones prune immediately (this test pins the
+    // GC behavior; the grace-window behavior has its own test below)
+    spark.conf.set("spark.graft.derived.purgeGraceMs", "-1")
     try {
       val dir = SparkTestSession.tempDir("zone-data")
       Seq((1L, "a"), (2L, "b")).toDF("id", "v")
@@ -52,7 +55,53 @@ class DerivedZoneSpec extends AnyFunSuite {
       assert(zone2.get(spark, dir)(
         spark.read.parquet(s"$dir/t.parquet").limit(1)).count() == 1)
       assert(zone2.builds.get == 1, "new rev must rebuild, not serve rev-1 files")
-    } finally spark.conf.unset("spark.graft.derived.dir")
+    } finally {
+      spark.conf.unset("spark.graft.derived.dir")
+      spark.conf.unset("spark.graft.derived.purgeGraceMs")
+    }
+  }
+
+  test("republish keeps the superseded zone for the purge grace window — a concurrent reader mid-scan survives") {
+    val root = SparkTestSession.tempDir("zone-root-grace")
+    spark.conf.set("spark.graft.derived.dir", root)
+    try {
+      val dir = SparkTestSession.tempDir("zone-data-grace")
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$dir/t.parquet")
+
+      val zone = new DerivedZone("spec_grace", Seq("t.parquet"))
+      def read() = zone.get(spark, dir)(
+        spark.read.parquet(s"$dir/t.parquet").select("id", "v"))
+      def fpDirs() = new java.io.File(s"$root/spec_grace").listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles()).filter(_.isDirectory)
+        .filterNot(_.getName.startsWith("."))
+
+      // v1 published; hold the served frame — it stands in for a reader in
+      // ANOTHER JVM whose lazy scan hasn't run yet when v2 publishes
+      val held = read()
+      assert(held.count() == 2)
+
+      // in-place rewrite → new fingerprint → republish under default grace
+      // (15 min): the v1 zone must survive the prune pass
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$dir/t.parquet")
+      assert(read().count() == 3 && zone.builds.get == 2)
+      assert(fpDirs().length == 2,
+        s"superseded zone must be retained within the grace window: ${fpDirs().toSeq}")
+      // the held (pre-republish) frame still scans — no FileNotFound
+      assert(held.count() == 2, "pre-republish reader must survive the republish")
+
+      // once aged out (grace forced negative), the NEXT publish GCs it
+      spark.conf.set("spark.graft.derived.purgeGraceMs", "-1")
+      Seq((1L, "a")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$dir/t.parquet")
+      assert(read().count() == 1 && zone.builds.get == 3)
+      assert(fpDirs().length == 1,
+        s"aged-out superseded zones must be GC'd on the next publish: ${fpDirs().toSeq}")
+    } finally {
+      spark.conf.unset("spark.graft.derived.dir")
+      spark.conf.unset("spark.graft.derived.purgeGraceMs")
+    }
   }
 
   test("partitioned artifact round-trips schema, column order and partition-column type") {
