@@ -5,13 +5,55 @@ import graft.ops.MediaPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** SURVEY §2.6 — multimodal binary-column statistics. */
+/** SURVEY §2.6 — multimodal binary-column pipeline over REAL image bytes.
+  *
+  * Each document synthesizes a spec-conformant P6 PPM payload (geometry
+  * and frame manifest derived from the text's portable polyhash); the
+  * extraction stage genuinely parses the container and reads the pixel
+  * plane (see [[graft.ops.PpmCodec]]). The oracle re-derives every feature
+  * in closed form from the same polyhash, so the entire encode → decode →
+  * aggregate path is exact-hash gated.
+  */
 object Multimodal {
 
-  /** #32 mm_binary_stats: run the typed media pipeline (binary payloads →
-    * batched stub decode → features), then aggregate per source. The
-    * decode stub's arithmetic is mirrored in the oracle SQL, so the whole
-    * mapPartitions stage is exact-hash gated.
+  /** Shared oracle CTEs: per-document image spec (the encoder's inputs)
+    * and the derived container/raster features (the decoder's outputs).
+    * `byte_len` is the exact P6 container size — header `P6\n# frames=N\nW
+    * H\n255\n` plus the 3·W·H pixel plane; `px_sum` is the closed form of
+    * the encoder's byte-ramp plane sum (JVM twin:
+    * [[graft.ops.PpmCodec.pxSumClosedForm]]).
+    */
+  private def featsCte: String = {
+    val h = polyHashSql("text")
+    s"""WITH spec AS (
+      |  SELECT doc_id, source, $h AS hh FROM documents),
+      |dims AS (
+      |  SELECT doc_id, source,
+      |         1 + hh % 320 AS width,
+      |         1 + ((hh * 31 + 7) % $P) % 240 AS height,
+      |         1 + hh % 24 AS n_frames,
+      |         hh % 256 AS fill
+      |  FROM spec),
+      |feats AS (
+      |  SELECT doc_id, source, width, height, n_frames,
+      |         19 + length(CAST(n_frames AS VARCHAR))
+      |            + length(CAST(width AS VARCHAR))
+      |            + length(CAST(height AS VARCHAR))
+      |            + 3 * width * height AS byte_len,
+      |         (3 * width * height // 256) * 32640
+      |         + CASE WHEN fill + (3 * width * height % 256) <= 256
+      |                THEN (3 * width * height % 256) * fill
+      |                     + (3 * width * height % 256) * (3 * width * height % 256 - 1) // 2
+      |                ELSE (256 - fill) * fill + (256 - fill) * (255 - fill) // 2
+      |                     + (3 * width * height % 256 - 256 + fill)
+      |                       * (3 * width * height % 256 - 257 + fill) // 2
+      |           END AS px_sum
+      |  FROM dims)""".stripMargin
+  }
+
+  /** #32 mm_binary_stats: run the typed media pipeline (synthesize P6
+    * payloads → batched real decode → features), then aggregate per
+    * source. `total_px` witnesses the pixel plane was actually read.
     */
   def mmBinaryStats(spark: SparkSession, dir: String): DataFrame = {
     val feats = MediaPipeline.extractFeatures(MediaPipeline.asMedia(spark, dir))
@@ -21,14 +63,25 @@ object Multimodal {
         sum(col("byte_len")).as("total_bytes"),
         round(sum(col("width")) / count(lit(1)), 4).as("avg_width"),
         round(sum(col("height")) / count(lit(1)), 4).as("avg_height"),
-        max(col("n_frames")).as("max_frames"))
+        max(col("n_frames")).as("max_frames"),
+        sum(col("px_sum")).as("total_px"))
       .orderBy("source")
   }
 
+  val mmBinaryStatsSql: String =
+    s"""$featsCte
+      |SELECT source, count(*) AS n_objects,
+      |       CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+      |       round(CAST(sum(width) AS BIGINT) / count(*), 4) AS avg_width,
+      |       round(CAST(sum(height) AS BIGINT) / count(*), 4) AS avg_height,
+      |       max(n_frames) AS max_frames,
+      |       CAST(sum(px_sum) AS BIGINT) AS total_px
+      |FROM feats GROUP BY source ORDER BY source""".stripMargin
+
   /** #36 mm_frame_sample: per-object frame sampling — every 4th frame of
-    * each (stub-decoded) video payload becomes a row with a deterministic
-    * frame signature; the explode runs distributed after the batched
-    * decode stage, exactly how a real frame extractor fans out work.
+    * each payload's decoded frame manifest becomes a row with a
+    * deterministic frame signature; the explode runs distributed after the
+    * batched decode stage, exactly how a real frame extractor fans out.
     */
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
     val feats = MediaPipeline.extractFeatures(MediaPipeline.asMedia(spark, dir))
@@ -42,20 +95,17 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
-  val mmFrameSampleSql: String = {
-    val h = polyHashSql("text")
-    s"""WITH feats AS (
-      |  SELECT doc_id, source, 1 + ($h) % 24 AS n_frames FROM documents),
+  val mmFrameSampleSql: String =
+    s"""$featsCte,
       |frames AS (
       |  SELECT doc_id, source, unnest(range(n_frames)) AS frame_idx FROM feats)
       |SELECT doc_id, frame_idx,
       |       md5(source || '#' || CAST(doc_id AS VARCHAR) || '#' || CAST(frame_idx AS VARCHAR)) AS frame_sig
       |FROM frames WHERE frame_idx % 4 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
-  }
 
-  /** #48 mm_resize: the resize stage — every object's target dimensions
-    * fitted into 256×256 (aspect preserved, never upscaled) in exact
+  /** #48 mm_resize: the resize stage — every object's decoded dimensions
+    * fitted into 128×128 (aspect preserved, never upscaled) in exact
     * integer math through the typed pipeline; see
     * [[graft.ops.MediaPipeline.planResize]].
     */
@@ -66,37 +116,15 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val mmResizeSql: String = {
-    val h = polyHashSql("text")
-    s"""WITH feats AS (
-      |  SELECT doc_id,
-      |         1 + ($h) % 1920 AS width,
-      |         1 + (($h) * 31 + 7) % $P % 1080 AS height
-      |  FROM documents)
+  val mmResizeSql: String =
+    s"""$featsCte
       |SELECT doc_id, width, height,
-      |       CASE WHEN width <= 256 AND height <= 256 THEN width
-      |            WHEN width >= height THEN 256
-      |            ELSE greatest(1, (width * 256) // height) END AS out_w,
-      |       CASE WHEN width <= 256 AND height <= 256 THEN height
-      |            WHEN width >= height THEN greatest(1, (height * 256) // width)
-      |            ELSE 256 END AS out_h,
-      |       CAST(NOT (width <= 256 AND height <= 256) AS INT) AS scaled
+      |       CASE WHEN width <= 128 AND height <= 128 THEN width
+      |            WHEN width >= height THEN 128
+      |            ELSE greatest(1, (width * 128) // height) END AS out_w,
+      |       CASE WHEN width <= 128 AND height <= 128 THEN height
+      |            WHEN width >= height THEN greatest(1, (height * 128) // width)
+      |            ELSE 128 END AS out_h,
+      |       CAST(NOT (width <= 128 AND height <= 128) AS INT) AS scaled
       |FROM feats ORDER BY doc_id""".stripMargin
-  }
-
-  val mmBinaryStatsSql: String = {
-    val h = polyHashSql("text")
-    s"""WITH feats AS (
-      |  SELECT doc_id, source, length(text) AS byte_len,
-      |         1 + ($h) % 1920 AS width,
-      |         1 + (($h) * 31 + 7) % $P % 1080 AS height,
-      |         1 + ($h) % 24 AS n_frames
-      |  FROM documents)
-      |SELECT source, count(*) AS n_objects,
-      |       CAST(sum(byte_len) AS BIGINT) AS total_bytes,
-      |       round(CAST(sum(width) AS BIGINT) / count(*), 4) AS avg_width,
-      |       round(CAST(sum(height) AS BIGINT) / count(*), 4) AS avg_height,
-      |       max(n_frames) AS max_frames
-      |FROM feats GROUP BY source ORDER BY source""".stripMargin
-  }
 }

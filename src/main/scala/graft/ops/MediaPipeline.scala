@@ -1,49 +1,58 @@
 package graft.ops
 
 import graft.functions.Portable
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing (SURVEY §2.6): image/audio/video payloads travel as
   * opaque `binary` columns with typed metadata alongside; feature
   * extraction runs as a batched per-partition stage over a typed Dataset
-  * — the Spark-side contract (schema, encoders, partition-level batching,
-  * no driver involvement) is exactly what a real decoder needs, while the
-  * decode itself is a deterministic stub (this container ships no
-  * image/audio codecs).
+  * — schema, encoders, partition-level batching, no driver involvement.
+  *
+  * The payloads are REAL image files: spec-conformant P6 PPM binaries
+  * (see [[PpmCodec]]), synthesized deterministically per document, and the
+  * extraction stage is a genuine from-scratch decode — header parse,
+  * comment-manifest handling, pixel-plane validation and statistics — not
+  * a placeholder. The image geometry derives from the portable polyhash of
+  * the source text, so the DuckDB oracle can re-derive every feature in
+  * closed form and the whole decode path stays exact-hash gated.
   */
 object MediaPipeline {
 
   /** A carried media object: opaque payload + typed envelope. */
   case class MediaRecord(doc_id: Long, source: String, payload: Array[Byte])
 
-  /** Decoder output: per-object features a real codec would produce. */
+  /** Decoder output per object: container size, geometry, declared frame
+    * count, and the pixel-plane byte sum (computed from the raster — the
+    * witness that the plane was actually read). */
   case class MediaFeatures(doc_id: Long, source: String, byte_len: Long,
-                           width: Long, height: Long, n_frames: Long)
+                           width: Long, height: Long, n_frames: Long,
+                           px_sum: Long)
 
-  /** STUB DECODER — stands in for e.g. a JPEG/ffmpeg decode. Deterministic
-    * pure function of the payload bytes (a portable polynomial hash drives
-    * the fake dimensions) so the pipeline is testable end-to-end; swap the
-    * body for a real codec call without touching any Spark plumbing.
-    */
-  def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
-    val h = payload.foldLeft(Portable.Seed)((acc, b) =>
-      (acc * 31L + (b & 0xff).toLong) % Portable.P)
-    (1L + h % 1920L, 1L + (h * 31L + 7L) % Portable.P % 1080L, 1L + h % 24L)
+  /** Geometry spec for a document's synthesized image — one polyhash of
+    * the text drives everything, mirroring the oracle's SQL derivation. */
+  def imageSpec(text: String): (Int, Int, Int, Int) = {
+    val h = Portable.polyHashJvm(text)
+    val h2 = (h * 31L + 7L) % Portable.P
+    val w = (1L + h % 320L).toInt
+    val ht = (1L + h2 % 240L).toInt
+    val frames = (1L + h % 24L).toInt
+    val fill = (h % 256L).toInt
+    (w, ht, frames, fill)
   }
 
   /** The batched extraction stage: one decoder invocation stream per
-    * partition (where a real implementation amortizes codec init /
-    * native-buffer reuse across the batch), never a per-row UDF call and
-    * never a `collect()`.
+    * partition (real codecs amortize init / buffer reuse across the
+    * batch), never a per-row UDF call and never a `collect()`.
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
-      // real decoders initialize their native context once per batch here
+      // a native codec would initialize its context once per batch here
       batch.map { m =>
-        val (w, hgt, fr) = decodeStub(m.payload)
-        MediaFeatures(m.doc_id, m.source, m.payload.length.toLong, w, hgt, fr)
+        val d = PpmCodec.decode(m.payload)
+        MediaFeatures(m.doc_id, m.source, m.payload.length.toLong,
+          d.width, d.height, d.nFrames, d.pxSum)
       }
     }
   }
@@ -60,7 +69,7 @@ object MediaPipeline {
     * batch; the geometry planning below is the deterministic, oracle-
     * checkable part and the full typed-Dataset plumbing is real.
     */
-  def planResize(feats: Dataset[MediaFeatures], box: Long = 256L): Dataset[ResizePlan] = {
+  def planResize(feats: Dataset[MediaFeatures], box: Long = 128L): Dataset[ResizePlan] = {
     import feats.sparkSession.implicits._
     feats.map { f =>
       if (f.width <= box && f.height <= box)
@@ -74,14 +83,21 @@ object MediaPipeline {
     }
   }
 
-  /** Load the `documents` table as a media carrier: `text` re-cast to an
-    * opaque binary payload (the synthetic corpus is ASCII, so payload
-    * bytes == polyhash input chars, which the oracle reproduces in SQL).
+  /** Load the `documents` table as a media carrier: each document becomes
+    * a real P6 PPM payload whose geometry/frame manifest derive from the
+    * text's polyhash. Synthesis runs batched per partition (same shape as
+    * the decode stage); downstream only ever sees the opaque binary.
     */
   def asMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     graft.Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
-      .as[MediaRecord]
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, source, text) =>
+          val (w, h, frames, fill) = imageSpec(text)
+          MediaRecord(id, source, PpmCodec.encode(w, h, frames, fill))
+        }
+      }
   }
 }

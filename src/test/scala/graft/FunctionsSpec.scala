@@ -275,34 +275,66 @@ class MediaPipelineSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("typed media pipeline extracts deterministic features per partition batch") {
-    val media = Seq(
-      MediaPipeline.MediaRecord(1L, "srcA", "hello world".getBytes),
-      MediaPipeline.MediaRecord(2L, "srcA", "abc".getBytes),
-      MediaPipeline.MediaRecord(3L, "srcB", Array[Byte]())).toDS()
-      .repartition(2)
-    val feats = MediaPipeline.extractFeatures(media).collect().sortBy(_.doc_id)
-    assert(feats.map(_.byte_len).toSeq == Seq(11L, 3L, 0L))
-    val (w, h, f) = MediaPipeline.decodeStub("hello world".getBytes)
-    assert(feats(0).width == w && feats(0).height == h && feats(0).n_frames == f)
-    // the stub hash must agree with the portable polyhash (oracle contract)
-    assert(Portable.polyHashJvm("hello world") ==
-      "hello world".getBytes.foldLeft(Portable.Seed)((acc, b) =>
-        (acc * 31 + (b & 0xff)) % Portable.P))
-    // dims stay in the documented ranges
-    feats.foreach { ft =>
-      assert(ft.width >= 1 && ft.width <= 1920)
-      assert(ft.height >= 1 && ft.height <= 1080)
-      assert(ft.n_frames >= 1 && ft.n_frames <= 24)
+  test("PPM codec round-trips: encode → decode recovers spec + pixel sum") {
+    val payload = graft.ops.PpmCodec.encode(320, 137, 9, 200)
+    // a real P6 file: magic + textual header any PPM viewer accepts
+    assert(new String(payload.take(3)) == "P6\n")
+    val d = graft.ops.PpmCodec.decode(payload)
+    assert(d.width == 320 && d.height == 137 && d.nFrames == 9)
+    // the decoder's raster sum equals the closed form the oracle computes
+    assert(d.pxSum == graft.ops.PpmCodec.pxSumClosedForm(320L * 137 * 3, 200L))
+    // brute-force the closed form across wrap/no-wrap partial cycles
+    for (n <- Seq(1L, 255L, 256L, 257L, 1000L); fill <- Seq(0L, 1L, 100L, 255L)) {
+      val brute = (0L until n).map(i => (fill + i) % 256).sum
+      assert(graft.ops.PpmCodec.pxSumClosedForm(n, fill) == brute,
+        s"closed form diverges at n=$n fill=$fill")
     }
   }
 
-  test("asMedia carries documents as binary payloads losslessly") {
+  test("PPM decoder handles generic P6 input and rejects corrupt payloads") {
+    // a foreign P6 (no frames manifest, comment between tokens) decodes
+    val foreign = ("P6\n# some viewer comment\n2\n# another\n 3\n255\n" +
+      "x" * 18).getBytes("US-ASCII")
+    val d = graft.ops.PpmCodec.decode(foreign)
+    assert(d.width == 2 && d.height == 3 && d.nFrames == 1)
+    assert(d.pxSum == 18L * 'x')
+    // corrupt inputs fail loudly, never yield garbage features
+    val good = graft.ops.PpmCodec.encode(4, 4, 2, 10)
+    intercept[IllegalArgumentException](graft.ops.PpmCodec.decode("JFIF".getBytes))
+    intercept[IllegalArgumentException](graft.ops.PpmCodec.decode(good.dropRight(1)))
+    intercept[IllegalArgumentException](
+      graft.ops.PpmCodec.decode("P6\n0 5\n255\n".getBytes))
+  }
+
+  test("typed media pipeline decodes real image payloads per partition batch") {
+    val media = Seq(
+      MediaPipeline.MediaRecord(1L, "srcA", graft.ops.PpmCodec.encode(300, 100, 8, 5)),
+      MediaPipeline.MediaRecord(2L, "srcA", graft.ops.PpmCodec.encode(1, 1, 1, 0)),
+      MediaPipeline.MediaRecord(3L, "srcB", graft.ops.PpmCodec.encode(50, 240, 24, 255)))
+      .toDS().repartition(2)
+    val feats = MediaPipeline.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(feats.map(f => (f.width, f.height, f.n_frames)).toSeq ==
+      Seq((300L, 100L, 8L), (1L, 1L, 1L), (50L, 240L, 24L)))
+    assert(feats(1).px_sum == 3L) // 3 plane bytes: 0+1+2
+    assert(feats.forall(f => f.byte_len > 3 * f.width * f.height))
+  }
+
+  test("asMedia synthesizes valid per-document PPMs the decode stage accepts") {
     val dir = "/root/testdata/sf0.001"
     val media = MediaPipeline.asMedia(spark, dir)
     val one = media.filter(_.doc_id == 0L).collect().head
     val text = Tables.documents(spark, dir).filter(col("doc_id") === 0)
       .select("text").as[String].collect().head
-    assert(new String(one.payload) == text)
+    val (w, h, frames, fill) = MediaPipeline.imageSpec(text)
+    val d = graft.ops.PpmCodec.decode(one.payload)
+    assert((d.width, d.height, d.nFrames) == (w.toLong, h.toLong, frames.toLong))
+    assert(d.pxSum == graft.ops.PpmCodec.pxSumClosedForm(3L * w * h, fill.toLong))
+    // dims stay in the documented (oracle-mirrored) ranges
+    val all = MediaPipeline.extractFeatures(media).collect()
+    all.foreach { ft =>
+      assert(ft.width >= 1 && ft.width <= 320)
+      assert(ft.height >= 1 && ft.height <= 240)
+      assert(ft.n_frames >= 1 && ft.n_frames <= 24)
+    }
   }
 }
