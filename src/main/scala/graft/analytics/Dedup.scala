@@ -324,7 +324,15 @@ object Dedup {
     */
   def clearMemos(): Unit = {
     pairsMemo.clear(); labelsMemo.clear(); sharedMemo.clear()
+    simhashMemo.clear()
   }
+
+  /** SimHash near-dup pairs, persisted once per DATASET like the MinHash
+    * pair list ([[pairsMemo]]): the signature pass + chunk-banded self-join
+    * is the dominant cost and its output is a few rows per duplicate pair.
+    */
+  private[graft] val simhashMemo =
+    new graft.ops.DerivedZone("dedup_simhash_pairs", Seq("documents.parquet"))
 
   private[analytics] def confirmedPairs(spark: SparkSession, dir: String): DataFrame =
     pairsMemo.get(spark, dir)(minhashConfirm(spark, dir))
@@ -399,7 +407,11 @@ object Dedup {
     * 16-bit chunk banding (pigeonhole: 4 chunks, ≤3 differing bits ⇒ at
     * least one chunk equal — so the banding is *exact* for this radius).
     */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashMemo.get(spark, dir)(simhashPairs(spark, dir))
+      .orderBy("a_id", "b_id")
+
+  private def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // materialize the signatures BEFORE the self-join: both join sides
     // reference this frame, and without the checkpoint each side re-runs
@@ -424,7 +436,6 @@ object Dedup {
       // survivors need the distinct — same result, tiny exchange
       .filter(col("hamming") <= 3)
       .distinct()
-      .orderBy("a_id", "b_id")
   }
 
   val dedupSimhashSql: String = {

@@ -55,9 +55,8 @@ object Multimodal {
     * payloads → batched real decode → features), then aggregate per
     * source. `total_px` witnesses the pixel plane was actually read.
     */
-  def mmBinaryStats(spark: SparkSession, dir: String): DataFrame = {
-    val feats = MediaPipeline.extractFeatures(MediaPipeline.asMedia(spark, dir))
-    feats.toDF()
+  def mmBinaryStats(spark: SparkSession, dir: String): DataFrame =
+    MediaPipeline.features(spark, dir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_objects"),
         sum(col("byte_len")).as("total_bytes"),
@@ -66,7 +65,6 @@ object Multimodal {
         max(col("n_frames")).as("max_frames"),
         sum(col("px_sum")).as("total_px"))
       .orderBy("source")
-  }
 
   val mmBinaryStatsSql: String =
     s"""$featsCte
@@ -83,9 +81,8 @@ object Multimodal {
     * deterministic frame signature; the explode runs distributed after the
     * batched decode stage, exactly how a real frame extractor fans out.
     */
-  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
-    val feats = MediaPipeline.extractFeatures(MediaPipeline.asMedia(spark, dir))
-    feats.toDF()
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
+    MediaPipeline.features(spark, dir)
       .select(col("doc_id"), col("source"), col("n_frames"),
         explode(sequence(lit(0L), col("n_frames") - 1L)).as("frame_idx"))
       .filter(col("frame_idx") % 4 === 0)
@@ -93,7 +90,6 @@ object Multimodal {
         md5(concat(col("source"), lit("#"), col("doc_id").cast("string"),
           lit("#"), col("frame_idx").cast("string"))).as("frame_sig"))
       .orderBy("doc_id", "frame_idx")
-  }
 
   val mmFrameSampleSql: String =
     s"""$featsCte,
@@ -110,8 +106,9 @@ object Multimodal {
     * [[graft.ops.MediaPipeline.planResize]].
     */
   def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     MediaPipeline.planResize(
-      MediaPipeline.extractFeatures(MediaPipeline.asMedia(spark, dir)))
+      MediaPipeline.features(spark, dir).as[MediaPipeline.MediaFeatures])
       .toDF()
       .orderBy("doc_id")
   }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.Portable
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing (SURVEY §2.6): image/audio/video payloads travel as
@@ -82,6 +82,24 @@ object MediaPipeline {
           math.max(1L, f.width * box / f.height), box, 1)
     }
   }
+
+  /** Decoded features persisted once per DATASET ([[DerivedZone]]): a
+    * production media pipeline decodes each object exactly once and every
+    * downstream consumer reads the feature table — at 100 TB, re-decoding
+    * per query is the difference between one pass and N. The zone
+    * revalidates against the documents table's on-disk fingerprint, so a
+    * rewritten corpus re-decodes; a fresh session serves off disk with
+    * zero decode jobs.
+    */
+  private[graft] val featsMemo =
+    new DerivedZone("media_feats", Seq("documents.parquet"))
+
+  def clearMemo(): Unit = featsMemo.clear()
+
+  /** The feature table for a dataset dir: built (encode → batched decode)
+    * on first touch, then served from the published derived zone. */
+  def features(spark: SparkSession, dir: String): DataFrame =
+    featsMemo.get(spark, dir)(extractFeatures(asMedia(spark, dir)).toDF())
 
   /** Load the `documents` table as a media carrier: each document becomes
     * a real P6 PPM payload whose geometry/frame manifest derive from the

@@ -319,6 +319,29 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(feats.forall(f => f.byte_len > 3 * f.width * f.height))
   }
 
+  test("media feature store serves a fresh session with zero decode jobs") {
+    val root = SparkTestSession.tempDir("media-zone")
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.graft.derived.dir", root)
+    try {
+      MediaPipeline.clearMemo()
+      val b0 = MediaPipeline.featsMemo.builds.get
+      val built = MediaPipeline.features(spark, dir).collect()
+      assert(MediaPipeline.featsMemo.builds.get == b0 + 1)
+      // "fresh session": empty in-memory state, same zone root — features
+      // must come off the published parquet with no re-decode
+      MediaPipeline.clearMemo()
+      val served = MediaPipeline.features(spark, dir).collect()
+      assert(MediaPipeline.featsMemo.builds.get == b0 + 1,
+        "fresh session must not re-run the decode stage")
+      assert(MediaPipeline.featsMemo.diskHits.get >= 1)
+      assert(served.map(_.toString).sorted.toSeq == built.map(_.toString).sorted.toSeq)
+    } finally {
+      spark.conf.unset("spark.graft.derived.dir")
+      MediaPipeline.clearMemo()
+    }
+  }
+
   test("asMedia synthesizes valid per-document PPMs the decode stage accepts") {
     val dir = "/root/testdata/sf0.001"
     val media = MediaPipeline.asMedia(spark, dir)
