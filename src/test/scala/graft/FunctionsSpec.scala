@@ -291,6 +291,21 @@ class MediaPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("PPM codec round-trip holds across generated specs (property)") {
+    import org.scalacheck.Gen
+    val specs = Gen.listOfN(60, for {
+      w <- Gen.choose(1, 320); h <- Gen.choose(1, 240)
+      f <- Gen.choose(1, 24); fill <- Gen.choose(0, 255)
+    } yield (w, h, f, fill)).sample.get
+    specs.foreach { case (w, h, f, fill) =>
+      val d = graft.ops.PpmCodec.decode(graft.ops.PpmCodec.encode(w, h, f, fill))
+      assert((d.width, d.height, d.nFrames) == (w.toLong, h.toLong, f.toLong),
+        s"round-trip broke at ${w}x$h frames=$f fill=$fill")
+      assert(d.pxSum == graft.ops.PpmCodec.pxSumClosedForm(3L * w * h, fill.toLong),
+        s"pixel sum diverged from closed form at ${w}x$h fill=$fill")
+    }
+  }
+
   test("PPM decoder handles generic P6 input and rejects corrupt payloads") {
     // a foreign P6 (no frames manifest, comment between tokens) decodes
     val foreign = ("P6\n# some viewer comment\n2\n# another\n 3\n255\n" +
