@@ -165,6 +165,9 @@ object Bench {
     // hit) — scaling comparisons need the first-run total or the builds'
     // growth with data vanishes from the curve.
     val firstTotal = results.map(_._3.headOption.getOrElse(0.0)).sum
-    s"""{"metric":"total","value":$total,"first_value":$firstTotal,"unit":"sec","reps":$reps,"agg":"min","errors":$nErr,"queries":$qs,"runs":$runsJ,"gc_sec":$gcs,"status":$status,"sf":"$sfDir"}"""
+    // provenance: wall-clock stamp makes every artifact auditable as
+    // actually re-measured (vs a counter bump on stale numbers)
+    val stamp = java.time.Instant.now().toString
+    s"""{"metric":"total","value":$total,"first_value":$firstTotal,"unit":"sec","reps":$reps,"agg":"min","errors":$nErr,"queries":$qs,"runs":$runsJ,"gc_sec":$gcs,"status":$status,"sf":"$sfDir","generated_at":"$stamp"}"""
   }
 }

@@ -46,11 +46,13 @@ object Verify {
         System.gc()
         name -> st
       }
+    // provenance stamp — proves the status reflects a real fresh run
+    val stamped = statuses.map { case (k, s) =>
+      val err = s.err.map(e => s""", "err": ${q(e)}""").getOrElse("")
+      s"${q(k)}: {\"ok\": ${s.ok}$err}"
+    } ++ Seq(s""""_generated_at": ${q(java.time.Instant.now().toString)}""")
     Files.writeString(Paths.get(s"$outDir/verify_status.json"),
-      statuses.map { case (k, s) =>
-        val err = s.err.map(e => s""", "err": ${q(e)}""").getOrElse("")
-        s"${q(k)}: {\"ok\": ${s.ok}$err}"
-      }.mkString("{", ",", "}"))
+      stamped.mkString("{", ",", "}"))
     statuses
   }
 
