@@ -46,6 +46,24 @@ class SchemaCanarySpec extends AnyFunSuite {
       s"ts range [$lo, $hi] is not plausible epoch-nanos — scaling bug or drift")
   }
 
+  test("ts normalization is session-timezone-proof") {
+    // the NTZ→LTZ cast resolves its zone at analysis; the loader pins UTC
+    // before building the frame, so a session running in another timezone
+    // (a real cluster default) must still produce identical epoch nanos
+    val utcRow = Tables.events(spark, sf)
+      .orderBy("event_id").limit(3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val nyRow = Tables.events(spark, sf)
+        .orderBy("event_id").limit(3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(nyRow.toSeq == utcRow.toSeq,
+        "epoch-nanos ts must not depend on the caller's session timezone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("relational tables keep the column types the operators assume") {
     val li = fields("lineitem")
     assert(li("l_orderkey") == LongType && li("l_partkey") == LongType &&
