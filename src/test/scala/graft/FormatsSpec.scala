@@ -85,13 +85,18 @@ class FormatsSpec extends AnyFunSuite {
     readBack.unpersist()
 
     // one-checkpoint-for-both-views: a pre-checkpointed parse feeds BOTH
-    // helpers without corruptRows checkpointing a second time
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // helpers without corruptRows checkpointing a second time. Compare RDD
+    // id SETS, not absolute counts — the async ContextCleaner can drop a
+    // stale RDD from an earlier test between two measurements (observed
+    // flake), while NEW ids appearing is exactly what this pins.
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val ck = Formats.readJsonl(spark, mixed, schema).localCheckpoint()
-    assert(spark.sparkContext.getPersistentRDDs.size == before + 1)
+    val afterCk = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    assert((afterCk -- before).size == 1, "localCheckpoint must persist exactly one RDD")
     assert(Formats.corruptRows(ck).count() == 2)
     assert(Formats.cleanRows(ck).agg(count("doc_id")).head().getLong(0) == 1)
-    assert(spark.sparkContext.getPersistentRDDs.size == before + 1,
+    val afterUse = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    assert((afterUse -- afterCk).isEmpty,
       "shared checkpoint must be the ONLY materialization behind both views")
     ck.unpersist()
   }
