@@ -373,22 +373,37 @@ object Relational {
       |GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
-  /** #57 q_not_in: NOT IN subquery on the SQL surface — Spark plans this
-    * as a null-aware anti join (a distinct physical operator from the
-    * plain LeftAnti of `q_anti_join`; with a broadcastable subquery it
-    * becomes a single-key BroadcastHashJoin with isNullAware=true).
-    * `l_partkey` is non-null in the data, but the operator carries the
-    * three-valued NOT IN semantics regardless.
+  /** #57 q_not_in: NOT IN subquery semantics with scale-safe routing.
+    * The literal SQL form (`p_partkey NOT IN (SELECT l_partkey ...)`)
+    * plans as Spark's null-aware anti join, which is BROADCAST-ONLY —
+    * and the subquery side here is lineitem-derived, so it grows with SF
+    * and the mandatory broadcast fails (driver OOM / timeout) at 100×.
+    * This keeps NOT IN's three-valued semantics but routes through a
+    * runtime decomposition:
+    *
+    *  - a cheap existence probe checks the subquery side for NULLs
+    *    (`IsNull` reaches the parquet reader as a pushed filter, so row
+    *    groups whose footer stats show zero nulls are skipped outright;
+    *    the schema's nullability flag short-circuits the probe entirely
+    *    for provably non-null columns);
+    *  - any NULL present ⇒ NOT IN can never be TRUE ⇒ empty result;
+    *  - null-free (true here: `l_partkey` is a key) ⇒ NOT IN ≡ plain
+    *    LeftAnti against the DISTINCT key set — shuffled, AQE-sized,
+    *    no broadcast requirement, same operator family as `q_anti_join`.
     */
   def notInAnti(spark: SparkSession, dir: String): DataFrame = {
-    Tables.part(spark, dir).createOrReplaceTempView("part_v")
-    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
-    spark.sql(
-      """SELECT p_brand, count(*) AS n_unmoved
-        |FROM part_v
-        |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem_v WHERE l_quantity > 45)
-        |GROUP BY p_brand
-        |ORDER BY p_brand""".stripMargin)
+    val part = Tables.part(spark, dir)
+    val moved = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 45)
+      .select(col("l_partkey"))
+    val subqueryHasNull =
+      moved.schema.head.nullable && !moved.filter(col("l_partkey").isNull).isEmpty
+    val unmoved =
+      if (subqueryHasNull) part.limit(0)
+      else part.join(moved.distinct(), col("p_partkey") === col("l_partkey"), "left_anti")
+    unmoved.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_unmoved"))
+      .orderBy("p_brand")
   }
 
   val notInAntiSql: String =
@@ -613,7 +628,14 @@ object Relational {
     *
     * Scale shape: unit price is exact (cents·100 / qty_c, both longs →
     * one double division); the per-part min is a map-side-combined agg
-    * over the filtered slice, and the equality join back broadcasts it.
+    * over the filtered slice, joined back as the same argmax LEFT SEMI
+    * pattern as [[graft.ops.LatestState.snapshot]] — the build side is
+    * the slim two-long-column aggregate, keyed on (partkey, unit price).
+    * NO forced broadcasts: part, the min aggregate, and supplier all
+    * scale with SF, so every join is hint-free and AQE broadcasts only
+    * a side that measures small at runtime; at 100× they degrade
+    * gracefully to shuffled hash joins on the same keys instead of
+    * timing out a driver-sized broadcast.
     */
   def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
@@ -622,13 +644,13 @@ object Relational {
       .select(col("l_partkey"), col("l_suppkey"),
         round(cents(col("l_extendedprice")) * 100 / cents(col("l_quantity")), 0)
           .cast("long").as("unit_c"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
     val minUnit = l.groupBy(col("l_partkey").as("mk"))
       .agg(min(col("unit_c")).as("min_unit_c"))
-    l.join(broadcast(minUnit),
-        col("l_partkey") === col("mk") && col("unit_c") === col("min_unit_c"))
-      .join(broadcast(Tables.supplier(spark, dir)),
-        col("l_suppkey") === col("s_suppkey"))
+    l.join(minUnit,
+        col("l_partkey") === col("mk") && col("unit_c") === col("min_unit_c"),
+        "left_semi")
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
         (col("unit_c") / 100.0).as("unit_price"))
       .distinct()

@@ -38,6 +38,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian plans: ${offenders.sorted}")
   }
 
+  /** Round-8 regression net for the two plans the round-7 audit flagged:
+    * both formerly forced a broadcast of a fact-derived (SF-scaled)
+    * relation, which at 100× means driver OOM / broadcast timeout. The
+    * fix is hint-free joins (AQE broadcasts only what measures small at
+    * runtime) and, for NOT IN, a decomposition that avoids Spark's
+    * broadcast-only null-aware anti join entirely.
+    */
+  test("q_min_cost_supplier / q_not_in force no broadcast of a fact-derived relation") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    for (name <- Seq("q_min_cost_supplier", "q_not_in")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val hinted = df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j
+      }
+      assert(hinted.isEmpty, s"$name: joins carry forced hints:\n${hinted.mkString("\n")}")
+      val planStr = df.queryExecution.sparkPlan.toString
+      assert(!planStr.contains("isNullAware=true"),
+        s"$name: broadcast-only null-aware anti join present")
+    }
+  }
+
   test("nested-loop joins appear only where they are the intended plan") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       try {

@@ -18,12 +18,19 @@ class Round3OpsSpec extends AnyFunSuite {
     assert(total == nCust)
   }
 
-  test("q_not_in plans a null-aware anti join") {
+  test("q_not_in decomposes to a PLAIN LeftAnti — never the broadcast-only null-aware form") {
+    // Round-8 change: the literal NOT IN plan (null-aware anti join) is
+    // broadcast-ONLY in Spark, and the subquery side scales with SF — a
+    // 100× scale-killer. The decomposition null-probes the subquery side
+    // and routes to a distinct + plain LeftAnti that AQE is free to
+    // shuffle. BroadcastHashJoinExec renders the isNullAwareAntiJoin flag
+    // as a trailing boolean after the build side: it must be `false` (or
+    // the join not broadcast at all), and a LeftAnti must exist.
     val plan = Relational.notInAnti(spark, sf)
       .queryExecution.executedPlan.toString
-    // BroadcastHashJoinExec renders the isNullAwareAntiJoin flag as a
-    // trailing `true` after the build side
-    assert(plan.matches("(?s).*LeftAnti, Build\\w+, true.*"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.matches("(?s).*LeftAnti, Build\\w+, true.*"),
+      s"null-aware anti join (broadcast-only) reappeared:\n$plan")
   }
 
   test("kmeans_iter assigns every vector to exactly one of the seed centroids") {
