@@ -57,9 +57,15 @@ object Tables {
         df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
       case TimestampNTZType =>
         // NTZ wall clock ≡ UTC (the oracle's convention). Pin the session
-        // tz so the NTZ→LTZ cast below resolves against UTC at analysis.
+        // tz so the NTZ→LTZ cast below resolves against UTC at analysis —
+        // Dataset analysis is eager, so the cast's zone is fixed inside
+        // this window — then restore the caller's timezone: loading a
+        // table must not permanently flip later tz-dependent expressions
+        // (date_format, timestamp→string casts) in a non-UTC session.
+        val prevTz = spark.conf.get("spark.sql.session.timeZone")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+        try df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+        finally spark.conf.set("spark.sql.session.timeZone", prevTz)
       case other =>
         throw new IllegalStateException(
           s"events.ts has unsupported type $other — expected LONG (epoch " +

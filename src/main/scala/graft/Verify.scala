@@ -38,7 +38,13 @@ object Verify {
               import spark.implicits._
               Seq(msg).toDF("__graft_error__").coalesce(1)
                 .write.mode("overwrite").parquet(s"$outDir/$name")
-            } catch { case _: Throwable => () }
+            } catch { case e2: Throwable =>
+              // the key may now be absent from the driver's correctness
+              // artifact entirely — make that diagnosable from the run log
+              System.err.println(
+                s"[verify] $name sentinel write failed: ${e2.getClass.getName}: " +
+                  Option(e2.getMessage).getOrElse(""))
+            }
             Status(ok = false, err = Some(msg))
           }
         // Storage hygiene between queries — see the matching note in Bench.

@@ -137,8 +137,15 @@ private[graft] object DerivedZone {
     * grace window first — the same tolerance pattern the compactor applies
     * to replaced source files (see Compactor purge tolerance). */
   private[ops] def purgeGraceMs(spark: SparkSession): Long =
-    spark.conf.getOption("spark.graft.derived.purgeGraceMs")
-      .map(_.toLong).getOrElse(15L * 60 * 1000)
+    spark.conf.getOption("spark.graft.derived.purgeGraceMs").flatMap { v =>
+      // a malformed tuning value must degrade to the default, not fail the
+      // query from inside get()/publish
+      val parsed = scala.util.Try(v.toLong).toOption
+      if (parsed.isEmpty)
+        System.err.println(
+          s"[graft] ignoring malformed spark.graft.derived.purgeGraceMs='$v'")
+      parsed
+    }.getOrElse(15L * 60 * 1000)
 
   /** Best-effort removal of zones for superseded fingerprints of the same
     * (artifact, dir) — a rewritten dataset's old artifacts are garbage.

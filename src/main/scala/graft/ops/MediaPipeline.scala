@@ -29,8 +29,16 @@ object MediaPipeline {
                            width: Long, height: Long, n_frames: Long,
                            px_sum: Long)
 
+  /** Revision of the decode/geometry logic, folded into the derived-zone
+    * fingerprint: the zone's data fingerprint only sees the INPUT table,
+    * so a change to [[imageSpec]] or [[PpmCodec]] would otherwise serve
+    * stale decoded features from a previously published zone. BUMP THIS
+    * whenever imageSpec's formulas or the codec's output change. */
+  private[graft] val CodecRev = 2
+
   /** Geometry spec for a document's synthesized image — one polyhash of
-    * the text drives everything, mirroring the oracle's SQL derivation. */
+    * the text drives everything, mirroring the oracle's SQL derivation.
+    * Changing these formulas requires a [[CodecRev]] bump. */
   def imageSpec(text: String): (Int, Int, Int, Int) = {
     val h = Portable.polyHashJvm(text)
     val h2 = (h * 31L + 7L) % Portable.P
@@ -92,7 +100,7 @@ object MediaPipeline {
     * zero decode jobs.
     */
   private[graft] val featsMemo =
-    new DerivedZone("media_feats", Seq("documents.parquet"))
+    new DerivedZone("media_feats", Seq("documents.parquet"), rev = CodecRev)
 
   def clearMemo(): Unit = featsMemo.clear()
 

@@ -14,6 +14,25 @@ class DerivedZoneSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("malformed purgeGraceMs degrades to the default instead of failing the build") {
+    val root = SparkTestSession.tempDir("zone-root-badgrace")
+    spark.conf.set("spark.graft.derived.dir", root)
+    spark.conf.set("spark.graft.derived.purgeGraceMs", "15 minutes") // not a long
+    try {
+      val dir = SparkTestSession.tempDir("zone-data-badgrace")
+      Seq((1L, "a")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$dir/t.parquet")
+      val zone = new DerivedZone("badgrace_t", Seq("t.parquet"))
+      // publish runs the prune path, which reads the grace conf — a bad
+      // tuning value must not throw NumberFormatException from get()
+      assert(zone.get(spark, dir)(
+        spark.read.parquet(s"$dir/t.parquet")).count() == 1)
+    } finally {
+      spark.conf.unset("spark.graft.derived.dir")
+      spark.conf.unset("spark.graft.derived.purgeGraceMs")
+    }
+  }
+
   test("build once, memory-hit, fresh-entry disk-hit, rewrite republish + prune") {
     val root = SparkTestSession.tempDir("zone-root")
     spark.conf.set("spark.graft.derived.dir", root)

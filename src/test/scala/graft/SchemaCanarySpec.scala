@@ -64,6 +64,19 @@ class SchemaCanarySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
+  test("loading events does not permanently mutate the session timezone") {
+    // the NTZ branch pins UTC only for the eager analysis of its cast and
+    // must restore the caller's zone — a table load that flips the session
+    // tz would silently change every later tz-dependent expression
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      Tables.events(spark, sf).limit(1).collect()
+      assert(spark.conf.get("spark.sql.session.timeZone") == "Asia/Tokyo",
+        "Tables.events must restore the caller's session timezone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("relational tables keep the column types the operators assume") {
     val li = fields("lineitem")
     assert(li("l_orderkey") == LongType && li("l_partkey") == LongType &&
