@@ -582,18 +582,46 @@ object TextOps {
 
   /** Patterns shared between the Spark query and the DuckDB oracle — both
     * dialects (java.util.regex / RE2) read these identically. */
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhoneRe = "\\+1-555-[0-9]{4}"
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\+1-555-[0-9]{4}"
 
   /** #60 pii_scrub: PII redaction pass — count and replace email addresses
     * and phone numbers before a corpus ships to training. The corpus is
     * the documents table with one deterministic synthetic email + phone
     * appended per doc (the raw synthetic text contains no PII, and the
     * injection makes the scrub verifiable end-to-end: the oracle gates the
-    * match counts AND the md5 of the scrubbed text). Single codegen'd
-    * projection, no shuffle until the final order.
+    * match counts AND the md5 of the scrubbed text).
+    *
+    * Hot path is the fused `graft_scrub` kernel
+    * ([[graft.functions.Sig.scrub]]): both counts and the scrubbed text in
+    * compiled byte-level scans inside one whole-stage-codegen projection —
+    * replacing the four java.util.regex passes (+2 intermediate string
+    * materializations) of the declarative chain, which was the worst
+    * purely-CPU scaler at sf10. [[piiScrubDeclarative]] keeps the regex
+    * form; FunctionsSpec pins kernel ≡ regex on real docs and adversarial
+    * pattern edge cases, and the DuckDB oracle (RE2) gates this query's
+    * full output hash — three independent engines agreeing.
     */
   def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val injected = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), injected.as("text"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.scrub(col("text")).as("s"))
+      .select(col("doc_id"),
+        col("s.n_emails").as("n_emails"),
+        col("s.n_phones").as("n_phones"),
+        md5(col("s.scrubbed")).as("scrub_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** The regex formulation of [[piiScrub]] — the kernel's reference
+    * semantics, kept for the both-ways equivalence spec. */
+  private[graft] def piiScrubDeclarative(spark: SparkSession, dir: String): DataFrame = {
     val injected = concat(col("text"),
       lit(" contact user"), col("doc_id").cast("string"),
       lit("@mail.example.com or +1-555-"),

@@ -175,6 +175,48 @@ class SigExpressionsSpec extends AnyFunSuite {
       assert((a1, a2, a3, a4) == (b1, b2, b3, b4)) }
   }
 
+  test("native scrub equals the four-pass regex chain on the real corpus (both ways)") {
+    GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val kernel = graft.analytics.TextOps.piiScrub(spark, dir).collect().toSeq
+    val regex = graft.analytics.TextOps.piiScrubDeclarative(spark, dir).collect().toSeq
+    assert(kernel.nonEmpty)
+    assert(kernel == regex)
+  }
+
+  test("native scrub reproduces java.util.regex find() on adversarial pattern edges") {
+    GraftFunctions.register(spark)
+    val emailP = java.util.regex.Pattern.compile(graft.analytics.TextOps.EmailRe)
+    val phoneP = java.util.regex.Pattern.compile(graft.analytics.TextOps.PhoneRe)
+    def refCount(p: java.util.regex.Pattern, s: String): Int = {
+      val m = p.matcher(s); var c = 0; while (m.find()) c += 1; c
+    }
+    def ref(s: String): (Int, Int, String) =
+      (refCount(emailP, s), refCount(phoneP, s),
+        phoneP.matcher(emailP.matcher(s).replaceAll("<EMAIL>")).replaceAll("<PHONE>"))
+    val edge = Seq(
+      "", "no pii here", "a@b.cd", "a@b.cd9", "a@b.c", "a@b..cd", "a@b.cd.ef",
+      "x@y@z.de", "@nope.com", "mail@.com", "mail@com.", "a@-.ab", "a@b.cd.9",
+      "a.b+c_d%e@sub.domain-x.org rest", "tight@fit.ab", "ü@x.de", "aü@x.de",
+      "+1-555-123", "+1-555-12345", "pre+1-555-0000post", "+1-555-+1-555-1234",
+      "+1-555-1234@x.com", "a@b.cde+1-555-9999", "two a@b.cd c@d.ef emails",
+      "u5@mail.example.com or +1-555-0005", "@@@", "...@...", "a@b.cd@e.fg")
+    // random strings over a pattern-heavy alphabet: '@', dots, digits,
+    // '+','-','5','1' and letters — dense in near-miss shapes
+    val rand = Gen.listOfN(150, Gen.listOfN(40, Gen.frequency(
+      5 -> Gen.alphaNumChar, 2 -> Gen.const('@'), 2 -> Gen.const('.'),
+      2 -> Gen.oneOf('+', '-'), 2 -> Gen.oneOf('1', '5'),
+      1 -> Gen.const(' '), 1 -> Gen.oneOf('_', '%'))).map(_.mkString)).sample.get
+    val cases = edge ++ rand
+    val got = cases.toDF("text")
+      .select(GraftFunctions.scrub(col("text")).as("s"))
+      .select(col("s.n_emails"), col("s.n_phones"), col("s.scrubbed"))
+      .as[(Int, Int, String)].collect()
+    cases.zip(got).foreach { case (s, g) =>
+      assert(g == ref(s), s"kernel/regex divergence on input <$s>")
+    }
+  }
+
   test("graft_topk equals row_number window top-k including ties") {
     GraftFunctions.register(spark)
     // deliberately include score ties so tie-break-by-id is exercised
