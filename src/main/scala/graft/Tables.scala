@@ -45,6 +45,15 @@ object Tables {
     normalizeEventTs(spark, load(spark, dir, "events"))
   }
 
+  /** [[events]] over an explicit subset of the table's data files — the
+    * append-aware op-log refresh parses ONLY newly landed files
+    * ([[graft.ops.DerivedZone.getAppendAware]]); same `ts` normalization
+    * as the full loader so delta generations are schema-identical. */
+  def eventsFiles(spark: SparkSession, files: Seq[String]): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventTs(spark, spark.read.parquet(files: _*))
+  }
+
   /** Normalize an events frame's `ts` column to epoch-nanos long (see
     * [[events]]). Micros→nanos is `*1000`: exact 64-bit math, no overflow
     * until year 2262.

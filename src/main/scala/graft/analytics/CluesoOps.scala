@@ -46,18 +46,31 @@ object CluesoOps {
   private val opLogZone = new graft.ops.DerivedZone("oplog",
     Seq("events.parquet"), partitionCols = Seq("op_part"))
 
+  /** The op-log projection — record-wise, so it distributes over any file
+    * subset: parsing the full table equals unioning per-file parses,
+    * which is what makes the zone's APPEND-AWARE refresh sound (a newly
+    * landed events file is parsed alone and published as a delta
+    * generation; see [[graft.ops.DerivedZone.getAppendAware]]). */
+  private def parseOpLog(events: DataFrame): DataFrame =
+    events.select(
+      concat(col("user_id").cast("string"), lit(":"),
+        get_json_object(col("props"), "$.k")).as("object_key"),
+      col("event_id"),
+      col("event_type"),
+      cents(col("value")).as("v_c"),
+      expr("ts div 1000000000").as("sec"),
+      expr(s"event_id div $OpPartSpan").as("op_part"))
+      .repartition(col("op_part"))
+
   private def opLog(spark: SparkSession, dir: String): DataFrame =
-    opLogZone.get(spark, dir) {
-      Tables.events(spark, dir).select(
-        concat(col("user_id").cast("string"), lit(":"),
-          get_json_object(col("props"), "$.k")).as("object_key"),
-        col("event_id"),
-        col("event_type"),
-        cents(col("value")).as("v_c"),
-        expr("ts div 1000000000").as("sec"),
-        expr(s"event_id div $OpPartSpan").as("op_part"))
-        .repartition(col("op_part"))
-    }
+    opLogZone.getAppendAware(spark, dir)(
+      parseOpLog(Tables.events(spark, dir)))(
+      files => parseOpLog(Tables.eventsFiles(spark, files)))
+
+  /** (full builds, delta builds) of the op-log zone — spec hook for "an
+    * events append refreshes the zone with jobs ∝ delta". */
+  private[graft] def opLogZoneStats: (Long, Long) =
+    (opLogZone.builds.get, opLogZone.deltaBuilds.get)
 
   /** Driver-side head op index of the zone, memoized per on-disk
     * fingerprint. Two metadata-cheap jobs: the newest op-part (a scan

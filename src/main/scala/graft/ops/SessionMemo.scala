@@ -72,6 +72,15 @@ private[graft] object SessionMemo {
     * must call the owning family's `clearMemos()` after such a rewrite.
     */
   def fingerprint(spark: SparkSession, paths: Seq[String]): String = {
+    val md = MessageDigest.getInstance("MD5")
+    md.update(listEntries(spark, paths).mkString("\n").getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** The sorted per-file identity entries behind [[fingerprint]] —
+    * exposed so [[DerivedZone]]'s append-aware path can compare file SETS
+    * (old ⊂ new ⇒ pure append) rather than only their hash. */
+  def listEntries(spark: SparkSession, paths: Seq[String]): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     paths.foreach { raw =>
       val p = new Path(raw)
@@ -89,8 +98,14 @@ private[graft] object SessionMemo {
         }
       }
     }
-    val md = MessageDigest.getInstance("MD5")
-    md.update(parts.sorted.mkString("\n").getBytes("UTF-8"))
-    md.digest().map("%02x".format(_)).mkString
+    parts.sorted.toSeq
+  }
+
+  /** The file path of a [[listEntries]] entry (strip the trailing
+    * `:len:mtime` fields). */
+  def entryPath(e: String): String = {
+    val i2 = e.lastIndexOf(':')
+    val i1 = e.lastIndexOf(':', i2 - 1)
+    e.substring(0, i1)
   }
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.analytics.Dedup
 import graft.ops.DerivedZone
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The derived-zone contract (the compactor pattern applied to shared
@@ -13,6 +14,117 @@ import org.scalatest.funsuite.AnyFunSuite
 class DerivedZoneSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
+
+  test("append-aware refresh parses ONLY the delta files and serves the generation union") {
+    val root = SparkTestSession.tempDir("zone-root-append")
+    spark.conf.set("spark.graft.derived.dir", root)
+    try {
+      val dir = SparkTestSession.tempDir("zone-data-append")
+      def row(id: Long) = (id, id % 3, s"v$id")
+      (1L to 20L).map(row).toDF("id", "p", "v")
+        .repartition(2).write.mode("overwrite").parquet(s"$dir/t.parquet")
+
+      val zone = new DerivedZone("appendz_t", Seq("t.parquet"),
+        partitionCols = Seq("p"))
+      var deltaPaths: Seq[String] = Nil
+      var deltaScanned: Seq[String] = Nil
+      def fetch(z: DerivedZone) = z.getAppendAware(spark, dir)(
+        spark.read.parquet(s"$dir/t.parquet"))(files => {
+        deltaPaths = files
+        val d = spark.read.parquet(files: _*)
+        deltaScanned = d.inputFiles.toSeq
+        d
+      })
+
+      assert(fetch(zone).count() == 20)
+      assert(zone.builds.get == 1 && zone.deltaBuilds.get == 0)
+
+      // append ONE new data file to the input table
+      (21L to 25L).map(row).toDF("id", "p", "v")
+        .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+
+      val r2 = fetch(zone)
+      assert(zone.builds.get == 1, "append must NOT trigger a full rebuild")
+      assert(zone.deltaBuilds.get == 1)
+      // jobs ∝ delta: the incremental build saw exactly the appended file
+      assert(deltaPaths.size == 1, s"delta files: $deltaPaths")
+      assert(deltaScanned.size == 1, s"delta scan read: $deltaScanned")
+      // the unioned read equals a from-scratch parse of the whole input
+      assert(r2.count() == 25)
+      assert(r2.select("id", "p", "v").as[(Long, Long, String)].collect().sorted.toSeq ==
+        (1L to 25L).map(row).sorted)
+
+      // a FRESH zone instance (new JVM stand-in) serves the chain from
+      // disk with zero build jobs of either kind
+      val zone2 = new DerivedZone("appendz_t", Seq("t.parquet"),
+        partitionCols = Seq("p"))
+      assert(fetch(zone2).count() == 25)
+      assert(zone2.builds.get == 0 && zone2.deltaBuilds.get == 0 &&
+        zone2.diskHits.get == 1)
+
+      // partition pruning survives the union: a p-filter leaves
+      // PartitionFilters on every generation branch and scans fewer files
+      val pruned = fetch(zone2).filter(col("p") === 1L)
+      val scans = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+        "partition filter must push into each generation's scan")
+      assert(pruned.count() == (1L to 25L).count(_ % 3 == 1))
+
+      // an in-place REWRITE is not an append — full rebuild, fresh chain
+      (1L to 7L).map(row).toDF("id", "p", "v")
+        .repartition(2).write.mode("overwrite").parquet(s"$dir/t.parquet")
+      assert(fetch(zone2).count() == 7)
+      assert(zone2.builds.get == 1, "rewrite must fall back to a full rebuild")
+    } finally spark.conf.unset("spark.graft.derived.dir")
+  }
+
+  test("op-log zone refresh after an events append is incremental and stays correct") {
+    val root = SparkTestSession.tempDir("zone-root-oplog")
+    spark.conf.set("spark.graft.derived.dir", root)
+    try {
+      val dir = SparkTestSession.tempDir("zone-data-oplog")
+      def events(ids: Range) = ids.map { i =>
+        (i.toLong, i.toLong % 5, if (i % 7 == 0) "error" else "click",
+          i * 1.25, i * 1000000000L, s"""{"k":"key${i % 11}"}""")
+      }.toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+      events(1 to 400).repartition(2)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+      // independent expected snapshot: window-max formulation over a
+      // direct read (never touches the zone)
+      def expected(): Seq[(String, Long)] = {
+        import org.apache.spark.sql.expressions.Window
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("object_key", concat(col("user_id").cast("string"),
+            lit(":"), get_json_object(col("props"), "$.k")))
+        val w = Window.partitionBy("object_key")
+        ev.withColumn("mx", max("event_id").over(w))
+          .filter(col("event_id") === col("mx") && col("event_type") =!= "error")
+          .select("object_key", "event_id").as[(String, Long)]
+          .collect().sorted.toSeq
+      }
+
+      def got(): Seq[(String, Long)] =
+        graft.analytics.CluesoOps.mvccSnapshot(spark, dir)
+          .select("object_key", "last_event_id").as[(String, Long)]
+          .collect().sorted.toSeq
+
+      assert(got() == expected())
+      val (fullBefore, deltaBefore) = graft.analytics.CluesoOps.opLogZoneStats
+
+      // one more ingested events file lands — refresh must be delta-only
+      events(401 to 450).coalesce(1)
+        .write.mode("append").parquet(s"$dir/events.parquet")
+      assert(got() == expected(), "snapshot after append must stay correct")
+      val (fullAfter, deltaAfter) = graft.analytics.CluesoOps.opLogZoneStats
+      assert(fullAfter == fullBefore,
+        "an events append must not re-parse the whole op-log")
+      assert(deltaAfter == deltaBefore + 1,
+        "an events append must publish exactly one delta generation")
+    } finally spark.conf.unset("spark.graft.derived.dir")
+  }
 
   test("malformed purgeGraceMs degrades to the default instead of failing the build") {
     val root = SparkTestSession.tempDir("zone-root-badgrace")
