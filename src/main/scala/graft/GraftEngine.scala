@@ -59,6 +59,70 @@ class GraftEngine(spark: SparkSession, val config: GraftConfig) {
     * (see [[MetadataSearch.listVersions]]). */
   def listVersions(req: ListRequest): DataFrame = searcher.listVersions(req)
 
+  /** Register the engine's search surface as SQL TABLE functions, so a
+    * session that knows nothing of the Scala API drives the full
+    * listing/search surface from plain SQL (the reference's users speak
+    * SQL through the gateway):
+    *
+    * {{{
+    * SELECT * FROM graft_search('bucket1', "`content-length` > 100", '', 100)
+    * SELECT * FROM graft_list_objects('bucket1', 'photos/', '/', '', 1000)
+    * SELECT * FROM graft_list_versions('bucket1', 'photos/', '', 1000)
+    * }}}
+    *
+    * Same mechanism as the built-in `range()`: a builder in the session's
+    * TableFunctionRegistry turns literal arguments into this engine's
+    * LogicalPlan at analysis time — the SQL form therefore plans
+    * IDENTICALLY to the Scala API (pruned bucket-partition scan, argmax
+    * snapshot merge, TakeOrderedAndProject page), and keyset pagination
+    * works by passing the previous page's last name as the cursor
+    * argument (empty string = first page).
+    */
+  def registerSqlSurface(): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    val reg = spark.sessionState.tableFunctionRegistry
+    def str(e: Expression, fn: String): String = {
+      require(e.foldable, s"$fn: arguments must be literals")
+      Option(e.eval()).map(_.toString).getOrElse("")
+    }
+    def int(e: Expression, fn: String): Int = {
+      require(e.foldable, s"$fn: arguments must be literals")
+      e.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => other.toString.toInt
+      }
+    }
+    def cursor(s: String): Option[String] = if (s.isEmpty) None else Some(s)
+
+    reg.createOrReplaceTempFunction("graft_search", args => {
+      require(args.length == 4,
+        "usage: graft_search(bucket, where_expr, start_key, limit)")
+      search(SearchQuery(str(args(0), "graft_search"), str(args(1), "graft_search"),
+        cursor(str(args(2), "graft_search")), int(args(3), "graft_search")))
+        .queryExecution.logical
+    }, "built-in")
+
+    reg.createOrReplaceTempFunction("graft_list_objects", args => {
+      require(args.length == 5,
+        "usage: graft_list_objects(bucket, prefix, delimiter, start_after, max_keys)")
+      listObjects(ListRequest(str(args(0), "graft_list_objects"),
+        str(args(1), "graft_list_objects"), str(args(2), "graft_list_objects"),
+        cursor(str(args(3), "graft_list_objects")), int(args(4), "graft_list_objects")))
+        .queryExecution.logical
+    }, "built-in")
+
+    reg.createOrReplaceTempFunction("graft_list_versions", args => {
+      require(args.length == 4,
+        "usage: graft_list_versions(bucket, prefix, start_after, max_keys)")
+      listVersions(ListRequest(str(args(0), "graft_list_versions"),
+        str(args(1), "graft_list_versions"),
+        startAfter = cursor(str(args(2), "graft_list_versions")),
+        maxKeys = int(args(3), "graft_list_versions")))
+        .queryExecution.logical
+    }, "built-in")
+  }
+
   /** Invalidate a bucket's cached snapshot (e.g. after compaction). */
   def invalidateCache(bucket: String): Unit = cache.invalidate(bucket)
 

@@ -39,6 +39,53 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(joined.count() == 3)
   }
 
+  test("engine search surface drives from pure SQL: paginated listing round-trip") {
+    import graft.compact.Compactor
+    import graft.tools.Populator
+    val landing = SparkTestSession.tempDir("sqlsurf-landing")
+    val staging = SparkTestSession.tempDir("sqlsurf-staging")
+    Populator.populateLanding(spark, landing, "sb", 25, groupInterval = 10L)
+    new Compactor(spark, landing, staging).compactBucket("sb", 1)
+    val engine = new GraftEngine(spark,
+      GraftConfig(landing, staging, SparkTestSession.tempDir("sqlsurf-ckpt")))
+    engine.registerSqlSurface()
+
+    // page 1 in pure SQL
+    val p1 = spark.sql(
+      "SELECT name FROM graft_list_objects('sb', '', '', '', 10)")
+      .collect().map(_.getString(0)).toSeq
+    assert(p1.size == 10 && p1 == p1.sorted)
+    // keyset round-trip: the cursor is the previous page's last name
+    val p2 = spark.sql(
+      s"SELECT name FROM graft_list_objects('sb', '', '', '${p1.last}', 10)")
+      .collect().map(_.getString(0)).toSeq
+    assert(p2.size == 10 && p2.forall(_ > p1.last))
+    assert((p1.toSet & p2.toSet).isEmpty)
+    // the SQL pages tile the same listing the Scala API returns
+    val api = engine.listObjects(graft.search.ListRequest("sb", maxKeys = 20))
+      .collect().map(_.getString(1)).toSeq
+    assert(p1 ++ p2 == api)
+
+    // delimiter rollup + predicate search + version history, all SQL-only
+    val roll = spark.sql(
+      "SELECT stratum, name, n_keys FROM graft_list_objects('sb', '', '_', '', 10)")
+      .collect()
+    assert(roll.length == 1 && roll.head.getString(0) == "common_prefix" &&
+      roll.head.getLong(2) == 25L)
+    val found = spark.sql(
+      "SELECT key FROM graft_search('sb', '`content-length` >= 0', '', 1000)")
+    assert(found.count() == 25)
+    val vers = spark.sql(
+      "SELECT key, version_id, is_latest FROM graft_list_versions('sb', '', '', 1000)")
+    assert(vers.count() == 25)
+    // a SQL consumer can compose the table function like any relation
+    val joined = spark.sql(
+      """SELECT v.key FROM graft_list_versions('sb', '', '', 1000) v
+        |JOIN graft_list_objects('sb', '', '', '', 1000) o ON v.key = o.name
+        |WHERE v.is_latest = 1 ORDER BY v.key""".stripMargin)
+    assert(joined.count() == 25)
+  }
+
   test("pushdown and pruning survive the view layer") {
     Tables.registerAll(spark, sf)
     val q = spark.sql("SELECT doc_id, lang FROM documents WHERE doc_id < 10")
