@@ -335,7 +335,7 @@ object EventOps {
       .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
         sum(col("c") * col("c")).as("s2"))
     val dev = ev("c") * stats("n") - stats("s1")
-    ev.join(broadcast(stats), ev("user_id") === stats("u"))
+    ev.join(stats, ev("user_id") === stats("u"))
       .filter(stats("n") >= 2 &&
         dev * dev > lit(4L) * (stats("n") * stats("s2") - stats("s1") * stats("s1")))
       .select(col("event_id"), col("user_id"), (col("c") / 100.0).as("value"))

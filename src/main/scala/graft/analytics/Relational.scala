@@ -10,8 +10,14 @@ import org.apache.spark.sql.functions._
   * (SURVEY.md §2.2).
   *
   * Scale notes (100 TB posture):
-  *  - Dim tables (region/nation/customer-filtered) are `broadcast()` so fact
-  *    scans never shuffle for the dim side.
+  *  - Broadcast policy is AQE-FIRST: explicit `broadcast()` hints are
+  *    reserved for relations whose size is INVARIANT in SF — the fixed
+  *    dims (region, nation) and single-row scalar aggregates. Everything
+  *    that grows with the data (customer, supplier, part, filtered fact
+  *    slices, fact-derived key sets) joins hint-free: AQE broadcasts it
+  *    at runtime while it measures small and degrades to a shuffled join
+  *    at 100× — a forced hint on an SF-scaled side is a driver OOM /
+  *    broadcast timeout waiting for scale to arrive.
   *  - Money math is exact integer cents (see [[graft.Tables.cents]]); sums
   *    are map-side partially aggregated longs.
   *  - Top-k uses `orderBy().limit()` which Spark plans as
@@ -68,7 +74,7 @@ object Relational {
     val o = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-01-01"))
     val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-01-01"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0).as("revenue"))
       .select(col("l_orderkey"), col("revenue"), tsStr(col("o_orderdate")).as("orderdate"), col("o_orderpriority"))
@@ -102,7 +108,7 @@ object Relational {
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
       .join(c, o("o_custkey") === c("c_custkey") && c("c_nationkey") === s("s_nationkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
@@ -214,7 +220,7 @@ object Relational {
       (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_c4"))
     val p = Tables.part(spark, dir)
       .select(col("p_partkey"), (col("p_type") === "ECONOMY").as("is_promo"))
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
       .groupBy("month")
       .agg(
         (sum(when(col("is_promo"), col("rev_c4")).otherwise(0L)) / 10000.0).as("promo_rev"),
@@ -274,7 +280,7 @@ object Relational {
     val o = Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderpriority"), cents(col("o_totalprice")).as("price_c"))
     val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .cube(col("c_mktsegment"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
         (sum(col("price_c")) / 100.0).as("sum_price"),
@@ -307,7 +313,7 @@ object Relational {
     val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
     val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderpriority"))
     val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment").as("mktsegment"))
       .pivot("o_orderpriority", prios)
       .count()
@@ -512,7 +518,7 @@ object Relational {
     val p = Tables.part(spark, dir)
       .filter(col("p_brand") === "Brand#23").select("p_partkey")
     val l = Tables.lineitem(spark, dir)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), cents(col("l_quantity")).as("qty_c"),
         cents(col("l_extendedprice")).as("price_c"))
     val perPart = l.groupBy("l_partkey")
@@ -553,7 +559,7 @@ object Relational {
       .filter(col("sum_qty_c") > 300 * 100L)
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
-    o.join(broadcast(big), o("o_orderkey") === big("l_orderkey"))
+    o.join(big, o("o_orderkey") === big("l_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         tsStr(col("o_orderdate")).as("orderdate"),
@@ -599,7 +605,7 @@ object Relational {
         col("qty_c").between(1000L, 2000L)) ||
       (col("p_brand") === "Brand#5" && col("p_size").between(1, 35) &&
         col("qty_c").between(2000L, 3000L))
-    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
       .filter(cond)
       .agg((coalesce(sum(col("rev_c4")), lit(0L)) / 10000.0).as("revenue"),
         count(lit(1)).as("n_items"))
@@ -627,28 +633,41 @@ object Relational {
     * decorrelation pattern as Q2's correlated min(ps_supplycost).
     *
     * Scale shape: unit price is exact (cents·100 / qty_c, both longs →
-    * one double division); the per-part min is a map-side-combined agg
-    * over the filtered slice, joined back as the same argmax LEFT SEMI
-    * pattern as [[graft.ops.LatestState.snapshot]] — the build side is
-    * the slim two-long-column aggregate, keyed on (partkey, unit price).
-    * NO forced broadcasts: part, the min aggregate, and supplier all
-    * scale with SF, so every join is hint-free and AQE broadcasts only
-    * a side that measures small at runtime; at 100× they degrade
-    * gracefully to shuffled hash joins on the same keys instead of
-    * timing out a driver-sized broadcast.
+    * one double division); the argmax follows
+    * [[graft.ops.LatestState.snapshot]], tuned so the whole query costs
+    * ONE fact scan + ONE shuffle at any SF: the explicit hash repartition
+    * on `l_partkey` is the exchange the semi join needs anyway, and
+    * ReuseExchange serves the per-part MIN aggregate's input from the
+    * SAME shuffle files (sf10 final plan previously materialized a
+    * (partkey, unit) shuffle of the full slice that AQE's late broadcast
+    * demotion never consumed, plus a second fact scan for the aggregate —
+    * 25 s → this shape). The semi join keys on the partition key ALONE
+    * with `unit_c <= min` as the residual (equivalent to equality, since
+    * the min is a lower bound), so neither side re-shuffles on a wider
+    * key; supplier joins hint-free (AQE broadcasts it while it fits,
+    * shuffles it at 100×).
     */
   def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
       .filter(col("p_type") === "LARGE").select("p_partkey", "p_name")
-    val l = Tables.lineitem(spark, dir)
+    val lp = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"),
         round(cents(col("l_extendedprice")) * 100 / cents(col("l_quantity")), 0)
           .cast("long").as("unit_c"))
       .join(p, col("l_partkey") === col("p_partkey"))
-    val minUnit = l.groupBy(col("l_partkey").as("mk"))
+      .repartition(col("l_partkey"))
+      // materialize the slim filtered slice ONCE (the importantParts
+      // pattern): without it the optimizer reorders the part join above
+      // the semi, the two consumers' subtrees diverge, ReuseExchange
+      // can't fire, and the plan scans + shuffles the FULL fact twice
+      // (measured at sf10). The checkpoint keeps the l_partkey
+      // partitioning, so both the MIN aggregate and the semi probe read
+      // it with zero further exchanges.
+      .localCheckpoint()
+    val minUnit = lp.groupBy(col("l_partkey").as("mk"))
       .agg(min(col("unit_c")).as("min_unit_c"))
-    l.join(minUnit,
-        col("l_partkey") === col("mk") && col("unit_c") === col("min_unit_c"),
+    lp.join(minUnit,
+        col("l_partkey") === col("mk") && col("unit_c") <= col("min_unit_c"),
         "left_semi")
       .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
@@ -724,7 +743,7 @@ object Relational {
       .agg(sum(col("rev_c4")).as("total_c4"))
     val mx = rev.agg(max(col("total_c4")).as("max_c4"))
     rev.join(broadcast(mx)).filter(col("total_c4") === col("max_c4"))
-      .join(broadcast(Tables.supplier(spark, dir)),
+      .join(Tables.supplier(spark, dir),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         (col("total_c4") / 10000.0).as("total_revenue"))
@@ -776,9 +795,9 @@ object Relational {
       col("l_orderkey"), col("l_suppkey"),
       year(col("l_shipdate")).as("l_year"),
       (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_c4"))
-    l.join(broadcast(supp), l("l_suppkey") === supp("s_suppkey"))
+    l.join(supp, l("l_suppkey") === supp("s_suppkey"))
       .join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(cust), o("o_custkey") === cust("c_custkey"))
+      .join(cust, o("o_custkey") === cust("c_custkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy("supp_nation", "cust_nation", "l_year")
       .agg((sum(col("rev_c4")) / 10000.0).as("revenue"))
@@ -935,7 +954,7 @@ object Relational {
       .select(lit(1L).as("c"), lit(0).as("depth")).localCheckpoint()
     val levels = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
     for (_ <- 1 to 12) {
-      frontier = keys.join(broadcast(frontier),
+      frontier = keys.join(frontier,
           expr("c_custkey div 2") === col("c"))
         .select(col("c_custkey").as("c"), (col("depth") + 1).as("depth"))
         .localCheckpoint()
@@ -1076,4 +1095,248 @@ object Relational {
       |FROM pp
       |WHERE part_val_c4 * 10 > (SELECT sum(part_val_c4)//count(*) FROM pp) * 13
       |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  // ------------------------------- #102 market share (Q8 shape)
+  /** TPC-H Q8 shape: one nation's share of STANDARD-part revenue among
+    * ASIA-region customers, per order year — the "national market share"
+    * query: a 6-relation join resolving BOTH dimension chains (customer →
+    * nation → region for the market filter, supplier → nation for the
+    * share numerator) feeding a conditional-aggregation ratio.
+    *
+    * Scale shape: the two fixed dims (nation, region) broadcast; the
+    * SF-scaled relations (part filter, orders, customer key set, supplier
+    * map) join hint-free so AQE sizes them; the customer restriction is a
+    * LEFT SEMI (a filter, not a widening join); revenue is exact 1e-4
+    * dollar units (cents × integer discount-complement) so the share's
+    * numerator/denominator are bit-exact longs.
+    */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.load(spark, dir, "nation")
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        .as("rev_c4"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD").select("p_partkey")
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+      year(col("o_orderdate")).as("o_year"))
+    val custAsia = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(nat.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(spark, dir, "region")
+          .filter(col("r_name") === "ASIA").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val suppNat = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nat.select(col("n_nationkey").as("sn_key"), col("n_name"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(custAsia, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(sum(col("rev_c4")).as("total_c4"),
+        sum(when(col("supp_nation") === "NATION_2", col("rev_c4")).otherwise(0L))
+          .as("nation_c4"))
+      .select(col("o_year"),
+        (col("total_c4") / 10000.0).as("total_rev"),
+        (col("nation_c4") / 10000.0).as("nation_rev"),
+        round(col("nation_c4") / col("total_c4"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val marketShareSql: String =
+    """WITH l AS (
+      |  SELECT l_orderkey, l_partkey, l_suppkey,
+      |         CAST(round(l_extendedprice*100) AS BIGINT)
+      |           * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_c4
+      |  FROM lineitem),
+      |asia_cust AS (
+      |  SELECT c_custkey FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA'),
+      |sn AS (
+      |  SELECT s_suppkey, n_name AS supp_nation
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+      |SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |       CAST(sum(rev_c4) AS BIGINT)/10000.0 AS total_rev,
+      |       CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev_c4 ELSE 0 END) AS BIGINT)/10000.0 AS nation_rev,
+      |       round(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev_c4 ELSE 0 END) AS BIGINT)
+      |             / CAST(sum(rev_c4) AS BIGINT), 6) AS mkt_share
+      |FROM l
+      |JOIN part   ON l_partkey = p_partkey AND p_type = 'STANDARD'
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN sn     ON l_suppkey = s_suppkey
+      |WHERE o_custkey IN (SELECT c_custkey FROM asia_cust)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------- #103 product profit (Q9 shape)
+  /** TPC-H Q9 shape (adapted: this schema has no `partsupp`, so supply
+    * cost is the part's retail price — same join topology, same exact
+    * arithmetic): profit on 'widget' parts per supplier nation per order
+    * year. Profit per lineitem = revenue − cost in exact 1e-4 dollar
+    * units: cents(extprice)·(100−disc%) − cents(retail)·qty_c, all longs.
+    *
+    * Scale shape: the name-filtered part list and supplier→nation map
+    * join hint-free (AQE broadcasts what fits); nation itself broadcasts;
+    * the order-year join is the only fact-fact shuffle; the final rollup
+    * is a handful of (nation, year) groups, map-side combined.
+    */
+  def profitByNation(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        .as("rev_c4"),
+      cents(col("l_quantity")).as("qty_c"))
+    val p = Tables.part(spark, dir).filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("retail_c"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"),
+      year(col("o_orderdate")).as("o_year"))
+    val sn = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.load(spark, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(sn, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("nation", "o_year")
+      .agg(sum(col("rev_c4") - col("retail_c") * col("qty_c")).as("profit_c4"))
+      .select(col("nation"), col("o_year"), col("profit_c4"),
+        (col("profit_c4") / 10000.0).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val profitByNationSql: String =
+    """WITH l AS (
+      |  SELECT l_orderkey, l_partkey, l_suppkey,
+      |         CAST(round(l_extendedprice*100) AS BIGINT)
+      |           * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_c4,
+      |         CAST(round(l_quantity*100) AS BIGINT) AS qty_c
+      |  FROM lineitem),
+      |p AS (
+      |  SELECT p_partkey, CAST(round(p_retailprice*100) AS BIGINT) AS retail_c
+      |  FROM part WHERE p_name LIKE '%widget%'),
+      |sn AS (
+      |  SELECT s_suppkey, n_name AS nation
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+      |SELECT nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |       CAST(sum(rev_c4 - retail_c * qty_c) AS BIGINT) AS profit_c4,
+      |       CAST(sum(rev_c4 - retail_c * qty_c) AS BIGINT)/10000.0 AS profit
+      |FROM l
+      |JOIN p      ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN sn     ON l_suppkey = s_suppkey
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  // ------------------------------- #104 dominant suppliers (Q20 shape)
+  /** TPC-H Q20 shape (adapted: "excess stock" becomes shipped-share —
+    * no partsupp availqty in this schema): suppliers who shipped MORE
+    * THAN HALF of some 'red' part's total shipped quantity — a nested
+    * aggregation (per-(part,supplier) → per-part) joined back on the
+    * group key, feeding a supplier rollup.
+    *
+    * Scale shape: the part filter is a LEFT SEMI on the fact scan; the
+    * per-part total RE-AGGREGATES the per-pair frame (never a second
+    * fact scan); both aggregates are map-side combined and the
+    * pair⋈total join is co-keyed on l_partkey. Strict integer halves
+    * (qty_c·2 > total_c) — no ratios, no floats.
+    */
+  def dominantSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val lf = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), cents(col("l_quantity")).as("qty_c"))
+      .join(Tables.part(spark, dir).filter(col("p_name").startsWith("red"))
+          .select("p_partkey"),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+    val perPair = lf.groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("qty_c")).as("pair_qty_c"))
+    val perPart = perPair.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("pair_qty_c")).as("part_qty_c"))
+    val dominant = perPair.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("pair_qty_c") * 2L > col("part_qty_c"))
+    Tables.supplier(spark, dir)
+      .join(dominant.groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_parts_dominated")),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_parts_dominated"))
+      .orderBy("s_suppkey")
+  }
+
+  val dominantSuppliersSql: String =
+    """WITH lf AS (
+      |  SELECT l_partkey, l_suppkey, CAST(round(l_quantity*100) AS BIGINT) AS qty_c
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')),
+      |pair AS (
+      |  SELECT l_partkey, l_suppkey, CAST(sum(qty_c) AS BIGINT) AS pair_qty_c
+      |  FROM lf GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT l_partkey AS pk, CAST(sum(pair_qty_c) AS BIGINT) AS part_qty_c
+      |  FROM pair GROUP BY 1)
+      |SELECT s_suppkey, s_name, count(*) AS n_parts_dominated
+      |FROM pair JOIN tot ON l_partkey = pk
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE pair_qty_c * 2 > part_qty_c
+      |GROUP BY 1, 2
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ------------------------------- #105 waiting suppliers (Q21 shape)
+  /** TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    * multi-supplier orders ("late" = shipped >30 days after the order
+    * date, the schema's Q4 convention) — classically written as a
+    * double-correlated EXISTS + NOT EXISTS on the same fact table, and
+    * that is exactly what the ORACLE runs. The engine routes the same
+    * semantics through a per-order aggregation instead: the literal
+    * decorrelated form joins the fact against itself TWICE on
+    * l_orderkey (a semi and an anti, each shuffling full lineitem — at
+    * sf10 that plan measured 50 s), where one aggregation pass already
+    * holds everything the predicate needs. Per (order, supplier):
+    * late-row count; per order: distinct-supplier and late-supplier
+    * counts (a re-aggregation of the first pass, co-keyed — never a
+    * second fact scan). A supplier's qualifying rows are then
+    * `sup_late ∧ n_suppliers ≥ 2 ∧ n_late_suppliers = 1` — the EXISTS
+    * is the ≥2, the NOT EXISTS is the =1.
+    */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val perPair = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+          .cast("int").as("is_late"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("is_late")).as("sup_late"),
+        sum(col("is_late")).cast("long").as("n_late_rows"))
+    val perOrder = perPair.groupBy(col("l_orderkey").as("ok"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("sup_late")).as("n_late_suppliers"))
+    perPair.join(perOrder, col("l_orderkey") === col("ok"))
+      .filter(col("sup_late") === 1 && col("n_suppliers") >= 2 &&
+        col("n_late_suppliers") === 1)
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(sum(col("n_late_rows")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val waitingSuppliersSql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
 }

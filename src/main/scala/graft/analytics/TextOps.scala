@@ -96,13 +96,43 @@ object TextOps {
     "zh" -> Seq("de5", "shi4", "le5", "he2", "zai4"))
 
   def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    // hot path: ONE compiled pass over the text scores all profiles at
+    // once (graft_profile_scores kernel) — the declarative per-profile
+    // `filter(toks, OR-chain)` ran interpreted per token per profile and
+    // was a top-3 CPU scaler at sf10. [[textLangidDeclarative]] keeps the
+    // HOF form; FunctionsSpec pins both-ways equivalence on real docs.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_langid_scores",
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.ProfileScores(args.head, Profiles.map(_._2)),
+      "built-in")
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      call_function("graft_langid_scores", col("text")).as("sc"))
+    val withScores = Profiles.zipWithIndex.foldLeft(scored) {
+      case (df, ((l, _), i)) => df.withColumn(s"s_$l", col("sc").getItem(i))
+    }
+    // argmax with fixed priority: first profile with score == max wins
+    val maxScore = greatest(Profiles.map { case (l, _) => col(s"s_$l") }: _*)
+    val predicted = Profiles.foldRight(lit("und")) { case ((l, _), els) =>
+      when(col(s"s_$l") === maxScore && maxScore > 0, lit(l)).otherwise(els)
+    }
+    withScores.select(
+      col("doc_id"), col("lang"),
+      predicted.as("predicted"),
+      (col("lang") === predicted).cast("int").as("agree"))
+      .orderBy("doc_id")
+  }
+
+  /** The higher-order-function formulation of [[textLangid]] — the
+    * kernel's reference semantics, kept for the both-ways spec. */
+  private[graft] def textLangidDeclarative(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     def score(words: Seq[String]): Column =
       size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
     val withScores = Profiles.foldLeft(Tables.documents(spark, dir)) {
       case (df, (l, words)) => df.withColumn(s"s_$l", score(words))
     }
-    // argmax with fixed priority: first profile with score == max wins
     val maxScore = greatest(Profiles.map { case (l, _) => col(s"s_$l") }: _*)
     val predicted = Profiles.foldRight(lit("und")) { case ((l, _), els) =>
       when(col(s"s_$l") === maxScore && maxScore > 0, lit(l)).otherwise(els)
@@ -531,6 +561,92 @@ object TextOps {
       |       max(rate_ppm) AS rate_ppm
       |FROM d JOIN totals ON lang = l
       |WHERE ($h) % 1000000 < rate_ppm
+      |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ------------------------- #106 temperature-flattened language mixture
+  /** #106 corpus_temperature: temperature sampling across languages — the
+    * multilingual-LM curation step that UP-weights low-resource languages
+    * relative to their raw frequency (the classic p^α flattening with
+    * α = 0.5): per-language sampling weight w_l = ⌊√n_l⌋ (integer sqrt is
+    * bit-exact in both engines, unlike a general pow), a half-corpus
+    * budget split ∝ w_l in pure integer arithmetic, and each language's
+    * quota filled by the documents with the smallest portable hash — a
+    * deterministic, engine-independent sample whose exact membership the
+    * oracle gates via a doc-id checksum.
+    *
+    * Scale shape — exact per-language rank WITHOUT a per-language global
+    * sort (a `row_number() OVER (PARTITION BY lang)` puts a billion rows
+    * in one partition per language at 100 TB): the hash domain is cut
+    * into ~1000 cells, a (lang, cell) histogram (map-side combined, tiny)
+    * yields broadcastable per-cell prefix offsets, and ranking happens
+    * only WITHIN (lang, cell) partitions — global rank = cell offset +
+    * within-cell rank, work per partition bounded by the cell width.
+    * The quota table itself is languages-sized (broadcast by
+    * construction: language count doesn't grow with the corpus).
+    */
+  def corpusTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable
+    import org.apache.spark.sql.expressions.Window
+    val bucket = 1L << 20
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+      Portable.polyHash(concat(lit("t"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("cell", expr(s"h div $bucket"))
+    val stats = docs.groupBy(col("lang").as("l"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", floor(sqrt(col("n_docs"))).cast("long"))
+    val tot = stats.agg(sum(col("weight")).as("w_sum"),
+      sum(col("n_docs")).as("total_docs"))
+    val quotas = stats.join(broadcast(tot))
+      .select(col("l"), col("n_docs"), col("weight"),
+        least(col("n_docs"), expr("total_docs div 2 * weight div w_sum")).as("quota"))
+    val hist = docs.groupBy(col("lang").as("hl"), col("cell").as("hc"))
+      .agg(count(lit(1)).as("n"))
+    // prefix offsets over the HISTOGRAM (languages × ~1000 cells — tiny)
+    val offsets = hist.withColumn("cell_off",
+      coalesce(sum(col("n")).over(Window.partitionBy("hl").orderBy("hc")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("hl"), col("hc"), col("cell_off"))
+    val cellRank = Window.partitionBy("lang", "cell").orderBy(col("h"), col("doc_id"))
+    docs.withColumn("cell_rnk", row_number().over(cellRank))
+      .join(broadcast(offsets),
+        col("lang") === col("hl") && col("cell") === col("hc"))
+      .withColumn("rnk", col("cell_off") + col("cell_rnk"))
+      .join(broadcast(quotas), col("lang") === col("l"))
+      .withColumn("kept", col("rnk") <= col("quota"))
+      .groupBy("lang")
+      .agg(max(col("n_docs")).as("n_docs"), max(col("weight")).as("weight"),
+        max(col("quota")).as("quota"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("doc_id")).otherwise(0L)).as("kept_doc_sum"))
+      .orderBy("lang")
+  }
+
+  val corpusTemperatureSql: String = {
+    import graft.functions.Portable
+    val h = Portable.polyHashSql("'t' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (
+      |  SELECT doc_id, lang, ($h) AS h FROM documents),
+      |stats AS (
+      |  SELECT lang AS l, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(floor(sqrt(count(*))) AS BIGINT) AS weight
+      |  FROM d GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(weight) AS BIGINT) AS w_sum,
+      |         CAST(sum(n_docs) AS BIGINT) AS total_docs FROM stats),
+      |q AS (
+      |  SELECT l, n_docs, weight,
+      |         least(n_docs, total_docs // 2 * weight // w_sum) AS quota
+      |  FROM stats, tot),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rnk
+      |  FROM d)
+      |SELECT lang, max(n_docs) AS n_docs, max(weight) AS weight,
+      |       max(quota) AS quota,
+      |       CAST(sum(CASE WHEN rnk <= quota THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(sum(CASE WHEN rnk <= quota THEN doc_id ELSE 0 END) AS BIGINT) AS kept_doc_sum
+      |FROM r JOIN q ON lang = l
       |GROUP BY lang ORDER BY lang""".stripMargin
   }
 

@@ -412,6 +412,50 @@ object Sig {
         org.apache.spark.unsafe.types.UTF8String.fromBytes(t2)))
   }
 
+  /** Word-set membership index for [[profileScores]]: token → the profile
+    * indexes that contain it (a token can appear in several profiles). */
+  def buildProfileIndex(profiles: Seq[Seq[String]])
+      : java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Int]]()
+    profiles.zipWithIndex.foreach { case (words, li) =>
+      words.foreach { w =>
+        val k = org.apache.spark.unsafe.types.UTF8String.fromString(w)
+        val cur = m.get(k)
+        m.put(k, if (cur == null) Array(li) else cur :+ li)
+      }
+    }
+    m
+  }
+
+  /** One-pass profile scoring, the kernel behind `text_langid`: split the
+    * text on single spaces (empties kept, as `split(text, " ")` does) and
+    * count, per profile, the tokens that are members of that profile's
+    * word set — byte-slice token views, one hash probe per token, no
+    * interpreted higher-order array functions (the declarative
+    * `filter(toks, OR-chain)` per profile evaluated every lambda
+    * per element and was a top-3 CPU scaler at sf10). */
+  def profileScores(s: org.apache.spark.unsafe.types.UTF8String,
+                    idx: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Int]],
+                    n: Int): ArrayData = {
+    val counts = new Array[Int](n)
+    val b = s.getBytes
+    var start = 0
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == ' ') {
+        val langs = idx.get(
+          org.apache.spark.unsafe.types.UTF8String.fromBytes(b, start, i - start))
+        if (langs != null) {
+          var k = 0
+          while (k < langs.length) { counts(langs(k)) += 1; k += 1 }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
   /** Winnowing fingerprint profile: polyhash every gram, slide a window of
     * `w` consecutive hashes keeping each window's minimum, distinct the
     * mins (first-occurrence order). Degenerate cases match the declarative
@@ -562,6 +606,27 @@ case class ScrubPii(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Sig.scrub($c)")
   override protected def withNewChildInternal(c: Expression): ScrubPii = copy(child = c)
+}
+
+/** `graft_profile_scores(string) -> array<int>` (one count per profile) —
+  * see [[Sig.profileScores]]. The profile word sets are fixed at
+  * expression construction (registered per caller, e.g. the language-ID
+  * profiles); the membership index is built once and shipped to
+  * generated code as a reference object. */
+case class ProfileScores(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression {
+  @transient private lazy val index = Sig.buildProfileIndex(profiles)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Sig.profileScores(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      index, profiles.length)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idx = ctx.addReferenceObj("profileIdx", index, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Sig.profileScores($c, $idx, ${profiles.length})")
+  }
+  override protected def withNewChildInternal(c: Expression): ProfileScores = copy(child = c)
 }
 
 /** `graft_winnow(array<string>, w) -> array<long>` — see [[Sig.winnow]]. */

@@ -217,6 +217,14 @@ class SigExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native profile scores (langid) equal the HOF chain on the real corpus (both ways)") {
+    val dir = "/root/testdata/sf0.001"
+    val kernel = graft.analytics.TextOps.textLangid(spark, dir).collect().toSeq
+    val hof = graft.analytics.TextOps.textLangidDeclarative(spark, dir).collect().toSeq
+    assert(kernel.nonEmpty)
+    assert(kernel == hof)
+  }
+
   test("graft_topk equals row_number window top-k including ties") {
     GraftFunctions.register(spark)
     // deliberately include score ties so tie-break-by-id is exercised
