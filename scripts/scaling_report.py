@@ -68,7 +68,14 @@ def main() -> None:
     def fmt_chain(vals, f="{:.1f}"):
         return " → ".join(f.format(v) for v in vals)
 
+    # provenance: every point's stamp + commit, so the numbers are
+    # auditable as freshly re-measured on identifiable code
+    prov = "; ".join(
+        f"{l}: {p.get('generated_at', '?')[:19]}Z @ {p.get('commit') or '?'}"
+        for l, p in zip(labels, pts))
     hdr = f"""# BENCH_SCALING — measured {' → '.join(labels)} (~10× data per step)
+
+Generated: {prov}.
 
 One full `graft.Bench` run per scale point on identical code, same
 machine, `local[32]`, back-to-back. Per-query timing is

@@ -26,7 +26,8 @@ object Bench {
     val json = run(spark,
       sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
       only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet),
-      reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1))
+      reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1),
+      commit = gitCommit())
     // stdout for the driver AND a file artifact: the one-line JSON exceeds
     // typical capture windows (BENCH_r03 lost 34 of 99 timings + the total
     // to stdout truncation), so the file is the authoritative record.
@@ -36,10 +37,20 @@ object Bench {
     spark.stop()
   }
 
+  /** The repo's current short commit hash, for artifact provenance —
+    * a benchmark number whose producing code can't be identified can't
+    * be audited. Empty when not run from a git checkout. */
+  def gitCommit(): String =
+    try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD").start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      if (p.waitFor() == 0) out else ""
+    } catch { case _: Throwable => "" }
+
   /** The bench body, session-in/JSON-out (testable: no env reads, no
     * session lifecycle, no process output). */
   def run(spark: SparkSession, sfDir: String,
-          only: Option[Set[String]], reps: Int): String = {
+          only: Option[Set[String]], reps: Int, commit: String = ""): String = {
     def consume(df: org.apache.spark.sql.DataFrame): Unit = {
       df.agg(org.apache.spark.sql.functions.bit_xor(
         org.apache.spark.sql.functions.xxhash64(
@@ -168,6 +179,6 @@ object Bench {
     // provenance: wall-clock stamp makes every artifact auditable as
     // actually re-measured (vs a counter bump on stale numbers)
     val stamp = java.time.Instant.now().toString
-    s"""{"metric":"total","value":$total,"first_value":$firstTotal,"unit":"sec","reps":$reps,"agg":"min","errors":$nErr,"queries":$qs,"runs":$runsJ,"gc_sec":$gcs,"status":$status,"sf":"$sfDir","generated_at":"$stamp"}"""
+    s"""{"metric":"total","value":$total,"first_value":$firstTotal,"unit":"sec","reps":$reps,"agg":"min","errors":$nErr,"queries":$qs,"runs":$runsJ,"gc_sec":$gcs,"status":$status,"sf":"$sfDir","generated_at":"$stamp","commit":"$commit"}"""
   }
 }
