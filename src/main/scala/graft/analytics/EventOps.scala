@@ -586,4 +586,47 @@ object EventOps {
       |FROM e
       |WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
       |ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------- #109 top event paths
+  /** Sequence-pattern mining: the 20 most common 3-step event-type paths
+    * across every user's time-ordered stream, with how many distinct
+    * users walked each. The classic clickstream path-analysis shape. Two
+    * `lead()`s over the per-user ordering turn each event into the
+    * trigram it starts — one shuffle on `user_id` + a per-user sort, no
+    * self-joins (the naive form joins events to itself twice on
+    * adjacency). Path counts then partial-aggregate map-side on the path
+    * string, the distinct-user count runs as the two-phase distinct
+    * aggregate, and the top-20 is TakeOrderedAndProject — per-partition
+    * heaps, no global sort. Ordering is (sec, event_id): the unique id
+    * breaks same-second ties identically in both engines.
+    */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    withSec(Tables.events(spark, dir))
+      .select(col("user_id"), col("event_id"), col("sec"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"),
+        col("user_id"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  val topPathsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000000 AS sec
+      |  FROM events),
+      |seq AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type, 1) OVER w AS e2,
+      |         lead(event_type, 2) OVER w AS e3
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id))
+      |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+      |       count(*) AS n, count(DISTINCT user_id) AS n_users
+      |FROM seq WHERE e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
 }

