@@ -100,18 +100,43 @@ object Relational {
     * dims; revenue by nation.
     */
   def q5Join(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir)
+    // The region filter is the query's only selective dimension predicate
+    // (ASIA = 5 of 25 nations), but it sits two dimension hops away from
+    // both fact tables, and Catalyst cannot infer `s_nationkey ∈ ASIA` /
+    // `c_nationkey ∈ ASIA` transitively — written naively, the plan
+    // shuffles the ENTIRE lineitem table for the l⋈o join and only then
+    // discards 80% of it (measured at sf30: the date-filtered orders side
+    // outgrows the broadcast threshold, AQE falls back to a sort-merge
+    // join fed by an 18M-row lineitem shuffle, 10× the sf10 wall for 3×
+    // data). So resolve region→nation ONCE (5 rows) and fold it into both
+    // SF-fixed-but-growing dims BEFORE the facts move: lineitem joins the
+    // ASIA-only supplier slice and orders joins the ASIA-only customer
+    // slice map-side (AQE broadcasts while they fit, shuffles on their
+    // own keys at 1000×), so the orderkey shuffle carries only the ~20%
+    // of each fact stream that can still contribute. The shared-nation
+    // equality (c_nationkey = s_nationkey) rides the orderkey join as a
+    // residual predicate — no wider key, no extra exchange.
+    val asia = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sAsia = Tables.supplier(spark, dir)
+      .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val cAsia = Tables.customer(spark, dir)
+      .join(broadcast(asia.select(col("n_nationkey").as("cn_key"))),
+        col("c_nationkey") === col("cn_key"), "left_semi")
+      .select(col("c_custkey"), col("c_nationkey"))
     val o = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      .join(cAsia, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
     val l = Tables.lineitem(spark, dir)
-    val s = Tables.supplier(spark, dir)
-    val n = Tables.nation(spark, dir)
-    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(s, l("l_suppkey") === s("s_suppkey"))
-      .join(c, o("o_custkey") === c("c_custkey") && c("c_nationkey") === s("s_nationkey"))
-      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .join(sAsia, col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        col("s_nationkey"), col("n_name"))
+    l.join(o, l("l_orderkey") === o("o_orderkey") &&
+        col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))

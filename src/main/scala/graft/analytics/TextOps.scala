@@ -900,4 +900,104 @@ object TextOps {
       |GROUP BY t.term, t.exact_cnt
       |ORDER BY exact_cnt DESC, term""".stripMargin
   }
+
+  // ----------------------------- #110 DSIR-style importance weighting
+  /** The "target domain" whose unigram distribution raw docs are scored
+    * against — one synthetic source stands in for the usual curated slice
+    * (Wikipedia/books vs CommonCrawl). */
+  private val DsirTargetSource = "src0"
+  /** Feature space: the corpus's top-V unigrams by total count. Bounded,
+    * so the weight table always broadcasts regardless of corpus size. */
+  private val DsirVocabSize = 2000
+  private val DsirPpm = 1000000L
+  private val DsirKappaScale = 10000L
+
+  /** #110 corpus_dsir: data selection via importance weighting (the DSIR
+    * shape: score raw-corpus docs by how target-like their hashed n-gram
+    * features are, keep the most target-like slice) — in exact integer
+    * math instead of float log-likelihood sums, so the score itself is
+    * hash-gated across engines.
+    *
+    * Per vocab term, add-one-smoothed rates in ppm over the bounded
+    * feature space: `t_ppm = (t_cnt+1)·1e6 div (t_tot+V)` (same for the
+    * raw side), then the importance weight `κ = t_ppm·1e4 div max(r_ppm,
+    * 1)` — the integer analogue of `p_target/p_raw`. A doc's score is
+    * `Σ c_w·κ_w` over its in-vocab occurrences, and the kept flag is an
+    * above-mean threshold (mean = one scalar aggregate), the
+    * deterministic stand-in for DSIR's weight-proportional sampling.
+    *
+    * Scale shape: ONE explode over the corpus feeds (a) the term
+    * histogram (map-side combined; the top-V cut is a bounded sort) and
+    * (b) the scoring pass, where the ≤V-row κ table BROADCASTS into the
+    * occurrence stream — the corpus never shuffles except the per-doc
+    * score aggregation on `doc_id`. The mean threshold is a 1-row
+    * aggregate broadcast back; no global sort, no quantile job. At true
+    * 100 TB the long products here move to decimal(38,0) — at any SF the
+    * bench reaches, (t_cnt+1)·1e6 ≤ ~1e14 stays well inside int64.
+    */
+  def corpusDsir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("term"))
+    val isTarget = col("source") === DsirTargetSource
+    val termStats = toks.groupBy("term").agg(
+      sum(when(isTarget, 1L).otherwise(0L)).as("t_cnt"),
+      sum(when(isTarget, 0L).otherwise(1L)).as("r_cnt"))
+    val vocab = termStats
+      .orderBy((col("t_cnt") + col("r_cnt")).desc, col("term"))
+      .limit(DsirVocabSize)
+    val tot = vocab.agg(sum(col("t_cnt")).as("t_tot"), sum(col("r_cnt")).as("r_tot"))
+    val weights = vocab.join(broadcast(tot))
+      .select(col("term"),
+        expr(s"(t_cnt + 1) * $DsirPpm div (t_tot + $DsirVocabSize)").as("t_ppm"),
+        expr(s"(r_cnt + 1) * $DsirPpm div (r_tot + $DsirVocabSize)").as("r_ppm"))
+      .select(col("term"),
+        expr(s"t_ppm * $DsirKappaScale div greatest(r_ppm, 1L)").as("kappa"))
+    val scored = toks.filter(!isTarget)
+      .join(broadcast(weights), Seq("term"))
+      .groupBy("doc_id").agg(sum(col("kappa")).as("score"))
+    val raw = docs.filter(!isTarget).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("score"), lit(0L)).as("score"))
+    val mean = raw.agg(expr("sum(score) div count(1)").as("mean_score"))
+    raw.join(broadcast(mean))
+      .select(col("doc_id"), col("score"),
+        when(col("score") > col("mean_score"), 1).otherwise(0).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val corpusDsirSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |stats AS (
+      |  SELECT term,
+      |         CAST(sum(CASE WHEN source = '$DsirTargetSource' THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+      |         CAST(sum(CASE WHEN source = '$DsirTargetSource' THEN 0 ELSE 1 END) AS BIGINT) AS r_cnt
+      |  FROM toks GROUP BY term),
+      |vocab AS (
+      |  SELECT term, t_cnt, r_cnt FROM stats
+      |  ORDER BY t_cnt + r_cnt DESC, term LIMIT $DsirVocabSize),
+      |tot AS (
+      |  SELECT CAST(sum(t_cnt) AS BIGINT) AS t_tot,
+      |         CAST(sum(r_cnt) AS BIGINT) AS r_tot FROM vocab),
+      |w AS (
+      |  SELECT term,
+      |         (t_cnt + 1) * $DsirPpm // (t_tot + $DsirVocabSize) AS t_ppm,
+      |         (r_cnt + 1) * $DsirPpm // (r_tot + $DsirVocabSize) AS r_ppm
+      |  FROM vocab, tot),
+      |kap AS (SELECT term, t_ppm * $DsirKappaScale // greatest(r_ppm, 1) AS kappa FROM w),
+      |scored AS (
+      |  SELECT t.doc_id, CAST(sum(kappa) AS BIGINT) AS score
+      |  FROM toks t JOIN kap USING (term)
+      |  WHERE t.source <> '$DsirTargetSource'
+      |  GROUP BY t.doc_id),
+      |s AS (
+      |  SELECT d.doc_id, coalesce(score, 0) AS score
+      |  FROM (SELECT doc_id FROM documents WHERE source <> '$DsirTargetSource') d
+      |  LEFT JOIN scored ON d.doc_id = scored.doc_id),
+      |m AS (SELECT CAST(sum(score) AS BIGINT) // count(*) AS mean_score FROM s)
+      |SELECT doc_id, score,
+      |       CAST(CASE WHEN score > mean_score THEN 1 ELSE 0 END AS INTEGER) AS kept
+      |FROM s, m ORDER BY doc_id""".stripMargin
 }

@@ -68,4 +68,30 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
       s"path mining must not plan adjacency self-joins:\n$plan")
   }
+
+  test("corpus_dsir covers every raw doc, excludes the target, splits on the mean") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.analytics.TextOps.corpusDsir(spark, sf)
+    val rows = out.collect()
+    val rawIds = Tables.documents(spark, sf)
+      .filter(col("source") =!= "src0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == rawIds,
+      "output must be exactly the raw (non-target) docs")
+    assert(rows.forall(_.getLong(1) >= 0L), "integer scores are non-negative")
+    val kept = rows.count(_.getInt(2) == 1)
+    assert(kept > 0 && kept < rows.length,
+      s"above-mean keep must split the corpus ($kept of ${rows.length})")
+    // above-mean rule, re-derived independently
+    val mean = rows.map(_.getLong(1)).sum / rows.length
+    rows.foreach(r => assert((r.getInt(2) == 1) == (r.getLong(1) > mean)))
+  }
+
+  test("corpus_dsir broadcasts the weight table; corpus shuffles only the doc agg") {
+    val plan = graft.analytics.TextOps.corpusDsir(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the bounded kappa table must broadcast into the occurrence stream:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
 }
