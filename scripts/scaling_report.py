@@ -87,8 +87,10 @@ copies so near-dup pair counts scale linearly; sign-flipped embedding
 copies preserving within-copy geometry exactly; events keep their time
 range = N× event rate). Raw artifacts committed beside this file
 (`bench_scaling_*.json`); regenerate with `runMain graft.tools.ScaleData
-/root/testdata/sf0.1 .bench/sfN N`, one Bench run per point, then
-`scripts/scaling_report.py`.
+/root/testdata/sf0.1 .bench/sf1 10` / `... .bench/sf10 100` — dir names
+are TPC-H-equivalent SF, so the ScaleData FACTOR is 10× the name's
+number (a round-8 mislabel traced to this line saying `.bench/sfN N`) —
+one Bench run per point, then `scripts/scaling_report.py`.
 
 ## Headline
 
