@@ -69,6 +69,22 @@ class Round8OpsSpec extends AnyFunSuite {
       s"path mining must not plan adjacency self-joins:\n$plan")
   }
 
+  test("events_funnel scans the event log once and shuffles it once") {
+    // regression pin for the round-8 rewrite: the old stage-chain form
+    // planned a cascade that re-scanned and re-shuffled events per stage
+    // (10 stage evaluations for 4 stages). The recurrence form must keep
+    // ONE scan of the events source and ONE user-keyed hash exchange
+    // (plus the final presentation range exchange for orderBy).
+    val plan = EventOps.funnel(spark, sf).queryExecution.executedPlan.toString
+    val eventScans = "(?i)filescan parquet [^\\n]*events".r.findAllIn(plan).size
+    assert(eventScans == 1, s"expected ONE events scan, got $eventScans:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected ONE user-keyed hash exchange, got $hashExchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"funnel must not plan stage joins at all:\n$plan")
+  }
+
   test("corpus_dsir covers every raw doc, excludes the target, splits on the mean") {
     import org.apache.spark.sql.functions.col
     val out = graft.analytics.TextOps.corpusDsir(spark, sf)
