@@ -102,9 +102,18 @@ object EventOps {
     * the filtered array is empty and `array_min` yields null — exactly
     * the join chain's (and the SQL oracle's) absent-stage semantics.
     * Per-user arrays are bounded by a user's own event count (the same
-    * rows the join chain shuffled per stage, now moved once); a
-    * pathological single-user hot key would salt the same way the skew
-    * join does.
+    * rows the join chain shuffled per stage, now moved once). That buffer
+    * is UNBOUNDED for a pathological single-user hot key — an accepted
+    * trade here: the funnel recurrence has no bounded mergeable state
+    * (stage k's min depends on stage k-1's result, so the exact
+    * sufficient statistic per partition is the full sorted per-type
+    * list), which also rules out salting the aggregate the way
+    * [[graft.ops.Skew]] salts an equi-join. If a real deployment hits a
+    * multi-million-event user, the escape hatch is the classic
+    * repartition-by-user + sortWithinPartitions(user, sec) +
+    * constant-state per-user scan — O(1) memory, one extra sort — not a
+    * per-type cap (a cap is unsound: a qualifying stage-k event can sit
+    * after arbitrarily many non-qualifying earlier ones).
     */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     val e = withSec(Tables.events(spark, dir))

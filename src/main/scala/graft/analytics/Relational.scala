@@ -114,8 +114,11 @@ object Relational {
     // slice map-side (AQE broadcasts while they fit, shuffles on their
     // own keys at 1000×), so the orderkey shuffle carries only the ~20%
     // of each fact stream that can still contribute. The shared-nation
-    // equality (c_nationkey = s_nationkey) rides the orderkey join as a
-    // residual predicate — no wider key, no extra exchange.
+    // equality (c_nationkey = s_nationkey) is pulled into the equi-join
+    // keys by ExtractEquiJoinKeys, so the final exchange hashes on
+    // (orderkey, nationkey) rather than orderkey alone — a wider key but
+    // still exactly one exchange per side, and orderkey's cardinality
+    // dominates the distribution, so co-partitioning quality is the same.
     val asia = Tables.nation(spark, dir)
       .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))

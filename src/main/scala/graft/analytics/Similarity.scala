@@ -214,6 +214,147 @@ object Similarity {
       |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ----------------------------------------- #111 knn graph recall eval
+  /** Candidate-cap settings [[knnGraphRecall]] measures: the production
+    * default ([[GraphCell]] = 64) bracketed by a 4× tighter and a 4×
+    * looser budget, plus an effectively-UNCAPPED setting (2^20: no bucket
+    * ever splits, s=1 everywhere) that is the pure-LSH recall ceiling —
+    * so the cap's own recall cost reads directly as
+    * `recall(2^20) - recall(64)`, separated from the recall the 8-plane
+    * bucketing itself trades away (which [[knnRecall]] measures for the
+    * query-set path). A measured curve, not a guess. */
+  val GraphRecallCaps: Seq[Int] = Seq(16, 64, 256, 1 << 20)
+  /** Fixed query-sample size — recall is evaluated on a bounded node
+    * sample (`vec_id < 30`) so the exact ground-truth scan stays one
+    * broadcast-sample pass over the corpus at ANY data scale (a
+    * proportional sample would make ground truth quadratic). */
+  val GraphRecallNQ = 30
+
+  /** #111 knn_graph_recall: recall@k of the cell-capped kNN graph
+    * ([[knnGraph]]) against exact brute-force neighbor lists, per cap
+    * setting — the quality gate for the one approximation [[knnGraph]]
+    * makes (the `GraphCell` candidate budget that keeps graph
+    * construction linear in N). Same evaluation shape as [[knnRecall]] /
+    * [[knnPqRecall]]: ground truth from the exact scan, production
+    * candidate rule replayed verbatim, hits counted by one (query,
+    * neighbor) equi-join.
+    *
+    * Scale shape: ground truth is ONE broadcast join of the 30-node
+    * sample against the corpus (map-side dot products, bounded-heap
+    * top-k); each cap's graph side re-derives the per-bucket cell split
+    * from the SAME bucketed scan (a 256-row broadcast agg per cap) and
+    * probes it with the broadcast sample — per cap, one corpus pass, no
+    * wide shuffle. Candidate semantics (bucket+cell equality, self
+    * exclusion, 6-dp rounding, vec_id tiebreak) match [[knnGraph]]
+    * line-for-line so the measured recall is the production graph's.
+    */
+  def knnGraphRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (bv, sample) = graphRecallFrames(spark, dir)
+    val exactScored = normed(spark, dir).as("c")
+      .join(broadcast(sample.select(col("vec_id").as("q_id"), col("ed"),
+        col("nrm")).as("q")), col("q.q_id") =!= col("c.vec_id"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
+        round(cosAB, 6).as("cosine"))
+    val exact = topK(exactScored, K).select(col("q_id"), col("n_id"))
+    val nExact = exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+    val perCap = GraphRecallCaps.map { cap =>
+      val approx = graphSampleEdges(bv, sample, cap)
+      val hits = exact.join(approx, Seq("q_id", "n_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      nExact.join(hits, Seq("q_id"), "left")
+        .select(lit(cap).as("cap"), col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) / col("n_exact"), 6).as("recall"))
+    }
+    perCap.reduce(_ unionAll _).orderBy("cap", "q_id")
+  }
+
+  /** The production [[knnGraph]] candidate rule replayed for a bounded
+    * node sample under an explicit cap: per-bucket cell split from the
+    * FULL bucketed corpus `bv`, broadcast-probed by `sample`, bounded-heap
+    * top-k → `(q_id, n_id)` edges. `Round9OpsSpec` pins that at
+    * cap=[[GraphCell]] these edges equal [[knnGraph]]'s own edges for the
+    * same nodes — so [[knnGraphRecall]] measures the graph that ships,
+    * not a reimplementation that could drift. */
+  private[graft] def graphSampleEdges(bv: DataFrame, sample: DataFrame,
+                                      cap: Int): DataFrame = {
+    val cells = bv.groupBy("bucket")
+      .agg(((count(lit(1)) + cap - 1) / cap).cast("long").as("s"))
+    val q = sample.join(broadcast(cells), "bucket")
+      .select(col("vec_id").as("q_id"), col("ed"), col("nrm"),
+        col("bucket"), (col("vec_id") % col("s")).as("cell"))
+    val scored = bv.join(broadcast(cells), "bucket")
+      .withColumn("cell", col("vec_id") % col("s")).as("c")
+      .join(broadcast(q.as("q")),
+        col("q.bucket") === col("c.bucket") && col("q.cell") === col("c.cell") &&
+          col("q.q_id") =!= col("c.vec_id"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
+        round(cosAB, 6).as("cosine"))
+    topK(scored, K).select(col("q_id"), col("n_id"))
+  }
+
+  /** Bucketed corpus + bounded node sample for [[knnGraphRecall]] — the
+    * same `(vec_id, ed, nrm, bucket)` frame [[knnGraphFrame]] builds. */
+  private[graft] def graphRecallFrames(spark: SparkSession,
+                                       dir: String): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(spark)
+    val bv = normed(spark, dir).withColumn("bucket",
+      graft.functions.GraftFunctions.hyperplaneBucket8(col("ed")))
+    (bv, bv.filter(col("vec_id") < GraphRecallNQ))
+  }
+
+  val knnGraphRecallSql: String = {
+    def projSql(p: Int): String =
+      seqSumSql(s"list_transform(range(64), i -> " +
+        s"CAST(emb[i+1] AS DOUBLE) * ${planeSignSql(p, "i")})")
+    val bucket = (0 until 8).foldLeft("CAST(0 AS BIGINT)") { (acc, p) =>
+      s"($acc * 2 + (CASE WHEN ${projSql(p)} > 0 THEN 1 ELSE 0 END))"
+    }
+    val capCtes = GraphRecallCaps.map { cap =>
+      s"""cells$cap AS (SELECT bucket, (count(*) + ${cap - 1}) // $cap AS s
+        |              FROM bv GROUP BY bucket),
+        |g$cap AS (
+        |  SELECT q.q_id, c.n_id, round($cosABSql, 6) AS cosine
+        |  FROM (SELECT s.vec_id AS q_id, s.emb, s.nrm, s.bucket,
+        |               s.vec_id % cs.s AS cell
+        |        FROM sample s JOIN cells$cap cs ON s.bucket = cs.bucket) q
+        |  JOIN (SELECT bv.vec_id AS n_id, bv.emb, bv.nrm, bv.bucket,
+        |               bv.vec_id % cs.s AS cell
+        |        FROM bv JOIN cells$cap cs ON bv.bucket = cs.bucket) c
+        |    ON q.bucket = c.bucket AND q.cell = c.cell AND c.n_id <> q.q_id),
+        |gt$cap AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS r
+        |    FROM g$cap) t WHERE r <= $K),
+        |h$cap AS (
+        |  SELECT e.q_id, count(*) AS n_hits
+        |  FROM etop e JOIN gt$cap g ON e.q_id = g.q_id AND e.n_id = g.n_id
+        |  GROUP BY 1),
+        |r$cap AS (
+        |  SELECT $cap AS cap, n.q_id, COALESCE(h.n_hits, 0) AS n_hits,
+        |         round(COALESCE(h.n_hits, 0) / n.n_exact, 6) AS recall
+        |  FROM nexact n LEFT JOIN h$cap h ON n.q_id = h.q_id)""".stripMargin
+    }.mkString(",\n")
+    val unioned = GraphRecallCaps.map(cap => s"SELECT * FROM r$cap")
+      .mkString("\nUNION ALL ")
+    s"""WITH $normedSql,
+      |bv AS (SELECT *, $bucket AS bucket FROM normed),
+      |sample AS (SELECT * FROM bv WHERE vec_id < $GraphRecallNQ),
+      |escored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, round($cosABSql, 6) AS cosine
+      |  FROM sample q JOIN normed c ON c.vec_id <> q.vec_id),
+      |etop AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q_id, n_id,
+      |           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS r
+      |    FROM escored) t WHERE r <= $K),
+      |nexact AS (SELECT q_id, count(*) AS n_exact FROM etop GROUP BY 1),
+      |$capCtes
+      |$unioned
+      |ORDER BY cap, q_id""".stripMargin
+  }
+
   // ------------------------------------------------- #37 filtered search
   /** Pre-filtered vector search: a metadata predicate (documents in
     * English with enough tokens) narrows the candidate set BEFORE the

@@ -926,12 +926,18 @@ object TextOps {
     * above-mean threshold (mean = one scalar aggregate), the
     * deterministic stand-in for DSIR's weight-proportional sampling.
     *
-    * Scale shape: ONE explode over the corpus feeds (a) the term
-    * histogram (map-side combined; the top-V cut is a bounded sort) and
-    * (b) the scoring pass, where the ≤V-row κ table BROADCASTS into the
-    * occurrence stream — the corpus never shuffles except the per-doc
-    * score aggregation on `doc_id`. The mean threshold is a 1-row
-    * aggregate broadcast back; no global sort, no quantile job. At true
+    * Scale shape: the corpus is scanned (and re-tokenized) once per
+    * pass — once for the term histogram (map-side combined; the top-V
+    * cut is a bounded sort), once for the scoring pass, and once more
+    * for the slim raw `doc_id` spine — with each explode shuffle-free
+    * inside its own pass; the ≤V-row κ table BROADCASTS into the
+    * occurrence stream, so the corpus never shuffles except the per-doc
+    * score aggregation on `doc_id`. Collapsing to a literal single scan
+    * would require caching/checkpointing the exploded tokens, which at
+    * 100 TB costs more than the extra columnar scans it saves (the
+    * token stream is ~the corpus itself; the scans prune to 2-3
+    * columns). The mean threshold is a 1-row aggregate broadcast back;
+    * no global sort, no quantile job. At true
     * 100 TB the long products here move to decimal(38,0) — at any SF the
     * bench reaches, (t_cnt+1)·1e6 ≤ ~1e14 stays well inside int64.
     */
@@ -959,7 +965,10 @@ object TextOps {
     val raw = docs.filter(!isTarget).select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("score"), lit(0L)).as("score"))
-    val mean = raw.agg(expr("sum(score) div count(1)").as("mean_score"))
+    // greatest(count,1): with zero raw docs Spark's non-ANSI `div 0`
+    // yields NULL (kept=0 everywhere) while DuckDB's `// 0` raises — the
+    // guard pins both engines to the same (vacuous) empty-corpus answer.
+    val mean = raw.agg(expr("sum(score) div greatest(count(1), 1L)").as("mean_score"))
     raw.join(broadcast(mean))
       .select(col("doc_id"), col("score"),
         when(col("score") > col("mean_score"), 1).otherwise(0).as("kept"))
@@ -996,7 +1005,7 @@ object TextOps {
       |  SELECT d.doc_id, coalesce(score, 0) AS score
       |  FROM (SELECT doc_id FROM documents WHERE source <> '$DsirTargetSource') d
       |  LEFT JOIN scored ON d.doc_id = scored.doc_id),
-      |m AS (SELECT CAST(sum(score) AS BIGINT) // count(*) AS mean_score FROM s)
+      |m AS (SELECT CAST(sum(score) AS BIGINT) // greatest(count(*), 1) AS mean_score FROM s)
       |SELECT doc_id, score,
       |       CAST(CASE WHEN score > mean_score THEN 1 ELSE 0 END AS INTEGER) AS kept
       |FROM s, m ORDER BY doc_id""".stripMargin
