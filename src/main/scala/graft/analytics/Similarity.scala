@@ -144,39 +144,104 @@ object Similarity {
     * no edges (the LSH recall trade, mirrored exactly by the oracle).
     */
   /** Candidate budget per node in [[knnGraph]]: a bucket larger than this
-    * splits into `ceil(size / GraphCell)` deterministic cells
-    * (`vec_id % s`) and neighbors are drawn within the cell. This is what
-    * keeps the graph LINEAR in corpus size — with a fixed plane count,
-    * bucket population grows ∝ N and the raw bucket self-join is
+    * splits into cells and neighbors are drawn within the cell. This is
+    * what keeps the graph LINEAR in corpus size — with a fixed plane
+    * count, bucket population grows ∝ N and the raw bucket self-join is
     * Σ bucket² = O(N²/256); the cell split caps per-node candidates at
     * ~GraphCell regardless of N (the candidate-sampling trade every
-    * production kNN-graph builder makes; recall is tuned by the budget,
-    * and the split is portable integer math the oracle mirrors exactly).
+    * production kNN-graph builder makes; recall is tuned by the budget).
     * Measured: without the cap the 10× scale point costs 113 s (and
     * 100× would be a cluster-day); with it, candidates stay bounded.
+    *
+    * The split is SIMILARITY-AWARE: an oversized bucket subdivides along
+    * ADDITIONAL hyperplane bits of the same LSH code (a bucket wanting
+    * `s = ceil(size/cap)` cells uses `d = ceil(log2(s))` extra bits, so
+    * `cell` = the code's top `8+d` bits), not by row id. The first cut
+    * of this operator split by `vec_id % s` — portable, but similarity-
+    * BLIND: [[knnGraphRecall]] measured it collapsing to ~0% recall at
+    * the ×100 scale point (a true neighbor's chance of sharing a random
+    * cell is cap/bucket → 0 as N grows), where the prefix split degrades
+    * gracefully (each extra bit costs one more plane-agreement factor,
+    * the same ~0.9/bit the 8-bit bucketing itself pays — recall falls
+    * polynomially in log N, not linearly in N). Same join shape, same
+    * linear work bound; only the cell id derivation changed.
     */
   val GraphCell = 64
+
+  /** Hyperplane code width for the graph build: 8 bucket bits + up to
+    * [[GraphSplitBits]] split bits. 2^16 cells per bucket bounds the
+    * split at ~2^24 total cells — at cap 64 that is headroom for a
+    * trillion-vector corpus before the divisor chain saturates. */
+  private[graft] val GraphPlanes = 24
+  private[graft] val GraphSplitBits: Int = GraphPlanes - 8
+
+  /** Divisor `2^(GraphSplitBits - d)` for a bucket wanting `s` cells,
+    * `d = ceil(log2(s))` clamped to [[GraphSplitBits]] — exact integer
+    * when-chain (no float log2 edge at powers of two), mirrored
+    * literally by [[cellDivisorSql]]. */
+  private def cellDivisor(s: Column): Column =
+    (1 until GraphSplitBits).foldLeft(
+      when(s <= 1L, lit(1L << GraphSplitBits))) { (acc, d) =>
+      acc.when(s <= (1L << d), lit(1L << (GraphSplitBits - d)))
+    }.otherwise(lit(1L))
+
+  private def cellDivisorSql(s: String): String = {
+    val whens = (0 until GraphSplitBits).map(d =>
+      s"WHEN $s <= ${1L << d} THEN ${1L << (GraphSplitBits - d)}").mkString(" ")
+    s"(CASE $whens ELSE 1 END)"
+  }
+
+  /** `(bucket, dvs)` for every bucket of `bv` under candidate budget
+    * `cap`: the prefix divisor such that `cell = code div dvs`. A
+    * 256-row broadcast aggregate. */
+  private def bucketDivisors(bv: DataFrame, cap: Int): DataFrame =
+    bv.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .select(col("bucket"),
+        cellDivisor(expr(s"(cnt + ${cap - 1}) div $cap")).as("dvs"))
+
+  /** `bv` plus its `cell` column under `cap` — the broadcast divisor
+    * join every graph path shares. */
+  private def withCells(bv: DataFrame, divisors: DataFrame): DataFrame =
+    bv.join(broadcast(divisors), "bucket")
+      .withColumn("cell", expr("code div dvs")).drop("dvs")
 
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     knnGraphFrame(spark, Tables.embeddings(spark, dir))
   }
 
+  /** Spec hook: the `(vec_id, …, bucket, cell)` frame [[knnGraphFrame]]
+    * joins on, for an explicit vector frame and cap — lets the split
+    * behavior be asserted on corpora big enough to actually split. */
+  private[graft] def knnGraphCellsForSpec(vectors: DataFrame, cap: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val bv = codedFrame(vectors)
+    withCells(bv, bucketDivisors(bv, cap))
+  }
+
+  /** `(vec_id, ed, nrm, code, bucket)` — the coded corpus frame every
+    * graph path starts from; `bucket` is the code's top 8 bits, equal to
+    * [[graft.functions.GraftFunctions.hyperplaneBucket8]] by
+    * construction (same plane sequence, same fold order). */
+  private[graft] def codedFrame(vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), toDouble(col("embedding")).as("ed"))
+      .withColumn("nrm",
+        sqrt(graft.functions.GraftFunctions.dotp(col("ed"), col("ed"))))
+      .withColumn("code",
+        graft.functions.GraftFunctions.hyperplaneCode(col("ed"), GraphPlanes))
+      .withColumn("bucket", expr(s"code div ${1L << GraphSplitBits}"))
+
   /** [[knnGraph]] over an explicit `(vec_id, embedding)` frame — the
     * batch reference the incremental face
     * ([[graft.streaming.StreamOps.knnGraphStream]]) is spec-checked
-    * against on the union of its micro-batches. */
+    * against on the union of its micro-batches (buckets below the split
+    * threshold get divisor 2^[[GraphSplitBits]], i.e. cell == bucket, so
+    * the unsplit fast path is bit-identical to the 8-bit bucketing the
+    * streaming face maintains). */
   private[graft] def knnGraphFrame(spark: SparkSession, vectors: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val base = vectors.select(col("vec_id"), toDouble(col("embedding")).as("ed"))
-      .withColumn("nrm",
-        sqrt(graft.functions.GraftFunctions.dotp(col("ed"), col("ed"))))
-    val bv = base.withColumn("bucket",
-      graft.functions.GraftFunctions.hyperplaneBucket8(col("ed")))
-    val cells = bv.groupBy("bucket")
-      .agg(((count(lit(1)) + GraphCell - 1) / GraphCell).cast("long").as("s"))
-    val bvc = bv.join(broadcast(cells), "bucket")
-      .withColumn("cell", col("vec_id") % col("s"))
+    val bv = codedFrame(vectors)
+    val bvc = withCells(bv, bucketDivisors(bv, GraphCell))
     val q = bvc.select(col("vec_id").as("q_id"), col("ed"), col("nrm"),
       col("bucket"), col("cell"))
     val scored = bvc.as("c")
@@ -188,19 +253,32 @@ object Similarity {
     topK(scored, K)
   }
 
-  val knnGraphSql: String = {
+  /** DuckDB twin of [[codedFrame]]: `bvb` = normed + 24-bit `code` +
+    * top-8-bit `bucket`. Shared CTE prefix of every graph oracle. */
+  private def graphCodeCtesSql: String = {
     def projSql(p: Int): String =
       seqSumSql(s"list_transform(range(64), i -> " +
         s"CAST(emb[i+1] AS DOUBLE) * ${planeSignSql(p, "i")})")
-    val bucket = (0 until 8).foldLeft("CAST(0 AS BIGINT)") { (acc, p) =>
+    val code = (0 until GraphPlanes).foldLeft("CAST(0 AS BIGINT)") { (acc, p) =>
       s"($acc * 2 + (CASE WHEN ${projSql(p)} > 0 THEN 1 ELSE 0 END))"
     }
+    s"""bv AS (SELECT *, $code AS code FROM normed),
+      |bvb AS (SELECT *, code // ${1L << GraphSplitBits} AS bucket FROM bv)""".stripMargin
+  }
+
+  /** DuckDB twin of [[bucketDivisors]] + [[withCells]] under `cap`:
+    * `cells$tag(bucket, dvs)` and `bvc$tag` = `bvb` + `cell`. */
+  private def graphCellsSql(tag: String, cap: Int): String =
+    s"""cells$tag AS (SELECT bucket,
+      |  ${cellDivisorSql(s"((count(*) + ${cap - 1}) // $cap)")} AS dvs
+      |  FROM bvb GROUP BY bucket),
+      |bvc$tag AS (SELECT bvb.*, bvb.code // c.dvs AS cell
+      |        FROM bvb JOIN cells$tag c ON bvb.bucket = c.bucket)""".stripMargin
+
+  val knnGraphSql: String =
     s"""WITH $normedSql,
-      |bv AS (SELECT *, $bucket AS bucket FROM normed),
-      |cells AS (SELECT bucket, (count(*) + ${GraphCell - 1}) // $GraphCell AS s
-      |          FROM bv GROUP BY bucket),
-      |bvc AS (SELECT bv.*, bv.vec_id % cells.s AS cell
-      |        FROM bv JOIN cells ON bv.bucket = cells.bucket),
+      |$graphCodeCtesSql,
+      |${graphCellsSql("", GraphCell)},
       |scored AS (
       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
       |         round($cosABSql, 6) AS cosine
@@ -212,7 +290,6 @@ object Similarity {
       |  FROM scored)
       |SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= $K
       |ORDER BY q_id, rank""".stripMargin
-  }
 
   // ----------------------------------------- #111 knn graph recall eval
   /** Candidate-cap settings [[knnGraphRecall]] measures: the production
@@ -278,13 +355,11 @@ object Similarity {
     * not a reimplementation that could drift. */
   private[graft] def graphSampleEdges(bv: DataFrame, sample: DataFrame,
                                       cap: Int): DataFrame = {
-    val cells = bv.groupBy("bucket")
-      .agg(((count(lit(1)) + cap - 1) / cap).cast("long").as("s"))
-    val q = sample.join(broadcast(cells), "bucket")
+    val divisors = bucketDivisors(bv, cap)
+    val q = withCells(sample, divisors)
       .select(col("vec_id").as("q_id"), col("ed"), col("nrm"),
-        col("bucket"), (col("vec_id") % col("s")).as("cell"))
-    val scored = bv.join(broadcast(cells), "bucket")
-      .withColumn("cell", col("vec_id") % col("s")).as("c")
+        col("bucket"), col("cell"))
+    val scored = withCells(bv, divisors).as("c")
       .join(broadcast(q.as("q")),
         col("q.bucket") === col("c.bucket") && col("q.cell") === col("c.cell") &&
           col("q.q_id") =!= col("c.vec_id"))
@@ -298,29 +373,18 @@ object Similarity {
   private[graft] def graphRecallFrames(spark: SparkSession,
                                        dir: String): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(spark)
-    val bv = normed(spark, dir).withColumn("bucket",
-      graft.functions.GraftFunctions.hyperplaneBucket8(col("ed")))
+    val bv = codedFrame(Tables.embeddings(spark, dir))
     (bv, bv.filter(col("vec_id") < GraphRecallNQ))
   }
 
   val knnGraphRecallSql: String = {
-    def projSql(p: Int): String =
-      seqSumSql(s"list_transform(range(64), i -> " +
-        s"CAST(emb[i+1] AS DOUBLE) * ${planeSignSql(p, "i")})")
-    val bucket = (0 until 8).foldLeft("CAST(0 AS BIGINT)") { (acc, p) =>
-      s"($acc * 2 + (CASE WHEN ${projSql(p)} > 0 THEN 1 ELSE 0 END))"
-    }
     val capCtes = GraphRecallCaps.map { cap =>
-      s"""cells$cap AS (SELECT bucket, (count(*) + ${cap - 1}) // $cap AS s
-        |              FROM bv GROUP BY bucket),
+      s"""${graphCellsSql(s"$cap", cap)},
         |g$cap AS (
         |  SELECT q.q_id, c.n_id, round($cosABSql, 6) AS cosine
-        |  FROM (SELECT s.vec_id AS q_id, s.emb, s.nrm, s.bucket,
-        |               s.vec_id % cs.s AS cell
-        |        FROM sample s JOIN cells$cap cs ON s.bucket = cs.bucket) q
-        |  JOIN (SELECT bv.vec_id AS n_id, bv.emb, bv.nrm, bv.bucket,
-        |               bv.vec_id % cs.s AS cell
-        |        FROM bv JOIN cells$cap cs ON bv.bucket = cs.bucket) c
+        |  FROM (SELECT vec_id AS q_id, emb, nrm, bucket, cell
+        |        FROM bvc$cap WHERE vec_id < $GraphRecallNQ) q
+        |  JOIN (SELECT vec_id AS n_id, emb, nrm, bucket, cell FROM bvc$cap) c
         |    ON q.bucket = c.bucket AND q.cell = c.cell AND c.n_id <> q.q_id),
         |gt$cap AS (
         |  SELECT q_id, n_id FROM (
@@ -339,8 +403,8 @@ object Similarity {
     val unioned = GraphRecallCaps.map(cap => s"SELECT * FROM r$cap")
       .mkString("\nUNION ALL ")
     s"""WITH $normedSql,
-      |bv AS (SELECT *, $bucket AS bucket FROM normed),
-      |sample AS (SELECT * FROM bv WHERE vec_id < $GraphRecallNQ),
+      |$graphCodeCtesSql,
+      |sample AS (SELECT * FROM bvb WHERE vec_id < $GraphRecallNQ),
       |escored AS (
       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, round($cosABSql, 6) AS cosine
       |  FROM sample q JOIN normed c ON c.vec_id <> q.vec_id),
@@ -354,6 +418,157 @@ object Similarity {
       |$unioned
       |ORDER BY cap, q_id""".stripMargin
   }
+
+  // -------------------------------------------- #112 knn graph NN-descent
+  /** #112 knn_graph_refine: one NN-descent round over the capped graph
+    * ([[knnGraph]]) — the standard recall-recovery move of every
+    * production kNN-graph builder (NN-Descent, Dong et al. WWW'11):
+    * a node's true neighbors are likely neighbors-of-neighbors, so the
+    * candidate set for each node u is every two-hop path u—v—w through
+    * the UNDIRECTED current graph; candidates are rescored with the
+    * exact cosine and merged into the existing top-k lists.
+    *
+    * Scale shape (all bounds per round, N = corpus size, k = [[K]]):
+    * the undirected adjacency is forward edges (≤ k per node) plus
+    * reverse edges CAPPED at k per node — the cap folds map-side in the
+    * bounded-heap `graft_topk` aggregate (NN-Descent's ρ-sampling; an
+    * uncapped reverse list of a hub node would make the two-hop join
+    * quadratic in its in-degree). |adj| ≤ 2kN, per-src degree ≤ 2k, so
+    * the two-hop self-join emits ≤ 4k²N candidate pairs — LINEAR in N —
+    * and rescoring is two equi-joins of that pair stream against the
+    * vector table. Deterministic end-to-end: the reverse cap breaks ties
+    * (cosine desc, id asc) like every other ranking here, and the final
+    * merge rescans exact cosines, so the oracle mirrors it row-for-row.
+    * Recall lift is measured by [[knnGraphRefineRecall]]; further rounds
+    * compound (each is this same operator over its own output).
+    */
+  def knnGraphRefine(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vectors = Tables.embeddings(spark, dir)
+    val bv = codedFrame(vectors)
+    val edges = knnGraphFrame(spark, vectors)
+      .select(col("q_id"), col("n_id"), col("cosine"))
+    val fwd = edges.select(col("q_id").as("src"), col("n_id").as("dst"))
+    val revCapped = edges
+      .select(col("n_id").as("src"), col("q_id").as("dst"), col("cosine"))
+      .groupBy("src")
+      .agg(graft.functions.GraftFunctions
+        .topk(struct(col("cosine"), col("dst")), K).as("tk"))
+      .select(col("src"), explode(col("tk")).as("t"))
+      .select(col("src"), col("t.id").as("dst"))
+    val adj = fwd.unionByName(revCapped).distinct()
+    val cand = adj.as("a")
+      .join(adj.as("b"), col("a.dst") === col("b.src") && col("a.src") =!= col("b.dst"))
+      .select(col("a.src").as("q_id"), col("b.dst").as("n_id"))
+    val pairs = cand.unionByName(edges.select(col("q_id"), col("n_id"))).distinct()
+    val qv = bv.select(col("vec_id").as("q_id"), col("ed").as("q_ed"),
+      col("nrm").as("q_nrm"))
+    val nv = bv.select(col("vec_id").as("n_id"), col("ed").as("n_ed"),
+      col("nrm").as("n_nrm"))
+    val scored = pairs.join(qv, "q_id").join(nv, "n_id")
+      .select(col("q_id"), col("n_id"),
+        round(graft.functions.GraftFunctions.dotp(col("q_ed"), col("n_ed")) /
+          (col("q_nrm") * col("n_nrm")), 6).as("cosine"))
+    topK(scored, K)
+  }
+
+  /** CTE chain shared by the refine oracle and its recall gate: graph
+    * code → capped graph `g` → one NN-descent round → `refined`
+    * (`q_id, rank, n_id, cosine`, rank ≤ [[K]]). */
+  private def refineCtesSql: String =
+    s"""$graphCodeCtesSql,
+      |${graphCellsSql("", GraphCell)},
+      |scored0 AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |         round($cosABSql, 6) AS cosine
+      |  FROM bvc q JOIN bvc c
+      |    ON q.bucket = c.bucket AND q.cell = c.cell AND c.vec_id <> q.vec_id),
+      |g AS (
+      |  SELECT q_id, n_id, cosine FROM (
+      |    SELECT q_id, n_id, cosine,
+      |           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS r
+      |    FROM scored0) t WHERE r <= $K),
+      |fwd AS (SELECT q_id AS src, n_id AS dst FROM g),
+      |revc AS (
+      |  SELECT src, dst FROM (
+      |    SELECT n_id AS src, q_id AS dst,
+      |           row_number() OVER (PARTITION BY n_id ORDER BY cosine DESC, q_id) AS r
+      |    FROM g) t WHERE r <= $K),
+      |adj AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT * FROM fwd UNION ALL SELECT * FROM revc) u),
+      |cand AS (
+      |  SELECT DISTINCT a.src AS q_id, b.dst AS n_id
+      |  FROM adj a JOIN adj b ON a.dst = b.src AND a.src <> b.dst),
+      |pairs AS (SELECT DISTINCT q_id, n_id FROM (
+      |  SELECT q_id, n_id FROM cand UNION ALL SELECT q_id, n_id FROM g) u),
+      |rescored AS (
+      |  SELECT p.q_id, p.n_id,
+      |         round(${dotSql("q.emb", "n.emb", 64)} / (q.nrm * n.nrm), 6) AS cosine
+      |  FROM pairs p JOIN normed q ON p.q_id = q.vec_id
+      |               JOIN normed n ON p.n_id = n.vec_id),
+      |refined AS (
+      |  SELECT q_id, r AS rank, n_id, cosine FROM (
+      |    SELECT q_id, n_id, cosine,
+      |           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS r
+      |    FROM rescored) t WHERE r <= $K)""".stripMargin
+
+  val knnGraphRefineSql: String =
+    s"""WITH $normedSql,
+      |$refineCtesSql
+      |SELECT q_id, rank, n_id, cosine FROM refined
+      |ORDER BY q_id, rank""".stripMargin
+
+  /** #113 knn_graph_refine_recall: recall@k of the refined graph
+    * ([[knnGraphRefine]]) against exact neighbor lists on the same
+    * bounded node sample [[knnGraphRecall]] uses — together they give
+    * the before/after recall curve of the NN-descent round at the
+    * shipped cap. Ground truth is the same single broadcast-sample
+    * corpus pass; the refined side restricts to the sample AFTER the
+    * (linear) full-graph round, since a node's two-hop candidates need
+    * its neighbors' full lists. */
+  def knnGraphRefineRecall(spark: SparkSession, dir: String): DataFrame = {
+    val refined = knnGraphRefine(spark, dir)
+      .filter(col("q_id") < GraphRecallNQ).select(col("q_id"), col("n_id"))
+    val sample = codedFrame(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") < GraphRecallNQ)
+    val exactScored = normed(spark, dir).as("c")
+      .join(broadcast(sample.select(col("vec_id").as("q_id"), col("ed"),
+        col("nrm")).as("q")), col("q.q_id") =!= col("c.vec_id"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
+        round(cosAB, 6).as("cosine"))
+    val exact = topK(exactScored, K).select(col("q_id"), col("n_id"))
+    val nExact = exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+    val hits = exact.join(refined, Seq("q_id", "n_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    nExact.join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / col("n_exact"), 6).as("recall"))
+      .orderBy("q_id")
+  }
+
+  val knnGraphRefineRecallSql: String =
+    s"""WITH $normedSql,
+      |$refineCtesSql,
+      |sample AS (SELECT * FROM normed WHERE vec_id < $GraphRecallNQ),
+      |escored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, round($cosABSql, 6) AS cosine
+      |  FROM sample q JOIN normed c ON c.vec_id <> q.vec_id),
+      |etop AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q_id, n_id,
+      |           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS r
+      |    FROM escored) t WHERE r <= $K),
+      |nexact AS (SELECT q_id, count(*) AS n_exact FROM etop GROUP BY 1),
+      |h AS (
+      |  SELECT e.q_id, count(*) AS n_hits
+      |  FROM etop e JOIN refined f ON e.q_id = f.q_id AND e.n_id = f.n_id
+      |  WHERE f.q_id < $GraphRecallNQ
+      |  GROUP BY 1)
+      |SELECT n.q_id, COALESCE(h.n_hits, 0) AS n_hits,
+      |       round(COALESCE(h.n_hits, 0) / n.n_exact, 6) AS recall
+      |FROM nexact n LEFT JOIN h ON n.q_id = h.q_id
+      |ORDER BY n.q_id""".stripMargin
 
   // ------------------------------------------------- #37 filtered search
   /** Pre-filtered vector search: a metadata predicate (documents in

@@ -81,13 +81,20 @@ object Portable {
 
   // ------------------------------------------- random-hyperplane projection
   /** Pseudo-random ±1 hyperplane coefficient for plane `p`, dimension `i`
-    * — parity of a universal hash (the `mod P` wrap makes the parity
-    * sequence non-linear, unlike the parity of a linear form). */
+    * — parity of the CUBED universal hash. The cube mixer is load-bearing:
+    * the parity of the affine `hashJ` itself is (for arguments that don't
+    * wrap past P) just the parity of an affine form — measured on the
+    * first 24 planes it made planes 1/3/5/7 ALL-(+1) and planes 0/2/4/6
+    * identical, so the "256-bucket" 8-plane LSH produced only 4 distinct
+    * buckets and every bucket self-join was silently quadratic (N²/4).
+    * Cubing mod P before the parity destroys that affine structure
+    * ([[mixCube]]'s permutation argument); the 24 cubed-parity planes
+    * measure pairwise-uncorrelated and per-plane balanced. */
   def planeSign(p: Int, i: Column): Column =
-    when(hashJ(i + 13L, lit(p.toLong)) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+    when(mixCube(hashJ(i + 13L, lit(p.toLong))) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
 
   def planeSignSql(p: Int, i: String): String =
-    s"(CASE WHEN (${hashJSql(s"$i + 13", p.toString)}) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+    s"(CASE WHEN (${mixCubeSql(hashJSql(s"$i + 13", p.toString))}) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
 
   // --------------------------------------------------- order-fixed doubles
   /** Strictly-sequential double sum of an array — the fold order is pinned

@@ -124,22 +124,45 @@ object Sig {
     * ±1 parity signs of [[Portable.planeSign]], projections summed in
     * index order so the IEEE result is bit-identical to the
     * declarative/oracle forms. */
-  def hyperplane8(arr: ArrayData): Long = {
+  def hyperplane8(arr: ArrayData): Long = hyperplaneCode(arr, 8)
+
+  /** Precomputed [[Portable.planeSign]] coefficients (they are constants
+    * of (plane, dim)): parity of the CUBED hash — see the planeSign doc
+    * for why the cube mixer is load-bearing (affine parity degenerated
+    * to 4 effective buckets). Covers every plane/dim the kernels use;
+    * out-of-range falls back to the formula. */
+  private final val PlaneSigns: Array[Array[Double]] =
+    Array.tabulate(32, 256) { (p, i) =>
+      val h = hashJ(i + 13L, p)
+      if (h * h % P * h % P % 2 == 0) 1.0 else -1.0
+    }
+
+  @inline private def planeSign(p: Int, i: Int): Double =
+    if (p < 32 && i < 256) PlaneSigns(p)(i)
+    else { val h = hashJ(i + 13L, p); if (h * h % P * h % P % 2 == 0) 1.0 else -1.0 }
+
+  /** `planes`-bit random-hyperplane code (MSB-first, plane 0 highest):
+    * the generalization of [[hyperplane8]] — the top 8 bits of a
+    * `planes >= 8` code ARE the [[hyperplane8]] bucket (same plane
+    * sequence, same fold order), so a deeper code refines the coarse
+    * bucket rather than re-hashing it. Used by the kNN-graph cell split:
+    * oversized buckets subdivide along ADDITIONAL hyperplane bits
+    * (similarity-preserving) instead of by row id (similarity-blind). */
+  def hyperplaneCode(arr: ArrayData, planes: Int): Long = {
     val n = arr.numElements()
-    var bucket = 0L
+    var code = 0L
     var p = 0
-    while (p < 8) {
+    while (p < planes) {
       var proj = 0.0
       var i = 0
       while (i < n) {
-        val sign = if (hashJ(i + 13L, p) % 2 == 0) 1.0 else -1.0
-        proj += arr.getDouble(i) * sign
+        proj += arr.getDouble(i) * planeSign(p, i)
         i += 1
       }
-      bucket = bucket * 2 + (if (proj > 0) 1L else 0L)
+      code = code * 2 + (if (proj > 0) 1L else 0L)
       p += 1
     }
-    bucket
+    code
   }
 
   /** Word n-gram shingles joined with single spaces; `distinct = true`
@@ -525,6 +548,17 @@ case class HyperplaneBucket8(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): HyperplaneBucket8 = copy(child = c)
 }
 
+/** `graft_hyperplane_code(array<double>, planes) -> long` — see
+  * [[Sig.hyperplaneCode]]; `planes` must be a foldable int literal. */
+case class HyperplaneCode(child: Expression, planes: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Sig.hyperplaneCode(input.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sig.hyperplaneCode($c, $planes)")
+  override protected def withNewChildInternal(c: Expression): HyperplaneCode = copy(child = c)
+}
+
 /** `graft_ngrams(array<string>, n, distinct) -> array<string>` — see [[Sig.ngrams]]. */
 case class NGrams(child: Expression, n: Int, distinct: Boolean) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -653,6 +687,9 @@ object GraftFunctions {
       (args: Seq[Expression]) => SimHash63(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_hyperplane_bucket8",
       (args: Seq[Expression]) => HyperplaneBucket8(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_hyperplane_code",
+      (args: Seq[Expression]) => HyperplaneCode(args(0),
+        args(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_dot",
       (args: Seq[Expression]) => DotProduct(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_l2sq",
@@ -680,6 +717,8 @@ object GraftFunctions {
   def minhash32(c: Column): Column = call_function("graft_minhash32", c)
   def simhash63(c: Column): Column = call_function("graft_simhash63", c)
   def hyperplaneBucket8(c: Column): Column = call_function("graft_hyperplane_bucket8", c)
+  def hyperplaneCode(c: Column, planes: Int): Column =
+    call_function("graft_hyperplane_code", c, org.apache.spark.sql.functions.lit(planes))
   def dotp(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def l2sq(a: Column, b: Column): Column = call_function("graft_l2sq", a, b)
   def ngrams(toks: Column, n: Int, distinct: Boolean): Column =

@@ -20,7 +20,8 @@ class PlanQualitySpec extends AnyFunSuite {
     *    — constant work, not a degeneration.
     */
   private val nestedLoopByDesign = Set(
-    "knn_brute", "knn_recall", "knn_graph_recall", "knn_filtered", "knn_hard_negatives",
+    "knn_brute", "knn_recall", "knn_graph_recall", "knn_graph_refine_recall",
+    "knn_filtered", "knn_hard_negatives",
     "knn_lsh", "knn_pq", "knn_pq_recall", "knn_ivf_pq", "centroid_ivf", "kmeans_iter",
     "q_wealthy_inactive", "q_important_parts", "q_top_supplier",
     "q_avg_yearly", "text_decontaminate", "corpus_mixture",

@@ -56,6 +56,56 @@ class Round9OpsSpec extends AnyFunSuite {
       "cap=GraphCell eval edges must equal knn_graph's own edges for the sample")
   }
 
+  test("NN-descent round can only add exact-top-k hits at the shipped cap") {
+    // knn_graph_refine's final top-k ranks a SUPERSET of the capped
+    // graph's candidate pairs (pairs = two-hop candidates ∪ the graph's
+    // own edges), so per-node hits against exact ground truth are
+    // monotone — the refine round may lift recall, never lower it.
+    val graphHits = Similarity.knnGraphRecall(spark, sf)
+      .filter(col("cap") === Similarity.GraphCell)
+      .agg(sum("n_hits")).collect()(0).getLong(0)
+    val refinedHits = Similarity.knnGraphRefineRecall(spark, sf)
+      .agg(sum("n_hits")).collect()(0).getLong(0)
+    assert(refinedHits >= graphHits,
+      s"refined hits $refinedHits fell below capped-graph hits $graphHits")
+  }
+
+  test("oversized buckets split along extra hyperplane bits, keeping near-duplicates together") {
+    // sf0.001's 256-bucket occupancy (~2 rows/bucket) never splits, so
+    // exercise the split on a synthetic corpus big enough that buckets
+    // overflow GraphCell. The split must (a) actually subdivide and
+    // (b) be similarity-AWARE: a planted near-duplicate pair (cosine ≈ 1,
+    // so all 24 plane projections agree) must share a cell — the property
+    // the first-cut `vec_id % s` split lacked, which collapsed recall
+    // at the ×100 scale point.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextGaussian())
+    val twin = base.map(_ + 1e-9)
+    val vecs = (0 until 20000).map { i =>
+      (i.toLong, Array.fill(64)((rnd.nextGaussian() * 100).floor / 100))
+    } :+ (20000L, base) :+ (20001L, twin)
+    val df = vecs.toDF("vec_id", "embedding")
+    val bvc = Similarity.knnGraphCellsForSpec(df, Similarity.GraphCell)
+      .select("vec_id", "bucket", "cell").collect()
+    val byBucket = bvc.groupBy(_.getLong(1))
+    val split = byBucket.filter { case (_, rows) =>
+      rows.map(_.getLong(2)).distinct.length > 1 }
+    assert(split.nonEmpty, "no bucket split on a 20k corpus — cap inactive")
+    // candidate budget holds in aggregate on near-uniform data: the
+    // largest cell stays within a small factor of the cap (hyperplane
+    // bits halve a random bucket per extra bit; only degenerate
+    // identical-vector corpora defeat the split)
+    val maxCell = byBucket.values.flatMap(
+      _.groupBy(_.getLong(2)).values.map(_.length)).max
+    assert(maxCell <= 4 * Similarity.GraphCell,
+      s"largest cell $maxCell blows the ${Similarity.GraphCell} budget")
+    val Seq(a, b) = bvc.filter(r => r.getLong(0) >= 20000L).toSeq
+      .sortBy(_.getLong(0))
+    assert(a.getLong(1) == b.getLong(1) && a.getLong(2) == b.getLong(2),
+      s"near-duplicate pair separated: ($a) vs ($b)")
+  }
+
   test("knn_graph_recall ground truth is one broadcast pass, no wide shuffle of the corpus") {
     // The exact side must stay a broadcast of the 30-node sample against
     // the corpus scan: a proportional sample or a lost broadcast would
