@@ -175,6 +175,23 @@ object Similarity {
   private[graft] val GraphPlanes = 24
   private[graft] val GraphSplitBits: Int = GraphPlanes - 8
 
+  /** Independent LSH code tables the graph build unions candidates
+    * across (table t uses planes `[t·24, t·24+24)` — disjoint plane
+    * sets, so the tables are independent trials). Multi-table is THE
+    * recall knob single-probe LSH lacks: one b-bit table finds a
+    * neighbor with per-plane agreement p at rate p^b; T tables lift it
+    * to `1 - (1-p^b)^T` at T× bounded candidate cost (work stays linear
+    * in N — Σ cell² per table). Measured at the ×100 point (200k
+    * vectors; the synthetic corpus is ADVERSARIAL for ANN — exact top-5
+    * cosines ≈ 0.5, so per-plane agreement p = 1 − θ/π ≈ 0.67): cap-64
+    * recall@5 0.7% → 4.0% going 1 → 4 tables, bucket-only ceiling 3.3%
+    * → 16% — the 1-(1-x)^4 ≈ 4x small-x regime exactly. On
+    * curation-grade neighbors (cos ≥ 0.9, p ≥ 0.86) the same config
+    * computes to ~50% (12 effective bits) – 75% (8 bits, unsplit); the
+    * planted near-duplicate spec pins the cos≈1 case into the same cell
+    * of EVERY table. */
+  private[graft] val GraphTables = 4
+
   /** Divisor `2^(GraphSplitBits - d)` for a bucket wanting `s` cells,
     * `d = ceil(log2(s))` clamped to [[GraphSplitBits]] — exact integer
     * when-chain (no float log2 edge at powers of two), mirrored
@@ -191,18 +208,18 @@ object Similarity {
     s"(CASE $whens ELSE 1 END)"
   }
 
-  /** `(bucket, dvs)` for every bucket of `bv` under candidate budget
-    * `cap`: the prefix divisor such that `cell = code div dvs`. A
-    * 256-row broadcast aggregate. */
-  private def bucketDivisors(bv: DataFrame, cap: Int): DataFrame =
-    bv.groupBy("bucket").agg(count(lit(1)).as("cnt"))
-      .select(col("bucket"),
+  /** `(tbl, bucket, dvs)` for every table-bucket of `codes` under
+    * candidate budget `cap`: the prefix divisor such that `cell =
+    * code div dvs`. A ≤ T·256-row broadcast aggregate. */
+  private def bucketDivisors(codes: DataFrame, cap: Int): DataFrame =
+    codes.groupBy("tbl", "bucket").agg(count(lit(1)).as("cnt"))
+      .select(col("tbl"), col("bucket"),
         cellDivisor(expr(s"(cnt + ${cap - 1}) div $cap")).as("dvs"))
 
-  /** `bv` plus its `cell` column under `cap` — the broadcast divisor
+  /** `codes` plus its `cell` column under `cap` — the broadcast divisor
     * join every graph path shares. */
-  private def withCells(bv: DataFrame, divisors: DataFrame): DataFrame =
-    bv.join(broadcast(divisors), "bucket")
+  private def withCells(codes: DataFrame, divisors: DataFrame): DataFrame =
+    codes.join(broadcast(divisors), Seq("tbl", "bucket"))
       .withColumn("cell", expr("code div dvs")).drop("dvs")
 
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
@@ -210,84 +227,135 @@ object Similarity {
     knnGraphFrame(spark, Tables.embeddings(spark, dir))
   }
 
-  /** Spec hook: the `(vec_id, …, bucket, cell)` frame [[knnGraphFrame]]
-    * joins on, for an explicit vector frame and cap — lets the split
+  /** Spec hook: the `(vec_id, tbl, bucket, cell)` frame [[knnGraphFrame]]
+    * self-joins on, for an explicit vector frame and cap — lets the split
     * behavior be asserted on corpora big enough to actually split. */
   private[graft] def knnGraphCellsForSpec(vectors: DataFrame, cap: Int): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
-    val bv = codedFrame(vectors)
-    withCells(bv, bucketDivisors(bv, cap))
+    val codes = codedTables(vecBase(vectors), GraphTables)
+    withCells(codes, bucketDivisors(codes, cap))
   }
 
-  /** `(vec_id, ed, nrm, code, bucket)` — the coded corpus frame every
-    * graph path starts from; `bucket` is the code's top 8 bits, equal to
-    * [[graft.functions.GraftFunctions.hyperplaneBucket8]] by
-    * construction (same plane sequence, same fold order). */
-  private[graft] def codedFrame(vectors: DataFrame): DataFrame =
+  /** `(vec_id, ed, nrm)` — vectors with double casts and norms, the
+    * scoring side every graph path joins back to. */
+  private[graft] def vecBase(vectors: DataFrame): DataFrame =
     vectors.select(col("vec_id"), toDouble(col("embedding")).as("ed"))
       .withColumn("nrm",
         sqrt(graft.functions.GraftFunctions.dotp(col("ed"), col("ed"))))
-      .withColumn("code",
-        graft.functions.GraftFunctions.hyperplaneCode(col("ed"), GraphPlanes))
+
+  /** SLIM long-form multi-table codes `(vec_id, tbl, code, bucket)` —
+    * 4 longs per (vector, table), NO vector payload: candidate
+    * generation moves only ids, and the 64-double embeddings join in
+    * exactly once, after pair dedupe. Table t's code uses planes
+    * `[t·GraphPlanes, (t+1)·GraphPlanes)`; `bucket` is each code's top
+    * 8 bits (table 0's equals
+    * [[graft.functions.GraftFunctions.hyperplaneBucket8]] by
+    * construction). */
+  private[graft] def codedTables(base: DataFrame, tables: Int): DataFrame =
+    base.select(col("vec_id"), posexplode(array((0 until tables).map(t =>
+        graft.functions.GraftFunctions
+          .hyperplaneCode(col("ed"), t * GraphPlanes, GraphPlanes)): _*))
+      .as(Seq("tbl", "code")))
       .withColumn("bucket", expr(s"code div ${1L << GraphSplitBits}"))
 
-  /** [[knnGraph]] over an explicit `(vec_id, embedding)` frame — the
-    * batch reference the incremental face
-    * ([[graft.streaming.StreamOps.knnGraphStream]]) is spec-checked
-    * against on the union of its micro-batches (buckets below the split
-    * threshold get divisor 2^[[GraphSplitBits]], i.e. cell == bucket, so
-    * the unsplit fast path is bit-identical to the 8-bit bucketing the
-    * streaming face maintains). */
-  private[graft] def knnGraphFrame(spark: SparkSession, vectors: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val bv = codedFrame(vectors)
-    val bvc = withCells(bv, bucketDivisors(bv, GraphCell))
-    val q = bvc.select(col("vec_id").as("q_id"), col("ed"), col("nrm"),
-      col("bucket"), col("cell"))
-    val scored = bvc.as("c")
-      .join(q.as("q"),
-        col("q.bucket") === col("c.bucket") && col("q.cell") === col("c.cell") &&
-          col("q.q_id") =!= col("c.vec_id"))
-      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
-        round(cosAB, 6).as("cosine"))
-    topK(scored, K)
+  /** Distinct candidate pairs of the multi-table build under `cap`: one
+    * `(tbl, bucket, cell)` equality self-join over the slim code frame,
+    * then a distinct on `(q_id, n_id)` so a pair co-occurring in several
+    * tables is scored ONCE (and cannot occupy two top-k slots). The
+    * shuffle moves only id pairs — ≤ T·cap·N rows of two longs. */
+  private def graphPairs(codes: DataFrame, cap: Int): DataFrame = {
+    val cc = withCells(codes, bucketDivisors(codes, cap))
+    cc.select(col("vec_id").as("q_id"), col("tbl"), col("bucket"), col("cell"))
+      .join(cc.select(col("vec_id").as("n_id"), col("tbl"), col("bucket"),
+        col("cell")), Seq("tbl", "bucket", "cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id")).distinct()
   }
 
-  /** DuckDB twin of [[codedFrame]]: `bvb` = normed + 24-bit `code` +
-    * top-8-bit `bucket`. Shared CTE prefix of every graph oracle. */
+  /** Exact-cosine scores for an id-pair stream: two equi-joins against
+    * the vector base — the single place embeddings attach. */
+  private def scorePairs(pairs: DataFrame, base: DataFrame): DataFrame =
+    pairs
+      .join(base.select(col("vec_id").as("q_id"), col("ed").as("q_ed"),
+        col("nrm").as("q_nrm")), "q_id")
+      .join(base.select(col("vec_id").as("n_id"), col("ed").as("n_ed"),
+        col("nrm").as("n_nrm")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        round(graft.functions.GraftFunctions.dotp(col("q_ed"), col("n_ed")) /
+          (col("q_nrm") * col("n_nrm")), 6).as("cosine"))
+
+  /** [[knnGraph]] over an explicit `(vec_id, embedding)` frame. The
+    * incremental face ([[graft.streaming.StreamOps.knnGraphStream]])
+    * maintains the `tables = 1` build (state keyed by the single 8-bit
+    * bucket) and is spec-checked bit-equal against it on the union of
+    * its micro-batches; the multi-table extension of the stream is T
+    * keyed states per arrival. */
+  private[graft] def knnGraphFrame(spark: SparkSession, vectors: DataFrame,
+                                   tables: Int = GraphTables): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val base = vecBase(vectors)
+    val pairs = graphPairs(codedTables(base, tables), GraphCell)
+    topK(scorePairs(pairs, base), K)
+  }
+
+  /** DuckDB twin of [[codedTables]]: one `bvb$t(vec_id, code, bucket)`
+    * CTE per table (slim — the embeddings re-join from `normed` at
+    * scoring time, like the Spark side). Shared prefix of every graph
+    * oracle. */
   private def graphCodeCtesSql: String = {
     def projSql(p: Int): String =
       seqSumSql(s"list_transform(range(64), i -> " +
         s"CAST(emb[i+1] AS DOUBLE) * ${planeSignSql(p, "i")})")
-    val code = (0 until GraphPlanes).foldLeft("CAST(0 AS BIGINT)") { (acc, p) =>
-      s"($acc * 2 + (CASE WHEN ${projSql(p)} > 0 THEN 1 ELSE 0 END))"
-    }
-    s"""bv AS (SELECT *, $code AS code FROM normed),
-      |bvb AS (SELECT *, code // ${1L << GraphSplitBits} AS bucket FROM bv)""".stripMargin
+    (0 until GraphTables).map { t =>
+      val code = (t * GraphPlanes until (t + 1) * GraphPlanes)
+        .foldLeft("CAST(0 AS BIGINT)") { (acc, p) =>
+          s"($acc * 2 + (CASE WHEN ${projSql(p)} > 0 THEN 1 ELSE 0 END))"
+        }
+      s"""code$t AS (SELECT vec_id, $code AS code FROM normed),
+        |bvb$t AS (SELECT *, code // ${1L << GraphSplitBits} AS bucket FROM code$t)""".stripMargin
+    }.mkString(",\n")
   }
 
-  /** DuckDB twin of [[bucketDivisors]] + [[withCells]] under `cap`:
-    * `cells$tag(bucket, dvs)` and `bvc$tag` = `bvb` + `cell`. */
-  private def graphCellsSql(tag: String, cap: Int): String =
-    s"""cells$tag AS (SELECT bucket,
-      |  ${cellDivisorSql(s"((count(*) + ${cap - 1}) // $cap)")} AS dvs
-      |  FROM bvb GROUP BY bucket),
-      |bvc$tag AS (SELECT bvb.*, bvb.code // c.dvs AS cell
-      |        FROM bvb JOIN cells$tag c ON bvb.bucket = c.bucket)""".stripMargin
+  /** DuckDB twin of [[bucketDivisors]] + [[withCells]] + [[graphPairs]]
+    * under `cap`: per-table `cells${t}$tag`/`bvc${t}$tag` CTEs and the
+    * deduped union `pairs$tag(q_id, n_id)`; `qPred` optionally restricts
+    * the q side (the recall harness's bounded sample). */
+  private def graphPairsSql(tag: String, cap: Int, qPred: String = ""): String = {
+    val perTable = (0 until GraphTables).map { t =>
+      s"""cells$t$tag AS (SELECT bucket,
+        |  ${cellDivisorSql(s"((count(*) + ${cap - 1}) // $cap)")} AS dvs
+        |  FROM bvb$t GROUP BY bucket),
+        |bvc$t$tag AS (SELECT bvb$t.*, bvb$t.code // c.dvs AS cell
+        |        FROM bvb$t JOIN cells$t$tag c ON bvb$t.bucket = c.bucket)""".stripMargin
+    }.mkString(",\n")
+    val unioned = (0 until GraphTables).map { t =>
+      s"""SELECT q.vec_id AS q_id, c.vec_id AS n_id
+        |  FROM bvc$t$tag q JOIN bvc$t$tag c
+        |    ON q.bucket = c.bucket AND q.cell = c.cell AND c.vec_id <> q.vec_id
+        |  $qPred""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""$perTable,
+      |pairs$tag AS (SELECT DISTINCT q_id, n_id FROM (
+      |  $unioned) u)""".stripMargin
+  }
+
+  /** DuckDB twin of [[scorePairs]] + [[topK]] over `pairs$tag`. */
+  private def graphTopKSql(tag: String): String =
+    s"""scored$tag AS (
+      |  SELECT p.q_id, p.n_id,
+      |         round(${dotSql("q.emb", "n.emb", 64)} / (q.nrm * n.nrm), 6) AS cosine
+      |  FROM pairs$tag p JOIN normed q ON p.q_id = q.vec_id
+      |                   JOIN normed n ON p.n_id = n.vec_id),
+      |ranked$tag AS (
+      |  SELECT q_id, n_id, cosine,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+      |  FROM scored$tag)""".stripMargin
 
   val knnGraphSql: String =
     s"""WITH $normedSql,
       |$graphCodeCtesSql,
-      |${graphCellsSql("", GraphCell)},
-      |scored AS (
-      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-      |         round($cosABSql, 6) AS cosine
-      |  FROM bvc q JOIN bvc c
-      |    ON q.bucket = c.bucket AND q.cell = c.cell AND c.vec_id <> q.vec_id),
-      |ranked AS (
-      |  SELECT q_id, n_id, cosine,
-      |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
-      |  FROM scored)
+      |${graphPairsSql("", GraphCell)},
+      |${graphTopKSql("")}
       |SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= $K
       |ORDER BY q_id, rank""".stripMargin
 
@@ -318,15 +386,17 @@ object Similarity {
     *
     * Scale shape: ground truth is ONE broadcast join of the 30-node
     * sample against the corpus (map-side dot products, bounded-heap
-    * top-k); each cap's graph side re-derives the per-bucket cell split
-    * from the SAME bucketed scan (a 256-row broadcast agg per cap) and
-    * probes it with the broadcast sample — per cap, one corpus pass, no
-    * wide shuffle. Candidate semantics (bucket+cell equality, self
+    * top-k); each cap's graph side re-derives the per-table cell splits
+    * from the SAME slim code frame (a ≤ T·256-row broadcast agg per
+    * cap), restricts the q side to the sample BEFORE the pair dedupe,
+    * and rescores only the surviving id pairs. Candidate semantics
+    * (per-table bucket+cell equality, cross-table dedupe, self
     * exclusion, 6-dp rounding, vec_id tiebreak) match [[knnGraph]]
     * line-for-line so the measured recall is the production graph's.
     */
   def knnGraphRecall(spark: SparkSession, dir: String): DataFrame = {
-    val (bv, sample) = graphRecallFrames(spark, dir)
+    val (base, codes) = graphRecallFrames(spark, dir)
+    val sample = base.filter(col("vec_id") < GraphRecallNQ)
     val exactScored = normed(spark, dir).as("c")
       .join(broadcast(sample.select(col("vec_id").as("q_id"), col("ed"),
         col("nrm")).as("q")), col("q.q_id") =!= col("c.vec_id"))
@@ -335,7 +405,7 @@ object Similarity {
     val exact = topK(exactScored, K).select(col("q_id"), col("n_id"))
     val nExact = exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
     val perCap = GraphRecallCaps.map { cap =>
-      val approx = graphSampleEdges(bv, sample, cap)
+      val approx = graphSampleEdges(base, codes, cap)
       val hits = exact.join(approx, Seq("q_id", "n_id"))
         .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
       nExact.join(hits, Seq("q_id"), "left")
@@ -347,50 +417,39 @@ object Similarity {
   }
 
   /** The production [[knnGraph]] candidate rule replayed for a bounded
-    * node sample under an explicit cap: per-bucket cell split from the
-    * FULL bucketed corpus `bv`, broadcast-probed by `sample`, bounded-heap
-    * top-k → `(q_id, n_id)` edges. `Round9OpsSpec` pins that at
-    * cap=[[GraphCell]] these edges equal [[knnGraph]]'s own edges for the
-    * same nodes — so [[knnGraphRecall]] measures the graph that ships,
-    * not a reimplementation that could drift. */
-  private[graft] def graphSampleEdges(bv: DataFrame, sample: DataFrame,
+    * node sample under an explicit cap: per-table cell splits from the
+    * FULL slim code frame, q side restricted to the sample before the
+    * pair dedupe, exact rescore, bounded-heap top-k → `(q_id, n_id)`
+    * edges. `Round9OpsSpec` pins that at cap=[[GraphCell]] these edges
+    * equal [[knnGraph]]'s own edges for the same nodes — so
+    * [[knnGraphRecall]] measures the graph that ships, not a
+    * reimplementation that could drift. */
+  private[graft] def graphSampleEdges(base: DataFrame, codes: DataFrame,
                                       cap: Int): DataFrame = {
-    val divisors = bucketDivisors(bv, cap)
-    val q = withCells(sample, divisors)
-      .select(col("vec_id").as("q_id"), col("ed"), col("nrm"),
-        col("bucket"), col("cell"))
-    val scored = withCells(bv, divisors).as("c")
-      .join(broadcast(q.as("q")),
-        col("q.bucket") === col("c.bucket") && col("q.cell") === col("c.cell") &&
-          col("q.q_id") =!= col("c.vec_id"))
-      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
-        round(cosAB, 6).as("cosine"))
-    topK(scored, K).select(col("q_id"), col("n_id"))
+    val cc = withCells(codes, bucketDivisors(codes, cap))
+    val pairs = cc.filter(col("vec_id") < GraphRecallNQ)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"), col("cell"))
+      .join(cc.select(col("vec_id").as("n_id"), col("tbl"), col("bucket"),
+        col("cell")), Seq("tbl", "bucket", "cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id")).distinct()
+    topK(scorePairs(pairs, base), K).select(col("q_id"), col("n_id"))
   }
 
-  /** Bucketed corpus + bounded node sample for [[knnGraphRecall]] — the
-    * same `(vec_id, ed, nrm, bucket)` frame [[knnGraphFrame]] builds. */
+  /** Vector base + slim multi-table code frame for [[knnGraphRecall]] —
+    * the same frames [[knnGraphFrame]] builds. */
   private[graft] def graphRecallFrames(spark: SparkSession,
                                        dir: String): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(spark)
-    val bv = codedFrame(Tables.embeddings(spark, dir))
-    (bv, bv.filter(col("vec_id") < GraphRecallNQ))
+    val base = vecBase(Tables.embeddings(spark, dir))
+    (base, codedTables(base, GraphTables))
   }
 
   val knnGraphRecallSql: String = {
     val capCtes = GraphRecallCaps.map { cap =>
-      s"""${graphCellsSql(s"$cap", cap)},
-        |g$cap AS (
-        |  SELECT q.q_id, c.n_id, round($cosABSql, 6) AS cosine
-        |  FROM (SELECT vec_id AS q_id, emb, nrm, bucket, cell
-        |        FROM bvc$cap WHERE vec_id < $GraphRecallNQ) q
-        |  JOIN (SELECT vec_id AS n_id, emb, nrm, bucket, cell FROM bvc$cap) c
-        |    ON q.bucket = c.bucket AND q.cell = c.cell AND c.n_id <> q.q_id),
-        |gt$cap AS (
-        |  SELECT q_id, n_id FROM (
-        |    SELECT q_id, n_id,
-        |           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS r
-        |    FROM g$cap) t WHERE r <= $K),
+      s"""${graphPairsSql(s"_$cap", cap, s"WHERE q.vec_id < $GraphRecallNQ")},
+        |${graphTopKSql(s"_$cap")},
+        |gt$cap AS (SELECT q_id, n_id FROM ranked_$cap WHERE rank <= $K),
         |h$cap AS (
         |  SELECT e.q_id, count(*) AS n_hits
         |  FROM etop e JOIN gt$cap g ON e.q_id = g.q_id AND e.n_id = g.n_id
@@ -404,7 +463,7 @@ object Similarity {
       .mkString("\nUNION ALL ")
     s"""WITH $normedSql,
       |$graphCodeCtesSql,
-      |sample AS (SELECT * FROM bvb WHERE vec_id < $GraphRecallNQ),
+      |sample AS (SELECT * FROM normed WHERE vec_id < $GraphRecallNQ),
       |escored AS (
       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, round($cosABSql, 6) AS cosine
       |  FROM sample q JOIN normed c ON c.vec_id <> q.vec_id),
@@ -445,7 +504,7 @@ object Similarity {
   def knnGraphRefine(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val vectors = Tables.embeddings(spark, dir)
-    val bv = codedFrame(vectors)
+    val base = vecBase(vectors)
     val edges = knnGraphFrame(spark, vectors)
       .select(col("q_id"), col("n_id"), col("cosine"))
     val fwd = edges.select(col("q_id").as("src"), col("n_id").as("dst"))
@@ -461,15 +520,7 @@ object Similarity {
       .join(adj.as("b"), col("a.dst") === col("b.src") && col("a.src") =!= col("b.dst"))
       .select(col("a.src").as("q_id"), col("b.dst").as("n_id"))
     val pairs = cand.unionByName(edges.select(col("q_id"), col("n_id"))).distinct()
-    val qv = bv.select(col("vec_id").as("q_id"), col("ed").as("q_ed"),
-      col("nrm").as("q_nrm"))
-    val nv = bv.select(col("vec_id").as("n_id"), col("ed").as("n_ed"),
-      col("nrm").as("n_nrm"))
-    val scored = pairs.join(qv, "q_id").join(nv, "n_id")
-      .select(col("q_id"), col("n_id"),
-        round(graft.functions.GraftFunctions.dotp(col("q_ed"), col("n_ed")) /
-          (col("q_nrm") * col("n_nrm")), 6).as("cosine"))
-    topK(scored, K)
+    topK(scorePairs(pairs, base), K)
   }
 
   /** CTE chain shared by the refine oracle and its recall gate: graph
@@ -477,17 +528,9 @@ object Similarity {
     * (`q_id, rank, n_id, cosine`, rank ≤ [[K]]). */
   private def refineCtesSql: String =
     s"""$graphCodeCtesSql,
-      |${graphCellsSql("", GraphCell)},
-      |scored0 AS (
-      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-      |         round($cosABSql, 6) AS cosine
-      |  FROM bvc q JOIN bvc c
-      |    ON q.bucket = c.bucket AND q.cell = c.cell AND c.vec_id <> q.vec_id),
-      |g AS (
-      |  SELECT q_id, n_id, cosine FROM (
-      |    SELECT q_id, n_id, cosine,
-      |           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS r
-      |    FROM scored0) t WHERE r <= $K),
+      |${graphPairsSql("_g", GraphCell)},
+      |${graphTopKSql("_g")},
+      |g AS (SELECT q_id, n_id, cosine FROM ranked_g WHERE rank <= $K),
       |fwd AS (SELECT q_id AS src, n_id AS dst FROM g),
       |revc AS (
       |  SELECT src, dst FROM (
@@ -529,7 +572,7 @@ object Similarity {
   def knnGraphRefineRecall(spark: SparkSession, dir: String): DataFrame = {
     val refined = knnGraphRefine(spark, dir)
       .filter(col("q_id") < GraphRecallNQ).select(col("q_id"), col("n_id"))
-    val sample = codedFrame(Tables.embeddings(spark, dir))
+    val sample = vecBase(Tables.embeddings(spark, dir))
       .filter(col("vec_id") < GraphRecallNQ)
     val exactScored = normed(spark, dir).as("c")
       .join(broadcast(sample.select(col("vec_id").as("q_id"), col("ed"),

@@ -25,9 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_hyperplane_bucket8", "_FUNC_(array<double>) - 8-plane LSH bucket id"),
       (args: Seq[Expression]) => HyperplaneBucket8(args.head)))
     ext.injectFunction((FunctionIdentifier("graft_hyperplane_code"),
-      info("graft_hyperplane_code", "_FUNC_(array<double>, planes) - n-plane LSH code (prefix-compatible with the 8-plane bucket)"),
+      info("graft_hyperplane_code", "_FUNC_(array<double>, start, planes) - n-plane LSH code over planes [start, start+planes) (start=0 is prefix-compatible with the 8-plane bucket)"),
       (args: Seq[Expression]) => HyperplaneCode(args(0),
-        args(1).eval().asInstanceOf[Int])))
+        args(1).eval().asInstanceOf[Int],
+        args(2).eval().asInstanceOf[Int])))
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", "_FUNC_(array<double>, array<double>) - sequential dot product"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))

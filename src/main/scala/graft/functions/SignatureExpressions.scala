@@ -124,7 +124,7 @@ object Sig {
     * ±1 parity signs of [[Portable.planeSign]], projections summed in
     * index order so the IEEE result is bit-identical to the
     * declarative/oracle forms. */
-  def hyperplane8(arr: ArrayData): Long = hyperplaneCode(arr, 8)
+  def hyperplane8(arr: ArrayData): Long = hyperplaneCode(arr, 0, 8)
 
   /** Precomputed [[Portable.planeSign]] coefficients (they are constants
     * of (plane, dim)): parity of the CUBED hash — see the planeSign doc
@@ -132,27 +132,28 @@ object Sig {
     * to 4 effective buckets). Covers every plane/dim the kernels use;
     * out-of-range falls back to the formula. */
   private final val PlaneSigns: Array[Array[Double]] =
-    Array.tabulate(32, 256) { (p, i) =>
+    Array.tabulate(128, 256) { (p, i) =>
       val h = hashJ(i + 13L, p)
       if (h * h % P * h % P % 2 == 0) 1.0 else -1.0
     }
 
   @inline private def planeSign(p: Int, i: Int): Double =
-    if (p < 32 && i < 256) PlaneSigns(p)(i)
+    if (p < 128 && i < 256) PlaneSigns(p)(i)
     else { val h = hashJ(i + 13L, p); if (h * h % P * h % P % 2 == 0) 1.0 else -1.0 }
 
-  /** `planes`-bit random-hyperplane code (MSB-first, plane 0 highest):
-    * the generalization of [[hyperplane8]] — the top 8 bits of a
-    * `planes >= 8` code ARE the [[hyperplane8]] bucket (same plane
-    * sequence, same fold order), so a deeper code refines the coarse
-    * bucket rather than re-hashing it. Used by the kNN-graph cell split:
-    * oversized buckets subdivide along ADDITIONAL hyperplane bits
-    * (similarity-preserving) instead of by row id (similarity-blind). */
-  def hyperplaneCode(arr: ArrayData, planes: Int): Long = {
+  /** `planes`-bit random-hyperplane code over planes `[start, start +
+    * planes)` (MSB-first, plane `start` highest). With `start = 0` the
+    * top 8 bits of a `planes >= 8` code ARE the [[hyperplane8]] bucket
+    * (same plane sequence, same fold order), so a deeper code refines
+    * the coarse bucket rather than re-hashing it; a nonzero `start`
+    * yields an INDEPENDENT code table (disjoint plane set) — the
+    * multi-table LSH the kNN graph unions candidates across. */
+  def hyperplaneCode(arr: ArrayData, start: Int, planes: Int): Long = {
     val n = arr.numElements()
     var code = 0L
-    var p = 0
-    while (p < planes) {
+    var p = start
+    val end = start + planes
+    while (p < end) {
       var proj = 0.0
       var i = 0
       while (i < n) {
@@ -548,14 +549,16 @@ case class HyperplaneBucket8(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): HyperplaneBucket8 = copy(child = c)
 }
 
-/** `graft_hyperplane_code(array<double>, planes) -> long` — see
-  * [[Sig.hyperplaneCode]]; `planes` must be a foldable int literal. */
-case class HyperplaneCode(child: Expression, planes: Int) extends UnaryExpression {
+/** `graft_hyperplane_code(array<double>, start, planes) -> long` — see
+  * [[Sig.hyperplaneCode]]; `start`/`planes` must be foldable int
+  * literals. */
+case class HyperplaneCode(child: Expression, start: Int, planes: Int)
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
-    Sig.hyperplaneCode(input.asInstanceOf[ArrayData], planes)
+    Sig.hyperplaneCode(input.asInstanceOf[ArrayData], start, planes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Sig.hyperplaneCode($c, $planes)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sig.hyperplaneCode($c, $start, $planes)")
   override protected def withNewChildInternal(c: Expression): HyperplaneCode = copy(child = c)
 }
 
@@ -689,7 +692,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => HyperplaneBucket8(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_hyperplane_code",
       (args: Seq[Expression]) => HyperplaneCode(args(0),
-        args(1).eval().asInstanceOf[Int]), "built-in")
+        args(1).eval().asInstanceOf[Int],
+        args(2).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_dot",
       (args: Seq[Expression]) => DotProduct(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_l2sq",
@@ -717,8 +721,10 @@ object GraftFunctions {
   def minhash32(c: Column): Column = call_function("graft_minhash32", c)
   def simhash63(c: Column): Column = call_function("graft_simhash63", c)
   def hyperplaneBucket8(c: Column): Column = call_function("graft_hyperplane_bucket8", c)
-  def hyperplaneCode(c: Column, planes: Int): Column =
-    call_function("graft_hyperplane_code", c, org.apache.spark.sql.functions.lit(planes))
+  def hyperplaneCode(c: Column, start: Int, planes: Int): Column =
+    call_function("graft_hyperplane_code", c,
+      org.apache.spark.sql.functions.lit(start),
+      org.apache.spark.sql.functions.lit(planes))
   def dotp(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def l2sq(a: Column, b: Column): Column = call_function("graft_l2sq", a, b)
   def ngrams(toks: Column, n: Int, distinct: Boolean): Column =

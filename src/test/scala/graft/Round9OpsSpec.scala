@@ -47,8 +47,8 @@ class Round9OpsSpec extends AnyFunSuite {
     // The whole point of the gate: it must measure the graph knnGraph
     // ships, not a reimplementation that could drift. Edge sets for the
     // sampled nodes must be identical.
-    val (bv, sample) = Similarity.graphRecallFrames(spark, sf)
-    val evalEdges = Similarity.graphSampleEdges(bv, sample, Similarity.GraphCell)
+    val (base, codes) = Similarity.graphRecallFrames(spark, sf)
+    val evalEdges = Similarity.graphSampleEdges(base, codes, Similarity.GraphCell)
     val shipped = Similarity.knnGraph(spark, sf)
       .filter(col("q_id") < Similarity.GraphRecallNQ)
       .select("q_id", "n_id")
@@ -87,23 +87,26 @@ class Round9OpsSpec extends AnyFunSuite {
     } :+ (20000L, base) :+ (20001L, twin)
     val df = vecs.toDF("vec_id", "embedding")
     val bvc = Similarity.knnGraphCellsForSpec(df, Similarity.GraphCell)
-      .select("vec_id", "bucket", "cell").collect()
-    val byBucket = bvc.groupBy(_.getLong(1))
+      .select("vec_id", "tbl", "bucket", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byBucket = bvc.groupBy(r => (r._2, r._3))
     val split = byBucket.filter { case (_, rows) =>
-      rows.map(_.getLong(2)).distinct.length > 1 }
+      rows.map(_._4).distinct.length > 1 }
     assert(split.nonEmpty, "no bucket split on a 20k corpus — cap inactive")
     // candidate budget holds in aggregate on near-uniform data: the
     // largest cell stays within a small factor of the cap (hyperplane
     // bits halve a random bucket per extra bit; only degenerate
     // identical-vector corpora defeat the split)
     val maxCell = byBucket.values.flatMap(
-      _.groupBy(_.getLong(2)).values.map(_.length)).max
+      _.groupBy(_._4).values.map(_.size)).max
     assert(maxCell <= 4 * Similarity.GraphCell,
       s"largest cell $maxCell blows the ${Similarity.GraphCell} budget")
-    val Seq(a, b) = bvc.filter(r => r.getLong(0) >= 20000L).toSeq
-      .sortBy(_.getLong(0))
-    assert(a.getLong(1) == b.getLong(1) && a.getLong(2) == b.getLong(2),
-      s"near-duplicate pair separated: ($a) vs ($b)")
+    // the planted pair must share (bucket, cell) in EVERY table
+    val planted = bvc.filter(_._1 >= 20000L).groupBy(_._2)
+    planted.foreach { case (tbl, rows) =>
+      assert(rows.map(r => (r._3, r._4)).distinct.length == 1,
+        s"near-duplicate pair separated in table $tbl: ${rows.toSeq}")
+    }
   }
 
   test("knn_graph_recall ground truth is one broadcast pass, no wide shuffle of the corpus") {

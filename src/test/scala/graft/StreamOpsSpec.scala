@@ -345,8 +345,12 @@ class StreamOpsSpec extends AnyFunSuite {
         .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
         .as[(Long, Int, Long, Double)].collect().toSet
 
+      // tables = 1: the stream maintains the single-table (8-bit bucket)
+      // build; the multi-table batch graph unions candidates the
+      // one-bucket state never sees
       val unionDf = all.toSeq.toDF("vec_id", "embedding")
-      val expected = graft.analytics.Similarity.knnGraphFrame(spark, unionDf)
+      val expected = graft.analytics.Similarity
+        .knnGraphFrame(spark, unionDf, tables = 1)
         .as[(Long, Int, Long, Double)].collect().toSet
       assert(latest == expected,
         "maintained graph must be bit-equal to the batch graph on the union")
