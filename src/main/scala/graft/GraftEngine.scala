@@ -134,3 +134,37 @@ class GraftEngine(spark: SparkSession, val config: GraftConfig) {
     failures
   }
 }
+
+object GraftEngine {
+
+  /** Register the ANALYTICS suite as a SQL TABLE function, completing the
+    * SQL-only surface that [[GraftEngine.registerSqlSurface]] opens for
+    * search/listing: every operator in [[SparkEntry.queries]] becomes
+    * drivable from plain SQL with zero Scala —
+    *
+    * {{{
+    * SELECT * FROM graft_query('q5_join')
+    * SELECT n_name FROM graft_query('q5_join') WHERE revenue > 0
+    * }}}
+    *
+    * Same mechanism as `graft_search`: the builder resolves the literal
+    * name against [[SparkEntry.queries]] at ANALYSIS time and splices in
+    * the operator's own logical plan, so the SQL face plans IDENTICALLY
+    * to the Scala face (asserted plan-for-plan in `SqlSurfaceSpec`) and
+    * composes like any relation — outer filters/projections push INTO the
+    * spliced plan through Catalyst as if the user had written the
+    * DataFrame chain themselves.
+    */
+  def registerAnalyticsSurface(spark: SparkSession, sfDir: String): Unit = {
+    val reg = spark.sessionState.tableFunctionRegistry
+    reg.createOrReplaceTempFunction("graft_query", args => {
+      require(args.length == 1, "usage: graft_query(name)")
+      require(args.head.foldable, "graft_query: name must be a literal")
+      val name = Option(args.head.eval()).map(_.toString).getOrElse("")
+      val fn = SparkEntry.queries.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"graft_query: unknown query '$name' (${SparkEntry.queries.size} known keys — see SURVEY.md §2)"))
+      fn(spark, sfDir).queryExecution.logical
+    }, "built-in")
+  }
+}

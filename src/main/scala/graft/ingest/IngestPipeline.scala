@@ -63,14 +63,20 @@ object IngestPipeline {
   def fromKafkaFrame(kafka: DataFrame): DataFrame =
     kafka.select(col("value").cast("string").as("value"))
 
-  /** One JSON envelope per line under `inputDir` → landing. */
+  /** One JSON envelope per line under `inputDir` → landing.
+    * `sourceOptions` passes file-source knobs through (e.g.
+    * `maxFilesPerTrigger` to bound the micro-batch size — the file
+    * journal's analogue of the Kafka source's `maxOffsetsPerTrigger`).
+    */
   def fileJournalStream(spark: SparkSession, inputDir: String, landingDir: String,
                         checkpointDir: String,
                         trigger: Trigger = Trigger.AvailableNow(),
                         excludeBucket: String = "",
-                        groupInterval: Long = 10000L): StreamingQuery = {
+                        groupInterval: Long = 10000L,
+                        sourceOptions: Map[String, String] = Map.empty): StreamingQuery = {
     val raw = spark.readStream
       .schema(rawSchema)
+      .options(sourceOptions)
       .text(inputDir)
     writeLanding(EventParser.parse(raw, "value", excludeBucket, groupInterval),
       landingDir, checkpointDir, trigger)

@@ -1,0 +1,100 @@
+package graft.tools
+
+import graft.{CurationPipeline, Tables}
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end wall time of the assembled curation pipeline — users run
+  * [[graft.CurationPipeline]], not 113 separate queries, so the facade
+  * gets its own measured cost at a large scale point, per stage:
+  *
+  *  1. `exact` — content-hash duplicate ids (one shuffle on the hash);
+  *  2. `near` — MinHash-LSH cluster losers minus stage-1's ids (first
+  *     touch pays the shared-stage DerivedZone builds: signatures, pair
+  *     table, pointer-jumped components);
+  *  3. `curate_write` — anti-join both drop lists, quality floor, write
+  *     the curated corpus partitioned by lang;
+  *  4. `audit` — re-read + count the published output.
+  *
+  * The chain runs TWICE: run 1 is the cold cost (zone builds included —
+  * the number a first-time user pays), run 2 is the steady state a
+  * resident deployment sees (zones served from disk). Per-stage wall,
+  * rows in/out and the audit counts print as one JSON line; the audit
+  * must tile (stage counts sum to total) or the run fails loudly.
+  *
+  * Usage: `runMain graft.tools.CurationBench <corpusDir> [minQuality]`
+  */
+object CurationBench {
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def once(spark: SparkSession, corpus: String, minQuality: Double,
+                   outDir: String): (String, Map[String, Long]) = {
+    val p = new CurationPipeline(spark, corpus)
+    val (total, tTotal) = timed(Tables.documents(spark, corpus).count())
+    val exactIds = p.exactDupIds().localCheckpoint()
+    val (exact, tExact) = timed(exactIds.count())
+    val nearIds = p.nearDupIds()
+      .join(exactIds, Seq("doc_id"), "left_anti").localCheckpoint()
+    val (near, tNear) = timed(nearIds.count())
+    val (_, tWrite) = timed {
+      p.curated(minQuality).write.mode("overwrite")
+        .partitionBy("lang").parquet(outDir)
+    }
+    val (kept, tAudit) = timed(spark.read.parquet(outDir).count())
+    val quality = total - exact - near - kept
+    require(quality >= 0 && exact + near + quality + kept == total,
+      s"audit does not tile: total=$total exact=$exact near=$near kept=$kept")
+    val stages = Seq(
+      ("scan", tTotal, total), ("exact", tExact, exact),
+      ("near", tNear, near), ("curate_write", tWrite, kept),
+      ("audit", tAudit, kept))
+    val stagesJson = stages.map { case (n, t, r) =>
+      s"""{"stage":"$n","wall_sec":${"%.2f".format(t)},"rows":$r}"""
+    }.mkString("[", ",", "]")
+    (stagesJson, Map("total_docs" -> total, "exact_dups_removed" -> exact,
+      "near_dups_removed" -> near, "quality_filtered" -> quality,
+      "kept" -> kept))
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: CurationBench <corpusDir> [minQuality]")
+    val corpus = args(0)
+    val minQuality = if (args.length > 1) args(1).toDouble else 0.35
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-curation-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.network.timeout", "600s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_curation_bench").resolve("out").toString
+      val t0 = System.nanoTime()
+      val (coldStages, audit) = once(spark, corpus, minQuality, outDir)
+      val coldWall = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val (warmStages, audit2) = once(spark, corpus, minQuality, outDir)
+      val warmWall = (System.nanoTime() - t1) / 1e9
+      require(audit == audit2, s"non-deterministic audit: $audit vs $audit2")
+      val auditJson = audit.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      val json =
+        s"""{"metric":"curation_bench","corpus":"$corpus","min_quality":$minQuality,""" +
+          s""""cold_wall_sec":${"%.2f".format(coldWall)},""" +
+          s""""warm_wall_sec":${"%.2f".format(warmWall)},""" +
+          s""""cold_stages":$coldStages,"warm_stages":$warmStages,""" +
+          s""""audit":$auditJson,""" +
+          s""""generated_at":"${java.time.Instant.now()}","commit":"${graft.Bench.gitCommit()}"}"""
+      println(json)
+      sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n"))
+    } finally spark.stop()
+  }
+}

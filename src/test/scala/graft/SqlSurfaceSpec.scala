@@ -86,6 +86,49 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(joined.count() == 25)
   }
 
+  test("analytics suite drives from pure SQL with plan-identical results") {
+    GraftEngine.registerAnalyticsSurface(spark, sf)
+    // a representative slice spanning §2.2 (relational + events), §2.3
+    // (dedup), §2.4 (ANN) and §2.5 (text) — each asserted PLAN-identical
+    // (canonicalized sameResult) and row-identical to the Scala face
+    val slice = Seq(
+      "q1_agg", "q5_join", "q_window_topk", "events_funnel", // §2.2
+      "dedup_exact", "dedup_minhash_lsh",                    // §2.3
+      "knn_lsh", "knn_brute",                                // §2.4
+      "text_quality", "corpus_mixture")                      // §2.5
+    for (k <- slice) {
+      val api = SparkEntry.queries(k)(spark, sf)
+      val sql = spark.sql(s"SELECT * FROM graft_query('$k')")
+      assert(sql.queryExecution.optimizedPlan.sameResult(api.queryExecution.optimizedPlan),
+        s"$k: the SQL face plans differently from the Scala face")
+      assert(sql.collect().toSeq == api.collect().toSeq,
+        s"$k: the SQL face returns different rows than the Scala face")
+    }
+    // checkpoint-backed operators (knn_pq's codebook, dedup_clusters'
+    // pointer-jump rounds) embed run-specific materialized RDDs, so two
+    // invocations canonicalize differently BY DESIGN — the SQL face still
+    // returns identical rows
+    for (k <- Seq("knn_pq", "dedup_clusters")) {
+      val api = SparkEntry.queries(k)(spark, sf).collect().toSeq
+      val sql = spark.sql(s"SELECT * FROM graft_query('$k')").collect().toSeq
+      assert(sql == api, s"$k: the SQL face returns different rows")
+    }
+    // the spliced plan composes like any relation: outer operators apply
+    // on top, and the whole thing stays one Catalyst-planned query
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM graft_query('q1_agg')").head().getLong(0)
+    assert(n == SparkEntry.queries("q1_agg")(spark, sf).count())
+    val joined = spark.sql(
+      """SELECT a.l_returnflag FROM graft_query('q1_agg') a
+        |JOIN graft_query('q1_agg') b ON a.l_returnflag = b.l_returnflag
+        |  AND a.l_linestatus = b.l_linestatus
+        |ORDER BY 1""".stripMargin)
+    assert(joined.count() == n)
+    // unknown keys fail at analysis with the full key inventory, not at run
+    val err = intercept[Exception](spark.sql("SELECT * FROM graft_query('nope')"))
+    assert(err.getMessage.contains("unknown query"))
+  }
+
   test("pushdown and pruning survive the view layer") {
     Tables.registerAll(spark, sf)
     val q = spark.sql("SELECT doc_id, lang FROM documents WHERE doc_id < 10")
