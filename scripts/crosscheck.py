@@ -42,8 +42,23 @@ def normalize(df: pd.DataFrame) -> list:
 def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single-file parquet; Spark-written derived
+        # dirs (tools/ScaleData) are directories of part files
+        path = f"{sf_dir}/{t}.parquet"
+        import os
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        sel = "*"
+        if t == "events":
+            # ScaleData-derived dirs store ts as canonical epoch-nanos
+            # LONG (the engine's own wire form via Tables.normalizeEventTs);
+            # oracle SQL speaks epoch_ns(ts) over a timestamp, so surface
+            # the long back as TIMESTAMP (values are µs-resolution, the
+            # //1000 is lossless)
+            typ = con.sql(f"SELECT typeof(ts) FROM '{path}' LIMIT 1").fetchone()[0]
+            if typ == "BIGINT":
+                sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
+        con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     report = {}

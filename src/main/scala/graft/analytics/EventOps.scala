@@ -442,10 +442,21 @@ object EventOps {
   /** Gap sessionization through Spark's NATIVE `session_window` aggregate
     * (the mechanism streaming session aggs use), proven equivalent to the
     * lag+cumsum formulation by the oracle: DuckDB recomputes the sessions
-    * classically and must agree on every boundary. Session windows are
+    * classically and must agree on every boundary.
+    *
+    * Boundary semantics, measured not assumed: this engine's sessions are
     * half-open — an event exactly `gap` after the last one opens a NEW
-    * session, so the oracle's new-session predicate is `gap >= 1800`,
-    * and `session_window.end` is `last event + gap`.
+    * session (`events_sessionize`'s `gap >= 1800` predicate, and the
+    * oracle here). Spark's native `session_window` merges
+    * adjacency-INCLUSIVE instead (two per-event windows merge when
+    * `start == end`, i.e. a gap of exactly `gap` still merges) — invisible
+    * at the sf0.01 gate, caught by the sf1 crosscheck where a denser
+    * timeline produced an exact-1800 s whole-second gap (user 511,
+    * VERIFY_SF1). On second-floored timestamps the half-open 1800 s
+    * session is EXACTLY a closed 1799 s one (`gap_sec ≤ 1799 ⟺
+    * gap_sec < 1800`), so the window uses 1799 s and the emitted end is
+    * `sw.end + 1 s = last + 1800` — same native operator, same plan
+    * shape, engine-consistent boundaries.
     *
     * Scale shape: one shuffle on `user_id` and a single per-partition
     * merge pass — no window-function sort followed by a regroup, which is
@@ -455,11 +466,12 @@ object EventOps {
     withSec(Tables.events(spark, dir))
       .select(col("user_id"), timestamp_seconds(col("sec")).as("ts_sec"),
         cents(col("value")).as("v_c"))
-      .groupBy(col("user_id"), session_window(col("ts_sec"), "30 minutes").as("sw"))
+      .groupBy(col("user_id"), session_window(col("ts_sec"), "1799 seconds").as("sw"))
       .agg(count(lit(1)).as("n_events"), (sum(col("v_c")) / 100.0).as("sum_value"))
       .select(col("user_id"),
         date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
-        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("end_ts"),
+        date_format(col("sw.end") + expr("INTERVAL 1 SECOND"),
+          "yyyy-MM-dd HH:mm:ss").as("end_ts"),
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "start_ts")
   }

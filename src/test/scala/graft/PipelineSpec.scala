@@ -40,6 +40,26 @@ class IngestPipelineSpec extends AnyFunSuite {
     q2.awaitTermination()
     assert(spark.read.parquet(landing).count() == 80)
   }
+
+  test("maxFilesPerTrigger paces the journal into one micro-batch per file") {
+    val in = SparkTestSession.tempDir("paced-journal")
+    val landing = SparkTestSession.tempDir("paced-landing")
+    val ckpt = SparkTestSession.tempDir("paced-ckpt")
+    val lines = Populator.journalLines(spark, "pb", 10).as[String].collect()
+    (0 until 3).foreach(i =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/f$i.json"),
+        lines.mkString("\n").getBytes))
+    // the file journal's analogue of maxOffsetsPerTrigger: AvailableNow
+    // drains everything, but per-batch size stays bounded — the knob
+    // IngestBench uses for deterministic batch boundaries
+    val q = IngestPipeline.fileJournalStream(spark, in, landing, ckpt,
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    q.awaitTermination()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 3, s"expected 3 paced micro-batches, saw ${batches.length}")
+    assert(batches.forall(_.numInputRows == 10))
+    assert(spark.read.parquet(landing).count() == 30)
+  }
 }
 
 class KafkaIngestSpec extends AnyFunSuite {
