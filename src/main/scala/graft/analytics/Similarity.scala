@@ -26,10 +26,10 @@ object Similarity {
 
   /** Bounded-heap top-k per `q_id` over `scored(q_id, n_id, cosine)`,
     * ordered (cosine DESC, n_id ASC), emitted as ranked rows. */
-  private def topK(scored: DataFrame, k: Int): DataFrame =
+  private def topK(scored: DataFrame, k: Int, dedupeIds: Boolean = false): DataFrame =
     scored.groupBy("q_id")
       .agg(graft.functions.GraftFunctions
-        .topk(struct(col("cosine"), col("n_id")), k).as("tk"))
+        .topk(struct(col("cosine"), col("n_id")), k, dedupeIds).as("tk"))
       .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "t")))
       .select(col("q_id"), (col("pos") + 1).as("rank"),
         col("t.id").as("n_id"), col("t.score").as("cosine"))
@@ -289,13 +289,42 @@ object Similarity {
     * maintains the `tables = 1` build (state keyed by the single 8-bit
     * bucket) and is spec-checked bit-equal against it on the union of
     * its micro-batches; the multi-table extension of the stream is T
-    * keyed states per arrival. */
+    * keyed states per arrival.
+    *
+    * Scoring is FUSED into the cell self-join: the vector payload
+    * attaches once per (vector, table) row, so the only FAT exchange is
+    * the cell join's N·T rows — linear in the corpus — and the ~T·cap·N
+    * pair stream exists only inside the join stage, collapsing straight
+    * into the map-side `graft_topk` partial aggregate (with
+    * `dedupeIds`: a pair co-occurring in several tables carries the
+    * same exact cosine, so heap id-dedupe ≡ pair-distinct, minus the
+    * distinct's shuffle). The previous shape — slim id pairs, distinct,
+    * THEN re-join both vector payloads — shuffled the ~T·cap·N pair
+    * stream fat (pair rows × 64-double payloads, ≈55× more exchange
+    * bytes than the corpus itself): fine while it fit in executor
+    * memory, a spill cliff past it (measured on the isolated ×300 leg,
+    * best-of-3: 15.05 s → 225.8 s for 3× data from ×100; this form
+    * measures 2.98 s → 12.65 s on identical data — 5×/18× faster and
+    * back near the linear-work line). */
   private[graft] def knnGraphFrame(spark: SparkSession, vectors: DataFrame,
                                    tables: Int = GraphTables): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val base = vecBase(vectors)
-    val pairs = graphPairs(codedTables(base, tables), GraphCell)
-    topK(scorePairs(pairs, base), K)
+    val codes = codedTables(base, tables)
+    val cc = withCells(codes, bucketDivisors(codes, GraphCell))
+      .join(base, "vec_id")
+      .select(col("vec_id"), col("tbl"), col("bucket"), col("cell"),
+        col("ed"), col("nrm"))
+    val scored = cc.select(col("vec_id").as("q_id"), col("tbl"), col("bucket"),
+        col("cell"), col("ed").as("q_ed"), col("nrm").as("q_nrm"))
+      .join(cc.select(col("vec_id").as("n_id"), col("tbl"), col("bucket"),
+        col("cell"), col("ed").as("n_ed"), col("nrm").as("n_nrm")),
+        Seq("tbl", "bucket", "cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(graft.functions.GraftFunctions.dotp(col("q_ed"), col("n_ed")) /
+          (col("q_nrm") * col("n_nrm")), 6).as("cosine"))
+    topK(scored, K, dedupeIds = true)
   }
 
   /** DuckDB twin of [[codedTables]]: one `bvb$t(vec_id, code, bucket)`

@@ -41,9 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         args(1).eval().asInstanceOf[Int],
         args(2).eval().asInstanceOf[Boolean])))
     ext.injectFunction((FunctionIdentifier("graft_topk"),
-      info("graft_topk", "_FUNC_(struct<score,id>, k) - bounded-heap top-k aggregate"),
+      info("graft_topk",
+        "_FUNC_(struct<score,id>, k[, dedupe_ids]) - bounded-heap top-k aggregate"),
       (args: Seq[Expression]) => TopKByScore(args(0),
-        args(1).eval().asInstanceOf[Int])))
+        args(1).eval().asInstanceOf[Int],
+        args.length > 2 && args(2).eval().asInstanceOf[Boolean])))
     ext.injectFunction((FunctionIdentifier("graft_polyhash"),
       info("graft_polyhash", "_FUNC_(string) - portable polynomial string hash"),
       (args: Seq[Expression]) => PolyHashExpr(args.head)))

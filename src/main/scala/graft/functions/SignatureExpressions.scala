@@ -704,7 +704,8 @@ object GraftFunctions {
         args(2).eval().asInstanceOf[Boolean]), "built-in")
     reg.createOrReplaceTempFunction("graft_topk",
       (args: Seq[Expression]) => TopKByScore(args(0),
-        args(1).eval().asInstanceOf[Int]), "built-in")
+        args(1).eval().asInstanceOf[Int],
+        args.length > 2 && args(2).eval().asInstanceOf[Boolean]), "built-in")
     reg.createOrReplaceTempFunction("graft_polyhash",
       (args: Seq[Expression]) => PolyHashExpr(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_normalize",
@@ -731,8 +732,13 @@ object GraftFunctions {
     call_function("graft_ngrams", toks,
       org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(distinct))
   /** Bounded-heap top-k aggregate — see [[TopKByScore]]. */
-  def topk(scoreAndId: Column, k: Int): Column =
-    call_function("graft_topk", scoreAndId, org.apache.spark.sql.functions.lit(k))
+  def topk(scoreAndId: Column, k: Int, dedupeIds: Boolean = false): Column =
+    if (dedupeIds)
+      call_function("graft_topk", scoreAndId,
+        org.apache.spark.sql.functions.lit(k),
+        org.apache.spark.sql.functions.lit(true))
+    else
+      call_function("graft_topk", scoreAndId, org.apache.spark.sql.functions.lit(k))
   def polyhash(c: Column): Column = call_function("graft_polyhash", c)
   def normalize(c: Column): Column = call_function("graft_normalize", c)
   def tokenStats(c: Column): Column = call_function("graft_token_stats", c)

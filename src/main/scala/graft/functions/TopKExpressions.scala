@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   * admission against a full buffer is one comparison and eviction is
   * O(log k). Used as the aggregation state of [[TopKByScore]].
   */
-final class TopKHeap(val k: Int) {
+final class TopKHeap(val k: Int, val dedupeIds: Boolean = false) {
   // parallel primitive arrays, worst-at-root heap — no boxing in update
   private val scores = new Array[Double](k)
   private val ids = new Array[Long](k)
@@ -37,8 +37,8 @@ final class TopKHeap(val k: Int) {
     }
   }
 
-  private def siftDown(): Unit = {
-    var i = 0
+  private def siftDown(start: Int = 0): Unit = {
+    var i = start
     while (true) {
       val l = 2 * i + 1
       val r = l + 1
@@ -54,6 +54,22 @@ final class TopKHeap(val k: Int) {
   }
 
   def add(score: Double, id: Long): Unit = {
+    if (dedupeIds) {
+      // an id already in the buffer may not occupy a second slot — keep
+      // its best score (O(k) scan; k is small for every dedupe user, and
+      // the scan replaces a whole distinct() shuffle upstream)
+      var i = 0
+      while (i < n) {
+        if (ids(i) == id) {
+          if (worse(scores(i), ids(i), score, id)) {
+            scores(i) = score
+            siftDown(i) // score improved: node may now be better than a child
+          }
+          return
+        }
+        i += 1
+      }
+    }
     if (n < k) {
       scores(n) = score; ids(n) = id; n += 1
       siftUp(n - 1)
@@ -96,18 +112,19 @@ final class TopKHeap(val k: Int) {
 }
 
 object TopKHeap {
-  def fromBytes(bytes: Array[Byte], k: Int): TopKHeap = {
+  def fromBytes(bytes: Array[Byte], k: Int, dedupeIds: Boolean = false): TopKHeap = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val m = in.readInt()
-    val h = new TopKHeap(k)
+    val h = new TopKHeap(k, dedupeIds)
     var i = 0
     while (i < m) { h.add(in.readDouble(), in.readLong()); i += 1 }
     h
   }
 }
 
-/** `graft_topk(struct<score:double, id:bigint>, k) -> array<struct<score,id>>`:
-  * bounded-heap top-k aggregate ordered (score DESC, id ASC).
+/** `graft_topk(struct<score:double, id:bigint>, k[, dedupe_ids]) ->
+  * array<struct<score,id>>`: bounded-heap top-k aggregate ordered
+  * (score DESC, id ASC).
   *
   * This is the scale-path replacement for
   * `row_number() OVER (PARTITION BY q ORDER BY score DESC)` top-k: the
@@ -116,9 +133,16 @@ object TopKHeap {
   * (partial aggregation), shuffles ≤ k·partitions rows, and merges
   * k-lists — one query with a million candidates costs each task O(k)
   * memory instead of one task a million-row sort.
+  *
+  * With `dedupeIds` set, a candidate id occupies at most one slot (best
+  * score wins) — `distinct()`-before-topk semantics WITHOUT the distinct
+  * shuffle. The multi-table kNN graph uses this: a pair surfacing in
+  * several LSH tables carries the same exact cosine each time, so heap
+  * dedupe is exactly pair-distinct, and the whole candidate stream folds
+  * map-side.
   */
 case class TopKByScore(
-    child: Expression, k: Int,
+    child: Expression, k: Int, dedupeIds: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKHeap] with UnaryLike[Expression] {
@@ -135,7 +159,7 @@ case class TopKByScore(
           s"graft_topk expects struct<double, bigint>, got ${other.simpleString(5)}")
     }
 
-  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k, dedupeIds)
 
   override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {
     val row = child.eval(input)
@@ -159,7 +183,8 @@ case class TopKByScore(
   override def eval(buf: TopKHeap): Any = buf.result()
 
   override def serialize(buf: TopKHeap): Array[Byte] = buf.toBytes
-  override def deserialize(bytes: Array[Byte]): TopKHeap = TopKHeap.fromBytes(bytes, k)
+  override def deserialize(bytes: Array[Byte]): TopKHeap =
+    TopKHeap.fromBytes(bytes, k, dedupeIds)
 
   override def dataType: DataType = TopKByScore.OutType
   override def nullable: Boolean = false
