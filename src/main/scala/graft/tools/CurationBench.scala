@@ -35,11 +35,14 @@ object CurationBench {
                    outDir: String): (String, Map[String, Long]) = {
     val p = new CurationPipeline(spark, corpus)
     val (total, tTotal) = timed(Tables.documents(spark, corpus).count())
-    val exactIds = p.exactDupIds().localCheckpoint()
-    val (exact, tExact) = timed(exactIds.count())
-    val nearIds = p.nearDupIds()
-      .join(exactIds, Seq("doc_id"), "left_anti").localCheckpoint()
-    val (near, tNear) = timed(nearIds.count())
+    // localCheckpoint is EAGER — build it inside the timed block so the
+    // stage wall includes the actual dedup work (and, cold, the
+    // DerivedZone builds), not just a count over materialized partitions
+    val (exactIds, tExact) = timed(p.exactDupIds().localCheckpoint())
+    val exact = exactIds.count()
+    val (nearIds, tNear) = timed(p.nearDupIds()
+      .join(exactIds, Seq("doc_id"), "left_anti").localCheckpoint())
+    val near = nearIds.count()
     val (_, tWrite) = timed {
       p.curated(minQuality).write.mode("overwrite")
         .partitionBy("lang").parquet(outDir)
