@@ -1,15 +1,23 @@
 #!/bin/bash
-# Three-point scaling bench: sf0.1 (base), .bench/sf1 (10x), .bench/sf10
-# (100x, from tools/ScaleData). Writes one Bench JSON per point, then the
-# caller regenerates BENCH_SCALING.md via scripts/scaling_report.py.
+# Three-point scaling bench: sf0.1 (base), .bench/x10 (factor 10),
+# .bench/x100 (factor 100, both from tools/ScaleData — dirs named by the
+# FACTOR since the round-8 naming erratum). One Bench JSON per point plus
+# a warm second-process run at the largest point, then the caller
+# regenerates BENCH_SCALING.md's chain sections via
+# scripts/scaling_report.py (hand sections below the marker survive).
 # Run detached (setsid nohup ...); legs are sequential and NOTHING
 # CPU-heavy may run in parallel or the timings pollute.
+# Clears the derived-zone root first so "first-run" is truly cold.
 set -u
 cd /root/repo
+rm -rf "${TMPDIR:-/tmp}/graft-derived"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT=bench_scaling_sf01.json \
-  sbt -batch "runMain graft.Bench" > /tmp/benchchain_sf01.log 2>&1 \
-&& SPARK_GRAFT_SF_DIR=/root/repo/.bench/sf1 SPARK_GRAFT_BENCH_OUT=bench_scaling_sf1.json \
-  sbt -batch "runMain graft.Bench" > /tmp/benchchain_sf1.log 2>&1 \
-&& SPARK_GRAFT_SF_DIR=/root/repo/.bench/sf10 SPARK_GRAFT_BENCH_OUT=bench_scaling_sf10.json \
-  sbt -batch "runMain graft.Bench" > /tmp/benchchain_sf10.log 2>&1
+  scripts/run_main.sh graft.Bench > /tmp/benchchain_sf01.log 2>&1 \
+&& SPARK_GRAFT_SF_DIR=/root/repo/.bench/x10 SPARK_GRAFT_BENCH_OUT=bench_scaling_x10.json \
+  scripts/run_main.sh graft.Bench > /tmp/benchchain_x10.log 2>&1 \
+&& SPARK_GRAFT_SF_DIR=/root/repo/.bench/x100 SPARK_GRAFT_BENCH_OUT=bench_scaling_x100.json \
+  scripts/run_main.sh graft.Bench > /tmp/benchchain_x100.log 2>&1 \
+&& SPARK_GRAFT_SF_DIR=/root/repo/.bench/x100 SPARK_GRAFT_REPS=3 \
+  SPARK_GRAFT_BENCH_OUT=bench_scaling_x100_warm.json \
+  scripts/run_main.sh graft.Bench > /tmp/benchchain_x100_warm.log 2>&1
 echo "BENCH-CHAIN-DONE rc=$?" > /tmp/benchchain.done

@@ -86,11 +86,11 @@ Scaled data is `tools/ScaleData`'s N× derivation of `/root/testdata/sf0.1`
 copies so near-dup pair counts scale linearly; sign-flipped embedding
 copies preserving within-copy geometry exactly; events keep their time
 range = N× event rate). Raw artifacts committed beside this file
-(`bench_scaling_*.json`); regenerate with `runMain graft.tools.ScaleData
-/root/testdata/sf0.1 .bench/sf1 10` / `... .bench/sf10 100` — dir names
-are TPC-H-equivalent SF, so the ScaleData FACTOR is 10× the name's
-number (a round-8 mislabel traced to this line saying `.bench/sfN N`) —
-one Bench run per point, then `scripts/scaling_report.py`.
+(`bench_scaling_*.json`); regenerate with `scripts/bench_chain.sh`
+(dirs `.bench/x10` / `.bench/x100` are named by the ScaleData FACTOR
+since the round-8 mislabel — factor 10N was briefly called `sfN`), then
+`scripts/scaling_report.py` (hand-maintained sections below the marker
+survive regeneration).
 
 ## Headline
 
@@ -155,7 +155,16 @@ not rebuild work — the derived-zone spec pins the zero-rebuild claim.
 ordering inverts — the earlier gap was rep-2 variance, not a zone-read
 overhead: per-rep totals are in the JSON's `runs` arrays.)
 """
-    open(out, "w").write(hdr + notable + table + warm)
+    # preserve hand-maintained sections (isolated legs, errata, pipeline
+    # benches) below the marker — regeneration replaces only the chain
+    tail = ""
+    marker = "<!-- HAND-MAINTAINED BELOW -->"
+    if os.path.exists(out):
+        prev = open(out).read()
+        if marker in prev:
+            tail = prev[prev.index(marker):]
+    open(out, "w").write(hdr + notable + table + warm
+                         + ("\n" + tail if tail else ""))
     print(f"{out}: totals {fmt_chain([p['value'] for p in pts])} s, "
           f"step medians {fmt_chain(step_meds, '{:.2f}')}x, "
           f"worst {fmt_chain(step_worst)}x, flagged {flagged}")

@@ -836,6 +836,94 @@ object TextOps {
       |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------- #114 CCNet-style perplexity bucketing
+  /** #114 text_perplexity_bucket: CCNet's head/middle/tail data-selection
+    * split (Wenzek et al., "CCNet", LREC 2020) — per language, documents
+    * are cut into fluency thirds by their LM score, and downstream
+    * training mixes sample by bucket (head = cleanest third). The score
+    * is [[textLmScore]]'s table-hit ratio in exact integer ppm
+    * (`n_in_vocab·1e6 div n_bigrams`), so both engines rank identical
+    * integers — no float-comparison edge at the cutoffs.
+    *
+    * Bucket boundaries are VALUE-based nearest-rank tertiles: per
+    * language, `c1` = the score at rank ⌈n/3⌉ (descending), `c2` at
+    * ⌈2n/3⌉, and a document's bucket is 0/1/2 by `score ≥ c1 / ≥ c2 /
+    * else`. Ties at a cutoff all land in the better bucket —
+    * deterministic under any row order, unlike rank-split ties.
+    *
+    * Scale shape (the text_length_median trick): the heavy shuffle
+    * carries only the distinct `(lang, score)` HISTOGRAM (≤ 1e6 cells
+    * per language, bounded by the ppm domain — not by corpus size); the
+    * cutoff derivation is a cumulative window over those distinct values
+    * per language, and the ≤ |langs|-row cutoff table BROADCASTS back
+    * into the scoring stream. No per-document global sort anywhere.
+    */
+  def textPerplexityBucket(spark: SparkSession, dir: String): DataFrame = {
+    val lm = textLmScore(spark, dir)
+    val scored = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(lm.select(col("doc_id"),
+        expr("n_in_vocab * 1000000 div greatest(n_bigrams, 1)").as("lm_ppm")),
+        "doc_id")
+    val hist = scored.groupBy("lang", "lm_ppm").agg(count(lit(1)).as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("lm_ppm").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val cuts = hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wLang))
+      .groupBy("lang")
+      .agg(max(when(col("cum") >= expr("(n + 2) div 3"), col("lm_ppm"))).as("c1"),
+        max(when(col("cum") >= expr("(2 * n + 2) div 3"), col("lm_ppm"))).as("c2"))
+    scored.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("lm_ppm"),
+        when(col("lm_ppm") >= col("c1"), 0)
+          .when(col("lm_ppm") >= col("c2"), 1)
+          .otherwise(2).as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val textPerplexityBucketSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |         unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS gram
+      |  FROM t),
+      |vocab AS (
+      |  SELECT gram, 1 AS in_vocab FROM (
+      |    SELECT gram, count(*) AS gf FROM grams GROUP BY gram
+      |    ORDER BY gf DESC, gram LIMIT $LmVocabSize)),
+      |per_doc AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |         coalesce(CAST(sum(in_vocab) AS BIGINT), 0) AS n_in_vocab
+      |  FROM grams LEFT JOIN vocab USING (gram)
+      |  GROUP BY doc_id),
+      |scored AS (
+      |  SELECT d.doc_id, d.lang,
+      |         coalesce(p.n_in_vocab, 0) * 1000000
+      |           // greatest(coalesce(p.n_bigrams, 0), 1) AS lm_ppm
+      |  FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id),
+      |hist AS (
+      |  SELECT lang, lm_ppm, count(*) AS cnt FROM scored GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT lang, lm_ppm, cnt,
+      |         CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY lm_ppm DESC
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |         CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+      |  FROM hist),
+      |cuts AS (
+      |  SELECT lang,
+      |         max(CASE WHEN cum >= (n + 2) // 3 THEN lm_ppm END) AS c1,
+      |         max(CASE WHEN cum >= (2 * n + 2) // 3 THEN lm_ppm END) AS c2
+      |  FROM cum GROUP BY lang)
+      |SELECT s.doc_id, s.lang, s.lm_ppm,
+      |       CASE WHEN s.lm_ppm >= c.c1 THEN 0
+      |            WHEN s.lm_ppm >= c.c2 THEN 1 ELSE 2 END AS bucket
+      |FROM scored s JOIN cuts c ON s.lang = c.lang
+      |ORDER BY s.doc_id""".stripMargin
+
   // ------------------------------------------ #87 count-min sketch (CMS)
   private val CmsDepth = 4
   private val CmsWidth = 512
