@@ -545,6 +545,22 @@ object Similarity {
       .select(col("src"), explode(col("tk")).as("t"))
       .select(col("src"), col("t.id").as("dst"))
     val adj = fwd.unionByName(revCapped).distinct()
+    // Shape note, measured not assumed (×300, best-of-N): two plausible
+    // "optimizations" of this block were tried in round 9 and REJECTED
+    // by measurement against this form's 25-29 s:
+    //  - knnGraphFrame's fused scoring (vector payloads riding the 2kN
+    //    adjacency through the mid-node join, heap dedupe): 57.8 s. The
+    //    difference is two-hop MULTIPLICITY — the same (u,w) reaches the
+    //    join via many shared neighbors v, so fusion pays the 64-dim
+    //    rescore per PATH while `distinct()` collapses paths to pairs
+    //    (slim rows) before any payload attaches. Fusion wins when
+    //    duplication is rare (the cell join's cross-table dupes are
+    //    ~0.04%); here duplication is the dominant term.
+    //  - `edges.localCheckpoint()` to pin the 3-reference graph build:
+    //    65.8 s — the checkpoint materializes the builder's final
+    //    range-sort for real and blocks the optimizer's cross-reference
+    //    exchange reuse + sort elimination, costing far more than the
+    //    re-executed lineage it saves.
     val cand = adj.as("a")
       .join(adj.as("b"), col("a.dst") === col("b.src") && col("a.src") =!= col("b.dst"))
       .select(col("a.src").as("q_id"), col("b.dst").as("n_id"))
