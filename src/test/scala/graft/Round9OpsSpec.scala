@@ -109,6 +109,32 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_perplexity_bucket: value-pure tertiles, ordered and tiling per language") {
+    import org.apache.spark.sql.functions._
+    val b = graft.analytics.TextOps.textPerplexityBucket(spark, sf)
+    val perLang = b.groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n"), min("lm_ppm").as("lo"), max("lm_ppm").as("hi"))
+      .collect().map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val langs = perLang.keySet.map(_._1)
+    langs.foreach { l =>
+      // buckets are value-ordered: every head score ≥ every middle score
+      // ≥ every tail score (ties land in the better bucket, so ranges may
+      // touch but never interleave), and the three buckets tile the lang
+      for (i <- 0 until 2 if perLang.contains((l, i)) && perLang.contains((l, i + 1)))
+        assert(perLang((l, i))._2 >= perLang((l, i + 1))._3,
+          s"$l: bucket $i overlaps bucket ${i + 1} below its floor")
+      val n = (0 to 2).map(i => perLang.get((l, i)).map(_._1).getOrElse(0L)).sum
+      val total = b.filter(col("lang") === l).count()
+      assert(n == total, s"$l: buckets do not tile ($n != $total)")
+      // head holds at least the nearest-rank third (ties only ADD to it)
+      assert(perLang((l, 0))._1 >= (total + 2) / 3 ||
+        perLang((l, 0))._2 == perLang((l, 0))._3,
+        s"$l: head bucket smaller than the tertile with distinct scores")
+    }
+    assert(langs.nonEmpty)
+  }
+
   test("knn_graph_recall ground truth is one broadcast pass, no wide shuffle of the corpus") {
     // The exact side must stay a broadcast of the 30-node sample against
     // the corpus scan: a proportional sample or a lost broadcast would
