@@ -444,19 +444,24 @@ object EventOps {
     * lag+cumsum formulation by the oracle: DuckDB recomputes the sessions
     * classically and must agree on every boundary.
     *
-    * Boundary semantics, measured not assumed: this engine's sessions are
-    * half-open — an event exactly `gap` after the last one opens a NEW
-    * session (`events_sessionize`'s `gap >= 1800` predicate, and the
-    * oracle here). Spark's native `session_window` merges
-    * adjacency-INCLUSIVE instead (two per-event windows merge when
-    * `start == end`, i.e. a gap of exactly `gap` still merges) — invisible
-    * at the sf0.01 gate, caught by the sf1 crosscheck where a denser
-    * timeline produced an exact-1800 s whole-second gap (user 511,
-    * VERIFY_SF1). On second-floored timestamps the half-open 1800 s
-    * session is EXACTLY a closed 1799 s one (`gap_sec ≤ 1799 ⟺
-    * gap_sec < 1800`), so the window uses 1799 s and the emitted end is
-    * `sw.end + 1 s = last + 1800` — same native operator, same plan
-    * shape, engine-consistent boundaries.
+    * Boundary semantics, measured not assumed: THIS operator's sessions
+    * are half-open — an event exactly `gap` after the last one opens a
+    * NEW session (`>= 1800` splits, per this operator's oracle). Spark's
+    * native `session_window` merges adjacency-INCLUSIVE instead (two
+    * per-event windows merge when `start == end`, i.e. a gap of exactly
+    * `gap` still merges) — invisible at the sf0.01 gate, caught by the
+    * sf1 crosscheck where a denser timeline produced an exact-1800 s
+    * whole-second gap (user 511, VERIFY_SF1). On second-floored
+    * timestamps the half-open 1800 s session is EXACTLY a closed 1799 s
+    * one (`gap_sec ≤ 1799 ⟺ gap_sec < 1800`), so the window uses 1799 s
+    * and the emitted end is `sw.end + 1 s = last + 1800`.
+    *
+    * NOTE this boundary intentionally DIFFERS from [[sessionize]], which
+    * splits only at gap `> 1800` (closed sessions — an exactly-1800 s gap
+    * stays in-session, per ITS oracle). The two operators model the two
+    * textbook gap conventions and each is pinned to its own oracle; do
+    * NOT "align" them — either direction breaks one correctness gate
+    * (954660 vs 954650 sessions at sf1 shows real exact-gap collisions).
     *
     * Scale shape: one shuffle on `user_id` and a single per-partition
     * merge pass — no window-function sort followed by a regroup, which is

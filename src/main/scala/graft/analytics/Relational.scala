@@ -237,18 +237,45 @@ object Relational {
       |ORDER BY returnflag, linestatus""".stripMargin
 
   /** TPC-H Q14 shape: promo-revenue share per ship month — conditional
-    * aggregation over the fact table with the `part` dim broadcast. All
-    * revenue is exact integer (cents × basis-point) math; the share is one
-    * double division of exact longs, so both engines agree bit-for-bit.
-    */
+    * aggregation over the fact table against the PROMO SLICE of `part`.
+    * All revenue is exact integer (cents × basis-point) math; the share
+    * is one double division of exact longs, so both engines agree
+    * bit-for-bit.
+    *
+    * Plan shape (the ×1000 cliff fix): the first cut joined the fact to
+    * the FULL part dim carrying an `is_promo` flag — at ×1000 the 2M-row
+    * dim outgrows every broadcast path, so AQE left a SortMergeJoin that
+    * hash-exchanges AND SORTS all 60M fact rows (month string + revenue
+    * payload) on `l_partkey`: 16.1 s at ×300 → 109/222 s at ×1000, the
+    * sort spilling (AQE-final plan read on `.bench/x1000`,
+    * 2026-08-14). Since every fact row survives the join (`p_partkey` is
+    * the dim's key), the flag join only needs the rows where the flag is
+    * TRUE: resolve the `p_type = 'ECONOMY'` predicate into the dim slice
+    * FIRST (1/6 of the dim, one key + a literal) and left-outer join the
+    * fact to that with a SHUFFLE_HASH build on the slice. Measured
+    * nuance: AQE did NOT convert the slice join to broadcast at ×1000
+    * even at ~3 MB runtime size (final plan read on `.bench/x1000`,
+    * 2026-08-14, kept the SortMergeJoin), so the hint does what the
+    * runtime conversion was hoped to — the fact side still
+    * hash-exchanges once, but never SORTS: the slice builds a
+    * per-partition hash map (~10k keys/partition at ×1000) and the fact
+    * stream probes it. That stays true at ANY scale factor — the build
+    * side is always the 1/6 dim slice partitioned on its own key, so
+    * there is no broadcast ceiling to fall off and no fact sort to
+    * spill; the only other exchange is the ~84-row month aggregate after
+    * map-side partial agg. A missing match leaves `is_promo` null, which
+    * `when(col("is_promo"), …)` routes to the `otherwise(0)` branch,
+    * preserving the conditional-agg semantics bit-for-bit. */
   def promoShare(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir).select(
       col("l_partkey"),
       date_format(col("l_shipdate"), "yyyy-MM").as("month"),
       (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_c4"))
-    val p = Tables.part(spark, dir)
-      .select(col("p_partkey"), (col("p_type") === "ECONOMY").as("is_promo"))
-    l.join(p, l("l_partkey") === p("p_partkey"))
+    val econ = Tables.part(spark, dir)
+      .filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"), lit(true).as("is_promo"))
+      .hint("SHUFFLE_HASH")
+    l.join(econ, l("l_partkey") === econ("p_partkey"), "left_outer")
       .groupBy("month")
       .agg(
         (sum(when(col("is_promo"), col("rev_c4")).otherwise(0L)) / 10000.0).as("promo_rev"),

@@ -286,10 +286,11 @@ object Similarity {
 
   /** [[knnGraph]] over an explicit `(vec_id, embedding)` frame. The
     * incremental face ([[graft.streaming.StreamOps.knnGraphStream]])
-    * maintains the `tables = 1` build (state keyed by the single 8-bit
-    * bucket) and is spec-checked bit-equal against it on the union of
-    * its micro-batches; the multi-table extension of the stream is T
-    * keyed states per arrival.
+    * maintains the SAME `GraphTables`-table build (state keyed by
+    * `(tbl, bucket)`, one keyed state per table per arrival) and its
+    * [[graft.streaming.StreamOps.mergedGraph]] merge is spec-checked
+    * bit-equal against this build at T=4 on the union of its
+    * micro-batches.
     *
     * Scoring is FUSED into the cell self-join: the vector payload
     * attaches once per (vector, table) row, so the only FAT exchange is

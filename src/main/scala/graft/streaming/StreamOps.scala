@@ -185,12 +185,14 @@ object StreamOps {
   }
 
   // ---------------------------------------------- incremental kNN graph
-  /** One emitted neighbor-list row: `gen` is a per-bucket monotonically
+  /** One emitted neighbor-list row: `tbl` is the LSH table the list was
+    * maintained under and `gen` a per-(table, bucket) monotonically
     * increasing generation — a consumer (or the equality spec) keeps the
-    * max-gen list per `q_id`, exactly the upsert-latest discipline of
+    * max-gen list per `(q_id, tbl)` and merges tables via
+    * [[mergedGraph]], exactly the upsert-latest discipline of
     * [[upsertSink]]. */
-  case class NeighborEdge(q_id: Long, gen: Long, rank: Int, n_id: Long,
-                          cosine: Double)
+  case class NeighborEdge(q_id: Long, tbl: Int, gen: Long, rank: Int,
+                          n_id: Long, cosine: Double)
   /** Bucket state: member ids, their vectors (flattened, `dim` doubles
     * each), norms, and each member's CURRENT top-k heap (scores + ids,
     * ordered score desc then id asc). */
@@ -199,28 +201,38 @@ object StreamOps {
                               topIds: Seq[Seq[Long]], gen: Long)
 
   /** Incremental maintenance of the corpus k-NN graph — the streaming
-    * face of [[graft.analytics.Similarity.knnGraph]]: new vectors route
-    * to their LSH bucket's state (`flatMapGroupsWithState` keyed by the
-    * same 8-hyperplane bucket), score only against that bucket's members,
-    * and emit UPDATED neighbor lists — the new node's list plus any
-    * member list the arrival actually entered. Cosines replicate the
-    * batch math exactly (sequential dot, HALF_UP 6-dp rounding,
-    * score-desc/id-asc tie-break), so on buckets below the batch
-    * cell-split threshold the maintained graph is BIT-EQUAL to the batch
-    * graph over the union of all arrivals (spec-asserted on two
+    * face of [[graft.analytics.Similarity.knnGraph]]: each arrival routes
+    * to its bucket state in EVERY one of the `tables` independent LSH
+    * tables (`flatMapGroupsWithState` keyed by `(tbl, bucket)`, where
+    * table t's 8-bit bucket is the top bits of the same
+    * plane-`[t·24, t·24+24)` code the batch build uses — the multi-table
+    * recall knob the batch side ships as `GraphTables = 4`), scores only
+    * against that bucket's members, and emits UPDATED per-table neighbor
+    * lists — the new node's list plus any member list the arrival
+    * actually entered. Cosines replicate the batch math exactly
+    * (sequential dot, HALF_UP 6-dp rounding, score-desc/id-asc
+    * tie-break). [[mergedGraph]] folds the per-table lists into the
+    * batch-graph schema; because a node out of its table's top-k is
+    * beaten there by k same-table candidates that all reach the merged
+    * union too, merging per-table top-k lists IS the top-k of the
+    * candidate union — so on buckets below the batch cell-split
+    * threshold the merged stream graph is BIT-EQUAL to the T-table batch
+    * graph over the union of all arrivals (spec-asserted at T=4 on two
     * micro-batches).
     *
-    * State bounds: each bucket keeps ≤ `maxBucketDocs` vectors (the
-    * [[nearDupStream]] policy: a full bucket stops admitting but still
-    * serves incoming arrivals' own lists), so state is O(buckets × cap ×
-    * dim) regardless of stream length; per-arrival work is O(bucket
-    * size · dim) — the same Σ bucket² economics as the batch self-join,
-    * paid once per arrival instead of per rebuild. Emission is
-    * update-shaped and at-least-once per list version; `gen` makes
-    * upserts order-safe.
+    * State bounds: each (table, bucket) keeps ≤ `maxBucketDocs` vectors
+    * (the [[nearDupStream]] policy: a full bucket stops admitting but
+    * still serves incoming arrivals' own lists), so state is
+    * O(T × buckets × cap × dim) regardless of stream length; per-arrival
+    * work is O(T × bucket size × dim) — the same T × Σ bucket² economics
+    * as the batch self-join, paid once per arrival instead of per
+    * rebuild. Emission is update-shaped and at-least-once per list
+    * version; `gen` makes upserts order-safe.
     */
   def knnGraphStream(vectors: DataFrame, k: Int = 5,
-                     maxBucketDocs: Int = 256): Dataset[NeighborEdge] = {
+                     maxBucketDocs: Int = 256,
+                     tables: Int = graft.analytics.Similarity.GraphTables)
+      : Dataset[NeighborEdge] = {
     val spark = vectors.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
@@ -253,15 +265,28 @@ object StreamOps {
       }
     }
     val ed = toDouble(col("embedding"))
+    // table t's bucket = top 8 bits of the code over planes
+    // [t·GraphPlanes, (t+1)·GraphPlanes) — identical to the batch
+    // codedTables derivation (table 0 ≡ hyperplaneBucket8), so stream
+    // and batch route every vector to the SAME T buckets
     vectors
-      .select(col("vec_id").cast("long").as("vec_id"), ed.as("ed"),
-        graft.functions.GraftFunctions.hyperplaneBucket8(ed).as("bucket"))
-      .as[(Long, Seq[Double], Long)]
-      .groupByKey(_._3)
+      .select(col("vec_id").cast("long").as("vec_id"), ed.as("ed"))
+      .select(col("vec_id"), col("ed"),
+        posexplode(array((0 until tables).map(t =>
+          graft.functions.GraftFunctions.hyperplaneCode(
+            col("ed"), t * graft.analytics.Similarity.GraphPlanes,
+            graft.analytics.Similarity.GraphPlanes)): _*))
+          .as(Seq("tbl", "code")))
+      .withColumn("bucket",
+        expr(s"code div ${1L << graft.analytics.Similarity.GraphSplitBits}"))
+      .select(col("vec_id"), col("ed"), col("tbl"), col("bucket"))
+      .as[(Long, Seq[Double], Int, Long)]
+      .groupByKey(r => (r._3, r._4))
       .flatMapGroupsWithState[GraphBucketState, NeighborEdge](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: Long, rows: Iterator[(Long, Seq[Double], Long)],
+        (key: (Int, Long), rows: Iterator[(Long, Seq[Double], Int, Long)],
          state: GroupState[GraphBucketState]) =>
+          val tbl = key._1
           val cur = state.getOption.getOrElse(
             GraphBucketState(Vector.empty, Vector.empty, Vector.empty,
               Vector.empty, Vector.empty, 0L))
@@ -276,10 +301,10 @@ object StreamOps {
             gen += 1
             var r = 0
             while (r < ts.size) {
-              out += NeighborEdge(q, gen, r + 1, is(r), ts(r)); r += 1
+              out += NeighborEdge(q, tbl, gen, r + 1, is(r), ts(r)); r += 1
             }
           }
-          rows.toSeq.sortBy(_._1).foreach { case (id, e, _) =>
+          rows.toSeq.sortBy(_._1).foreach { case (id, e, _, _) =>
             if (!ids.contains(id)) {
               val v = e.toIndexedSeq
               val nrm = math.sqrt(dot(v, v))
@@ -309,6 +334,33 @@ object StreamOps {
           state.update(GraphBucketState(ids, vecs, nrms, tops, topIds, gen))
           out.result().iterator
       }
+  }
+
+  /** Consumer-side merge of [[knnGraphStream]]'s per-table emissions into
+    * the batch-graph schema `(q_id, rank, n_id, cosine)`: keep the
+    * latest-generation list per `(q_id, tbl)`, dedupe `(q_id, n_id)`
+    * across tables (a pair co-occurring in several tables carries the
+    * SAME exact cosine, so `distinct()` on the scored row is the id
+    * dedupe), and re-rank the union by (cosine desc, id asc). Top-k of
+    * per-table top-k lists equals top-k of the full candidate union — a
+    * candidate outside its own table's k is beaten by k same-table
+    * candidates that all reach the union — so this reproduces
+    * [[graft.analytics.Similarity.knnGraph]]'s T-table result exactly on
+    * unsplit buckets. Runs as a plain batch query over the sink table
+    * (two window functions over the bounded edge set). */
+  def mergedGraph(edges: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val latest = edges
+      .withColumn("maxg",
+        max(col("gen")).over(Window.partitionBy("q_id", "tbl")))
+      .filter(col("gen") === col("maxg"))
+      .select("q_id", "n_id", "cosine").distinct()
+    latest
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+      .orderBy("q_id", "rank")
   }
 
   // ------------------------------------------------------- sessionization

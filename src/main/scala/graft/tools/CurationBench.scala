@@ -48,9 +48,20 @@ object CurationBench {
         .partitionBy("lang").parquet(outDir)
     }
     val (kept, tAudit) = timed(spark.read.parquet(outDir).count())
-    val quality = total - exact - near - kept
-    require(quality >= 0 && exact + near + quality + kept == total,
-      s"audit does not tile: total=$total exact=$exact near=$near kept=$kept")
+    // INDEPENDENT quality count — recomputed from the inputs (dedup
+    // survivors scoring under the floor), NOT derived as total-minus-the-
+    // rest, so the tiling require genuinely cross-checks the curated
+    // write+read-back against the stage counts instead of holding by
+    // construction.
+    val quality = graft.Tables.documents(spark, corpus).select("doc_id")
+      .join(exactIds.unionByName(nearIds), Seq("doc_id"), "left_anti")
+      .join(graft.analytics.TextOps.textQuality(spark, corpus)
+        .select("doc_id", "quality"), "doc_id")
+      .filter(org.apache.spark.sql.functions.col("quality") < minQuality)
+      .count()
+    require(exact + near + quality + kept == total,
+      s"audit does not tile: total=$total exact=$exact near=$near " +
+        s"quality=$quality kept=$kept")
     val stages = Seq(
       ("scan", tTotal, total), ("exact", tExact, exact),
       ("near", tNear, near), ("curate_write", tWrite, kept),

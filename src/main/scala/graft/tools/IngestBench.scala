@@ -77,6 +77,12 @@ object IngestBench {
     val rates = if (args.length > 0) args(0).split(",").map(_.trim.toInt).toSeq
                 else Seq(10000, 100000)
     val batches = if (args.length > 1) args(1).toInt else 12
+    // steady-state percentiles drop the first (cold) batch, so one batch
+    // leaves nothing to measure — fail as a usage error, not an
+    // IndexOutOfBoundsException from pct() on an empty array
+    require(batches >= 2,
+      s"batchesPerRate must be >= 2 (got $batches): batch 1 is discarded " +
+        "as warm-up, so at least one steady-state batch is required")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -86,11 +86,45 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(joined.count() == 25)
   }
 
-  test("analytics suite drives from pure SQL with plan-identical results") {
+  test("analytics suite drives from pure SQL with plan-identical results over EVERY key") {
     GraftEngine.registerAnalyticsSurface(spark, sf)
-    // a representative slice spanning §2.2 (relational + events), §2.3
-    // (dedup), §2.4 (ANN) and §2.5 (text) — each asserted PLAN-identical
-    // (canonicalized sameResult) and row-identical to the Scala face
+    // Keys whose canonicalized plans legitimately differ between two
+    // builds of the SAME query — measured (tools run, 2026-08-14), three
+    // root causes, none of them a surface drift:
+    //  - in-memory localCheckpoint artifacts (different RDD ids per
+    //    build): dedup_semantic, list_objects, q_important_parts,
+    //    q_min_cost_supplier, q_recursive_chain. (Zone-backed checkpoint
+    //    operators — dedup_clusters, knn_ivf_pq, kmeans_iter … — are
+    //    plan-STABLE: both builds scan the same on-disk DerivedZone.)
+    //  - typed-lambda nodes (MapElements holds a fresh closure instance
+    //    per build, reference equality): mm_resize.
+    //  - Catalyst rewrite nondeterminism (RewriteDistinctAggregates gid
+    //    assignment; bloom-filter/isnotnull conjunct order):
+    //    q_distinct_agg, knn_pq, knn_pq_recall.
+    // These are asserted by ROW equality instead. Every OTHER key must be
+    // plan-identical (canonicalized sameResult): the loop runs the FULL
+    // SparkEntry.queries keyset so the SQL face cannot drift operator by
+    // operator.
+    val unstableCanonicalization = Set(
+      "dedup_semantic", "list_objects", "q_important_parts",
+      "q_min_cost_supplier", "q_recursive_chain",
+      "mm_resize",
+      "q_distinct_agg", "knn_pq", "knn_pq_recall")
+    val planDrift = scala.collection.mutable.ListBuffer.empty[String]
+    for (k <- SparkEntry.queries.keySet.toSeq.sorted) {
+      val api = SparkEntry.queries(k)(spark, sf)
+      val sql = spark.sql(s"SELECT * FROM graft_query('$k')")
+      if (unstableCanonicalization(k)) {
+        assert(sql.collect().toSeq == api.collect().toSeq,
+          s"$k: the SQL face returns different rows than the Scala face")
+      } else if (!sql.queryExecution.optimizedPlan
+          .sameResult(api.queryExecution.optimizedPlan)) planDrift += k
+    }
+    assert(planDrift.isEmpty,
+      s"SQL face plans differently from the Scala face for: ${planDrift.mkString(", ")}")
+    // a representative slice additionally asserted ROW-identical (plan
+    // identity alone can't catch a broken surface registration that
+    // errors at execution)
     val slice = Seq(
       "q1_agg", "q5_join", "q_window_topk", "events_funnel", // §2.2
       "dedup_exact", "dedup_minhash_lsh",                    // §2.3
@@ -99,19 +133,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     for (k <- slice) {
       val api = SparkEntry.queries(k)(spark, sf)
       val sql = spark.sql(s"SELECT * FROM graft_query('$k')")
-      assert(sql.queryExecution.optimizedPlan.sameResult(api.queryExecution.optimizedPlan),
-        s"$k: the SQL face plans differently from the Scala face")
       assert(sql.collect().toSeq == api.collect().toSeq,
         s"$k: the SQL face returns different rows than the Scala face")
-    }
-    // checkpoint-backed operators (knn_pq's codebook, dedup_clusters'
-    // pointer-jump rounds) embed run-specific materialized RDDs, so two
-    // invocations canonicalize differently BY DESIGN — the SQL face still
-    // returns identical rows
-    for (k <- Seq("knn_pq", "dedup_clusters")) {
-      val api = SparkEntry.queries(k)(spark, sf).collect().toSeq
-      val sql = spark.sql(s"SELECT * FROM graft_query('$k')").collect().toSeq
-      assert(sql == api, s"$k: the SQL face returns different rows")
     }
     // the spliced plan composes like any relation: outer operators apply
     // on top, and the whole thing stays one Catalyst-planned query

@@ -312,18 +312,20 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(serving == Map("a" -> "a3", "c" -> "c5"))
   }
 
-  test("incremental kNN graph over two micro-batches equals the batch graph on the union") {
+  test("incremental kNN graph over two micro-batches equals the T=4 batch graph on the union") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
     // 60 real vectors from the test corpus, split 35 + 25: well under the
-    // batch cell-split threshold (GraphCell=64), so the bucket-keyed
-    // stream and the cell-split batch build the same candidate sets
+    // batch cell-split threshold (GraphCell=64), so the (tbl, bucket)-
+    // keyed stream and the cell-split batch build the same candidate sets
     val all = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .filter(col("vec_id") < 60)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])].collect().sortBy(_._1)
     val in = MemoryStream[(Long, Seq[Float])]
     val vectors = in.toDF().toDF("vec_id", "embedding")
+    // DEFAULT configuration — must be the same GraphTables=4 build the
+    // batch side ships, not a weaker single-table variant
     val q = StreamOps.knnGraphStream(vectors)
       .writeStream.format("memory").queryName("knngraph")
       .outputMode("append").start()
@@ -336,24 +338,22 @@ class StreamOpsSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.table("knngraph").count() > afterB1,
         "second batch must emit UPDATED lists without re-feeding batch 1")
+      // every table contributes state — 4 keyed states per arrival
+      assert(spark.table("knngraph").select("tbl").distinct().count() ==
+        graft.analytics.Similarity.GraphTables.toLong,
+        "all 4 LSH tables must emit")
 
-      // consumer discipline: latest generation per node wins
-      val latest = spark.table("knngraph")
-        .withColumn("maxg", max(col("gen")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("q_id")))
-        .filter(col("gen") === col("maxg"))
-        .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+      // consumer discipline: latest generation per (node, table), merged
+      // across tables by the shipped helper
+      val merged = StreamOps.mergedGraph(spark.table("knngraph"))
         .as[(Long, Int, Long, Double)].collect().toSet
 
-      // tables = 1: the stream maintains the single-table (8-bit bucket)
-      // build; the multi-table batch graph unions candidates the
-      // one-bucket state never sees
       val unionDf = all.toSeq.toDF("vec_id", "embedding")
       val expected = graft.analytics.Similarity
-        .knnGraphFrame(spark, unionDf, tables = 1)
+        .knnGraphFrame(spark, unionDf)
         .as[(Long, Int, Long, Double)].collect().toSet
-      assert(latest == expected,
-        "maintained graph must be bit-equal to the batch graph on the union")
+      assert(merged == expected,
+        "merged maintained graph must be bit-equal to the T=4 batch graph on the union")
     } finally q.stop()
   }
 
