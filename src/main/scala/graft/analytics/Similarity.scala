@@ -187,9 +187,13 @@ object Similarity {
     * recall@5 0.7% → 4.0% going 1 → 4 tables, bucket-only ceiling 3.3%
     * → 16% — the 1-(1-x)^4 ≈ 4x small-x regime exactly. On
     * curation-grade neighbors (cos ≥ 0.9, p ≥ 0.86) the same config
-    * computes to ~50% (12 effective bits) – 75% (8 bits, unsplit); the
-    * planted near-duplicate spec pins the cos≈1 case into the same cell
-    * of EVERY table. */
+    * MEASURES 68% at cap 64 / 85% uncapped, with one NN-descent round
+    * lifting 68% → 78% (`tools/ClusteredCorpus` planted-cluster corpus,
+    * 200k vectors, true top-5 cosines 0.91–0.93 — CLUSTERED_RECALL.json,
+    * round 10; the earlier ~50–75% figure was computed from the
+    * per-plane model and the measurement lands inside it); the planted
+    * near-duplicate spec pins the cos≈1 case into the same cell of
+    * EVERY table. */
   private[graft] val GraphTables = 4
 
   /** Divisor `2^(GraphSplitBits - d)` for a bucket wanting `s` cells,
