@@ -5,7 +5,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // Pinned to the core count at every scale point so chain ratios
+      // compare like with like. Tuning.profile prescribes partitions
+      // that GROW with data on a real cluster — the
+      // SPARK_GRAFT_SHUFFLE_PARTITIONS override exists so scale
+      // experiments can measure that prescription at the large points
+      // (never set it for the committed chain artifacts).
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       // The generated-class cache defaults to 100 entries; 100 queries x
       // several codegen units each thrash it, so classes compiled by the
       // untimed warm-up get evicted and RECOMPILED inside timed windows

@@ -671,4 +671,52 @@ object EventOps {
       |       count(*) AS n, count(DISTINCT user_id) AS n_users
       |FROM seq WHERE e3 IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+
+  // ------------------------------------- #117 cumulative distinct users
+  /** Daily growth accounting: per day, the active distinct users, the NEW
+    * users (first-ever appearance), and the running cumulative user count
+    * — the classic growth dashboard query, which at scale is a distinct-
+    * accumulation problem: a naive "distinct users up to day d" recomputes
+    * a growing distinct per day (quadratic in days). The scale-correct
+    * identity: cumulative distinct == running SUM of first-appearances,
+    * so one shuffle on `user_id` (min first day per user), one day-level
+    * count, and a window over the DAY frame — which after aggregation is
+    * tens of rows, so the unpartitioned running-sum window is a no-op
+    * cost, not a single-partition bottleneck (the heavy data never
+    * reaches it).
+    */
+  def cumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withSec(Tables.events(spark, dir))
+      .select(col("user_id"),
+        date_format(timestamp_seconds(col("sec")), "yyyy-MM-dd").as("day"))
+    val firstDay = e.groupBy("user_id").agg(min(col("day")).as("day"))
+    val newPerDay = firstDay.groupBy("day").agg(count(lit(1)).as("n_new"))
+    val activePerDay = e.distinct().groupBy("day")
+      .agg(count(lit(1)).as("n_active"))
+    activePerDay.join(newPerDay, Seq("day"), "left")
+      .select(col("day"), col("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(
+        Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("day")
+  }
+
+  val cumulativeUsersSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id,
+      |         strftime(make_timestamp((epoch_ns(ts)//1000000000)*1000000),
+      |                  '%Y-%m-%d') AS day
+      |  FROM events),
+      |fd AS (SELECT user_id, min(day) AS day FROM e GROUP BY 1),
+      |nw AS (SELECT day, count(*) AS n_new FROM fd GROUP BY 1),
+      |ac AS (SELECT day, count(*) AS n_active FROM e GROUP BY 1)
+      |SELECT ac.day AS day, CAST(n_active AS BIGINT) AS n_active,
+      |       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+      |       CAST(sum(COALESCE(n_new, 0)) OVER (ORDER BY ac.day
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS BIGINT) AS cum_users
+      |FROM ac LEFT JOIN nw ON ac.day = nw.day
+      |ORDER BY ac.day""".stripMargin
 }

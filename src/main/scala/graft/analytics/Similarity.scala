@@ -541,6 +541,14 @@ object Similarity {
     val base = vecBase(vectors)
     val edges = knnGraphFrame(spark, vectors)
       .select(col("q_id"), col("n_id"), col("cosine"))
+    refineRound(base, edges)
+  }
+
+  /** One NN-descent round over an explicit `(q_id, n_id, cosine)` edge
+    * frame — the body of [[knnGraphRefine]], factored so further rounds
+    * compound (round r+1 is this function over round r's output; the
+    * round-2 lift is measured by `tools/ClusteredRecallBench`). */
+  private[graft] def refineRound(base: DataFrame, edges: DataFrame): DataFrame = {
     val fwd = edges.select(col("q_id").as("src"), col("n_id").as("dst"))
     val revCapped = edges
       .select(col("n_id").as("src"), col("q_id").as("dst"), col("cosine"))

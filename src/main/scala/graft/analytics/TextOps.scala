@@ -1097,4 +1097,121 @@ object TextOps {
       |SELECT doc_id, score,
       |       CAST(CASE WHEN score > mean_score THEN 1 ELSE 0 END AS INTEGER) AS kept
       |FROM s, m ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------ #115 Gopher-style rule filter
+  /** Gopher-style hard rule filter (Rae et al. 2021, "Scaling Language
+    * Models" §A1.1 — the rule-based pre-filter every large curation
+    * pipeline runs BEFORE model-based scoring), adapted to the
+    * flat-token corpus and written in EXACT integer arithmetic: every
+    * ratio threshold is a cross-multiplication (`mean_len ≤ 4.6` ⟺
+    * `10·sum_len ≤ 46·n`), so there is no float division for the two
+    * engines to disagree on. Five rules, each emitted as its own 0/1
+    * column (a curation run wants to know WHICH rule fired, not just
+    * that one did), plus the conjunction `pass`:
+    *
+    *  - `r_word_count`: 15 ≤ tokens ≤ 50000;
+    *  - `r_mean_word_len`: mean token length in [3, 4.6];
+    *  - `r_stopwords`: ≥ 2 distinct common stopwords present;
+    *  - `r_ttr`: type-token ratio ≥ 1/2 (lexical diversity — the flat
+    *    corpus has no lines, so Gopher's duplicate-line rules map to
+    *    token-level diversity);
+    *  - `r_repetition`: most frequent token ≤ 1/8 of the document.
+    *
+    * Scale shape: one codegen'd projection per document — the per-doc
+    * term count is a higher-order-function pass over the (≤ ~100-token)
+    * token array, never a shuffle; nothing leaves the map side but the
+    * final ordered output.
+    */
+  private val GopherStops = Seq("the", "a", "and", "is", "of")
+
+  def textGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    // token chars = text length minus the (n-1) separator spaces
+    val sumLen = length(col("text")) - (n - lit(1))
+    val nVocab = size(array_distinct(toks))
+    val maxTf = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    val nStops = size(filter(array_distinct(toks),
+      t => GopherStops.map(t === _).reduce(_ || _)))
+    def i(c: Column): Column = c.cast("int")
+    val rWc = n >= 15 && n <= 50000
+    val rMwl = sumLen >= n * 3 && sumLen * 10 <= n * 46
+    val rStop = nStops >= 2
+    val rTtr = nVocab * 2 >= n
+    val rRep = maxTf * 8 <= n
+    Tables.documents(spark, dir).select(
+      col("doc_id"), n.as("n_tokens"),
+      i(rWc).as("r_word_count"), i(rMwl).as("r_mean_word_len"),
+      i(rStop).as("r_stopwords"), i(rTtr).as("r_ttr"),
+      i(rRep).as("r_repetition"),
+      i(rWc && rMwl && rStop && rTtr && rRep).as("pass"))
+      .orderBy("doc_id")
+  }
+
+  val textGopherRulesSql: String = {
+    val inList = GopherStops.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS l,
+      |         len(string_split(text, ' ')) AS n,
+      |         length(text) - (len(string_split(text, ' ')) - 1) AS sum_len
+      |  FROM documents)
+      |SELECT doc_id, n AS n_tokens,
+      |       CAST(n >= 15 AND n <= 50000 AS INTEGER) AS r_word_count,
+      |       CAST(sum_len >= n * 3 AND sum_len * 10 <= n * 46 AS INTEGER) AS r_mean_word_len,
+      |       CAST(len(list_filter(list_distinct(l), t -> t IN ($inList))) >= 2 AS INTEGER) AS r_stopwords,
+      |       CAST(len(list_distinct(l)) * 2 >= n AS INTEGER) AS r_ttr,
+      |       CAST(list_max(list_transform(list_distinct(l),
+      |              t -> len(list_filter(l, x -> x = t)))) * 8 <= n AS INTEGER) AS r_repetition,
+      |       CAST(n >= 15 AND n <= 50000
+      |            AND sum_len >= n * 3 AND sum_len * 10 <= n * 46
+      |            AND len(list_filter(list_distinct(l), t -> t IN ($inList))) >= 2
+      |            AND len(list_distinct(l)) * 2 >= n
+      |            AND list_max(list_transform(list_distinct(l),
+      |                  t -> len(list_filter(l, x -> x = t)))) * 8 <= n AS INTEGER) AS pass
+      |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------- #116 salient-term top-k
+  /** Per-document salient terms: the top 3 terms ranked by term frequency
+    * DESC then global document frequency ASC then term — i.e. TF-IDF
+    * ordering with the idf log replaced by the df rank itself, which
+    * carries the same ordering information in exact integers (no `ln`
+    * for the engines to disagree on in the last ulp). The classic
+    * keyword-extraction stage of a curation/indexing pipeline.
+    *
+    * Scale shape: explode → (doc, term) count (shuffle on the composite
+    * key with map-side combine) → global df aggregate (shuffle on term)
+    * → tf⋈df equi-join on term (both sides arrive term-partitioned) →
+    * per-doc window top-3 (shuffle on doc_id; WindowGroupLimit prefilters
+    * partial top-3 BEFORE the exchange in Spark 4). Every stage is
+    * linear in the token stream; no driver-side state.
+    */
+  def textSalientTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val textSalientTermsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |         row_number() OVER (PARTITION BY tf.doc_id
+      |                            ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+      |  FROM tf JOIN df ON tf.term = df.term)
+      |SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+      |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 }

@@ -63,6 +63,39 @@ object ClusteredRecallBench {
         sim.knnGraphRefineRecall(spark, dir)
           .agg(avg("recall")).head().getDouble(0)
       }
+      // round 2: NN-descent compounds — refineRound over round 1's output
+      // (same exact ground truth as knnGraphRefineRecall: the 30-node
+      // sample's brute-force top-5)
+      val (refine2, tRef2) = timed {
+        val vectors = graft.Tables.embeddings(spark, dir)
+        val base = sim.vecBase(vectors)
+        val g = sim.knnGraphFrame(spark, vectors)
+          .select(col("q_id"), col("n_id"), col("cosine"))
+        val r2 = sim
+          .refineRound(base, sim.refineRound(base, g)
+            .select(col("q_id"), col("n_id"), col("cosine")))
+          .filter(col("q_id") < sim.GraphRecallNQ)
+          .select(col("q_id"), col("n_id"))
+        val sample = base.filter(col("vec_id") < sim.GraphRecallNQ)
+          .select(col("vec_id").as("s_id"), col("ed").as("q_ed"),
+            col("nrm").as("q_nrm"))
+        val dotp = graft.functions.GraftFunctions.dotp _
+        val scored = base.join(broadcast(sample),
+            col("s_id") =!= col("vec_id"))
+          .select(col("s_id").as("q_id"), col("vec_id").as("n_id"),
+            round(dotp(col("q_ed"), col("ed")) /
+              (col("q_nrm") * col("nrm")), 6).as("cosine"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+        val exact = scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5).select(col("q_id"), col("n_id"))
+        val nExact = exact.groupBy("q_id").agg(count(lit(1)).as("ne"))
+        val hits = exact.join(r2, Seq("q_id", "n_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("nh"))
+        nExact.join(hits, Seq("q_id"), "left")
+          .select((coalesce(col("nh"), lit(0L)) / col("ne")).as("r"))
+          .agg(avg("r")).head().getDouble(0)
+      }
       val base64 = capRows(graft.analytics.Similarity.GraphCell.toLong)
       val capsJson = capRows.toSeq.sortBy(_._1).map { case (c, r) =>
         s""""$c":${"%.4f".format(r)}""" }.mkString("{", ",", "}")
@@ -73,8 +106,10 @@ object ClusteredRecallBench {
           s""""recall_per_cap":$capsJson,""" +
           s""""refine_recall":${"%.4f".format(refine)},""" +
           s""""refine_lift_over_cap64":${"%.4f".format(refine - base64)},""" +
+          s""""refine2_recall":${"%.4f".format(refine2)},""" +
           s""""wall_sec_caps":${"%.1f".format(tCap)},""" +
           s""""wall_sec_refine":${"%.1f".format(tRef)},""" +
+          s""""wall_sec_refine2":${"%.1f".format(tRef2)},""" +
           s""""commit":"${graft.Bench.gitCommit()}"}"""
       println(json)
       val out = sys.env.getOrElse("SPARK_GRAFT_RECALL_OUT", "CLUSTERED_RECALL.json")
