@@ -231,6 +231,69 @@ object CluesoOps {
       |WHERE s1.object_key IS NULL OR s2.object_key IS NULL OR s1.event_id <> s2.event_id
       |ORDER BY object_key""".stripMargin
 
+  // --------------------------------------------- #118 lifecycle expiration
+  /** #118 mvcc_expire: S3-lifecycle expiration planning over the
+    * versioned op-log — the listing a lifecycle daemon (the reference
+    * deployment pairs the metadata engine with Zenko's lifecycle
+    * transition/expiration policies) asks for before issuing deletes:
+    *
+    *  - `noncurrent_expired`: versions that are NOT their key's head and
+    *    are older than the cutoff (NoncurrentVersionExpiration);
+    *  - `expired_delete_marker`: a head tombstone whose key has NO
+    *    version newer than the cutoff — once the noncurrent versions
+    *    expire, the marker itself is removable (S3's
+    *    "expired object delete marker" cleanup).
+    *
+    * The cutoff is deterministic — the sec-range three-quarter point,
+    * resolved to a LITERAL on the driver (one tiny agg job, same policy
+    * as [[maxOpId]]) so the filter is a static predicate, not a
+    * subquery join. Scale shape: ONE hash exchange on `object_key`, one
+    * window pass computing the head flag and the per-key max sec
+    * together — the same single-shuffle discipline as the snapshot
+    * merge; no self-join of the log against itself.
+    */
+  def mvccExpire(spark: SparkSession, dir: String): DataFrame = {
+    val log = opLog(spark, dir)
+    val r = log.agg(min(col("sec")), max(col("sec"))).first()
+    val cutoff = r.getLong(1) - (r.getLong(1) - r.getLong(0)) / 4
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy("object_key")
+    val w = byKey.orderBy(col("event_id").desc)
+    log
+      .withColumn("rn", row_number().over(w))
+      .withColumn("max_sec", max(col("sec")).over(byKey))
+      .withColumn("reason",
+        when(col("rn") > 1 && col("sec") < cutoff, "noncurrent_expired")
+          .when(col("rn") === 1 && col("event_type") === "error" &&
+            col("max_sec") < cutoff, "expired_delete_marker"))
+      .filter(col("reason").isNotNull)
+      .select(col("object_key"), col("event_id"), col("event_type"),
+        date_format(timestamp_seconds(col("sec")), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("reason"))
+      .orderBy("object_key", "event_id")
+  }
+
+  val mvccExpireSql: String =
+    s"""WITH ev AS (
+      |$opLogSql),
+      |c AS (SELECT max(sec) - (max(sec) - min(sec)) // 4 AS cutoff FROM ev),
+      |vers AS (
+      |  SELECT object_key, event_id, event_type, sec,
+      |         row_number() OVER (PARTITION BY object_key ORDER BY event_id DESC) AS rn,
+      |         max(sec) OVER (PARTITION BY object_key) AS max_sec
+      |  FROM ev)
+      |SELECT object_key, event_id, event_type,
+      |       strftime(make_timestamp(sec*1000000), '%Y-%m-%d %H:%M:%S') AS ts,
+      |       CASE WHEN rn > 1 AND sec < (SELECT cutoff FROM c)
+      |              THEN 'noncurrent_expired'
+      |            WHEN rn = 1 AND event_type = 'error'
+      |                 AND max_sec < (SELECT cutoff FROM c)
+      |              THEN 'expired_delete_marker' END AS reason
+      |FROM vers
+      |WHERE (rn > 1 AND sec < (SELECT cutoff FROM c))
+      |   OR (rn = 1 AND event_type = 'error' AND max_sec < (SELECT cutoff FROM c))
+      |ORDER BY object_key, event_id""".stripMargin
+
   /** #2 metadata_search: snapshot + arbitrary SQL WHERE + ordered page
     * (reference: MetadataQueryExecutor.execute).
     */

@@ -277,6 +277,46 @@ class SigExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKHeap dedupe_ids under partitioned merge equals distinct-then-top-k (property)") {
+    // the contract the knn_graph fused-scoring path relies on: when every
+    // occurrence of an id carries the SAME score (a duplicated candidate
+    // pair always rescores to the same cosine), heap id-dedupe across
+    // arbitrary partition splits + serde round-trips is EXACTLY
+    // distinct() followed by top-k
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 20) {
+      val k = 1 + rnd.nextInt(8)
+      val nIds = 1 + rnd.nextInt(60)
+      // one fixed score per id; then emit each id 1-4 times (the
+      // multi-table duplication shape), shuffled across chunks
+      val scoreOf = (0 until nIds)
+        .map(id => id.toLong -> rnd.nextInt(20) / 10.0).toMap
+      val occurrences = rnd.shuffle(scoreOf.toSeq.flatMap { case (id, s) =>
+        Seq.fill(1 + rnd.nextInt(4))((s, id)) })
+      val chunks = occurrences.grouped(math.max(1, occurrences.size / 5)).toSeq
+      val partials = chunks.map { ch =>
+        val h = new graft.functions.TopKHeap(k, dedupeIds = true)
+        ch.foreach { case (s, id) => h.add(s, id) }
+        graft.functions.TopKHeap.fromBytes(h.toBytes, k, dedupeIds = true)
+      }
+      val merged = partials.foldLeft(
+        new graft.functions.TopKHeap(k, dedupeIds = true)) { (acc, h) =>
+        acc.mergeFrom(h); acc
+      }
+      val got = {
+        val arr = merged.result()
+        (0 until arr.numElements()).map { i =>
+          val r = arr.getStruct(i, 2); (r.getDouble(0), r.getLong(1))
+        }
+      }
+      val want = scoreOf.toSeq.map { case (id, s) => (s, id) }
+        .sortWith { case ((s1, i1), (s2, i2)) =>
+          if (s1 != s2) s1 > s2 else i1 < i2
+        }.take(k)
+      assert(got == want, s"trial $trial k=$k nIds=$nIds")
+    }
+  }
+
   test("graft_topk partial aggregation keeps at most k per map task") {
     GraftFunctions.register(spark)
     val scored = (0 until 1000).map(i => (1L, i.toLong, i.toDouble)).toDF("q_id", "n_id", "cosine")
