@@ -2,7 +2,7 @@ package graft.analytics
 
 import graft.Tables
 import graft.Tables.cents
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -719,4 +719,175 @@ object EventOps {
       |            AS BIGINT) AS cum_users
       |FROM ac LEFT JOIN nw ON ac.day = nw.day
       |ORDER BY ac.day""".stripMargin
+
+  // --------------------------------------- #119 last-touch attribution
+  /** Last-touch marketing attribution: each purchase is credited to the
+    * user's most recent PRECEDING click within a 7-day window, else
+    * marked organic — the standard conversion-attribution join, expressed
+    * as ONE window pass instead of a purchases⋈clicks self-join: the
+    * running `last(click, ignoreNulls)` over (sec, event_id) order with a
+    * rows-to-1-PRECEDING frame carries exactly the "latest click strictly
+    * before me" state, so the event log shuffles once on `user_id` and
+    * nothing is scanned twice. The 7-day recency filter is applied to the
+    * carried value (a click older than the horizon attributes nothing).
+    * Ties (click and purchase in the same second) resolve by event-id
+    * order, mirrored by the oracle.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val horizon = 7L * 86400L
+    val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withSec(Tables.events(spark, dir))
+      .select(col("user_id"), col("event_id"), col("sec"),
+        col("event_type"), cents(col("value")).as("v_c"))
+      .withColumn("last_click_sec",
+        last(when(col("event_type") === "click", col("sec")), ignoreNulls = true).over(w))
+      .withColumn("last_click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("in_window",
+        col("last_click_sec").isNotNull &&
+          col("sec") - col("last_click_sec") <= horizon)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        date_format(timestamp_seconds(col("sec")), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        (col("v_c") / 100.0).as("value"),
+        when(col("in_window"), col("last_click_id")).as("attributed_click_id"),
+        when(col("in_window"), "click").otherwise("organic").as("attribution"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  val attributionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS sec, event_type,
+      |         CAST(round(value*100) AS BIGINT) AS v_c
+      |  FROM events),
+      |carried AS (
+      |  SELECT user_id, event_id, sec, event_type, v_c,
+      |         last_value(CASE WHEN event_type = 'click' THEN sec END IGNORE NULLS)
+      |           OVER w AS last_click_sec,
+      |         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |           OVER w AS last_click_id
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, event_id AS purchase_id,
+      |       strftime(make_timestamp(sec*1000000), '%Y-%m-%d %H:%M:%S') AS ts,
+      |       v_c/100.0 AS value,
+      |       CASE WHEN last_click_sec IS NOT NULL AND sec - last_click_sec <= 604800
+      |            THEN last_click_id END AS attributed_click_id,
+      |       CASE WHEN last_click_sec IS NOT NULL AND sec - last_click_sec <= 604800
+      |            THEN 'click' ELSE 'organic' END AS attribution
+      |FROM carried WHERE event_type = 'purchase'
+      |ORDER BY user_id, purchase_id""".stripMargin
+
+  // ------------------------------------------- #120 RFM user segmentation
+  /** RFM segmentation — the classic customer-value split: per user,
+    * Recency (days since last event, vs the log head), Frequency (event
+    * count) and Monetary (whole currency units) are each bucketed into
+    * quintiles, score 5 = best. Quintile CUTOFFS come from the
+    * value-ordered (metric → user-count) histogram with nearest-rank
+    * semantics and ties landing in the better bucket — the same
+    * no-global-sort discipline as [[graft.analytics.TextOps.textPerplexityBucket]]:
+    * the only per-user shuffle is the user aggregate; cutoff derivation
+    * runs on the quantized metric DOMAINS (days since head, event counts,
+    * whole units — all bounded far below user cardinality by
+    * construction) and broadcasts four cutoffs per metric back. The log
+    * head is driver-resolved to a literal (one tiny agg job).
+    */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val e = withSec(Tables.events(spark, dir))
+      .select(col("user_id"), col("sec"), cents(col("value")).as("v_c"))
+    val head = e.agg(max(col("sec"))).first().getLong(0)
+    val users = e.groupBy("user_id").agg(
+      ((lit(head) - max(col("sec"))) / 86400L).cast("long").as("recency_days"),
+      count(lit(1)).as("frequency"),
+      (sum(col("v_c")) / 100L).cast("long").as("monetary_units"))
+    // nearest-rank quintile cutoffs over the (metric, count) histogram;
+    // `asc` metrics are better SMALL (recency), `desc` better LARGE
+    def cutoffs(metric: String, asc: Boolean): DataFrame = {
+      val hist = users.groupBy(col(metric).as("v")).agg(count(lit(1)).as("cnt"))
+      val ord = if (asc) col("v").asc else col("v").desc
+      val wCum = Window.orderBy(ord)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      val cum = hist.withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("n", sum("cnt").over(wAll))
+      val pick: Column => Column = if (asc) min(_) else max(_)
+      cum.agg(
+        pick(when(col("cum") >= expr("(1 * n + 4) div 5"), col("v"))).as(s"${metric}_c1"),
+        pick(when(col("cum") >= expr("(2 * n + 4) div 5"), col("v"))).as(s"${metric}_c2"),
+        pick(when(col("cum") >= expr("(3 * n + 4) div 5"), col("v"))).as(s"${metric}_c3"),
+        pick(when(col("cum") >= expr("(4 * n + 4) div 5"), col("v"))).as(s"${metric}_c4"))
+    }
+    def score(metric: String, asc: Boolean): Column = {
+      val cmp: (Column, Column) => Column =
+        if (asc) (m, c) => m <= c else (m, c) => m >= c
+      when(cmp(col(metric), col(s"${metric}_c1")), 5)
+        .when(cmp(col(metric), col(s"${metric}_c2")), 4)
+        .when(cmp(col(metric), col(s"${metric}_c3")), 3)
+        .when(cmp(col(metric), col(s"${metric}_c4")), 2)
+        .otherwise(1)
+    }
+    users
+      .crossJoin(broadcast(cutoffs("recency_days", asc = true)))
+      .crossJoin(broadcast(cutoffs("frequency", asc = false)))
+      .crossJoin(broadcast(cutoffs("monetary_units", asc = false)))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_units"),
+        score("recency_days", asc = true).as("r_score"),
+        score("frequency", asc = false).as("f_score"),
+        score("monetary_units", asc = false).as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy("user_id")
+  }
+
+  val rfmSql: String = {
+    def cutSql(metric: String, asc: Boolean): String = {
+      val ord = if (asc) "ASC" else "DESC"
+      val pick = if (asc) "min" else "max"
+      s"""${metric}_cuts AS (
+        |  SELECT $pick(CASE WHEN cum >= (1 * n + 4) // 5 THEN v END) AS ${metric}_c1,
+        |         $pick(CASE WHEN cum >= (2 * n + 4) // 5 THEN v END) AS ${metric}_c2,
+        |         $pick(CASE WHEN cum >= (3 * n + 4) // 5 THEN v END) AS ${metric}_c3,
+        |         $pick(CASE WHEN cum >= (4 * n + 4) // 5 THEN v END) AS ${metric}_c4
+        |  FROM (
+        |    SELECT v, CAST(sum(cnt) OVER (ORDER BY v $ord
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |           CAST(sum(cnt) OVER () AS BIGINT) AS n
+        |    FROM (SELECT $metric AS v, count(*) AS cnt FROM users GROUP BY 1)))""".stripMargin
+    }
+    def scoreSql(metric: String, asc: Boolean): String = {
+      val op = if (asc) "<=" else ">="
+      s"""CASE WHEN $metric $op ${metric}_c1 THEN 5
+        |            WHEN $metric $op ${metric}_c2 THEN 4
+        |            WHEN $metric $op ${metric}_c3 THEN 3
+        |            WHEN $metric $op ${metric}_c4 THEN 2
+        |            ELSE 1 END""".stripMargin
+    }
+    s"""WITH e AS (
+      |  SELECT user_id, epoch_ns(ts)//1000000000 AS sec,
+      |         CAST(round(value*100) AS BIGINT) AS v_c
+      |  FROM events),
+      |h AS (SELECT max(sec) AS head FROM e),
+      |users AS (
+      |  SELECT user_id,
+      |         CAST(((SELECT head FROM h) - max(sec)) // 86400 AS BIGINT) AS recency_days,
+      |         count(*) AS frequency,
+      |         CAST(sum(v_c) // 100 AS BIGINT) AS monetary_units
+      |  FROM e GROUP BY 1),
+      |${cutSql("recency_days", asc = true)},
+      |${cutSql("frequency", asc = false)},
+      |${cutSql("monetary_units", asc = false)},
+      |scored AS (
+      |  SELECT user_id, recency_days, frequency, monetary_units,
+      |         ${scoreSql("recency_days", asc = true)} AS r_score,
+      |         ${scoreSql("frequency", asc = false)} AS f_score,
+      |         ${scoreSql("monetary_units", asc = false)} AS m_score
+      |  FROM users, recency_days_cuts, frequency_cuts, monetary_units_cuts)
+      |SELECT user_id, recency_days, frequency, monetary_units,
+      |       r_score, f_score, m_score,
+      |       r_score * 100 + f_score * 10 + m_score AS rfm
+      |FROM scored ORDER BY user_id""".stripMargin
+  }
 }
