@@ -788,11 +788,19 @@ object EventOps {
     * value-ordered (metric → user-count) histogram with nearest-rank
     * semantics and ties landing in the better bucket — the same
     * no-global-sort discipline as [[graft.analytics.TextOps.textPerplexityBucket]]:
-    * the only per-user shuffle is the user aggregate; cutoff derivation
-    * runs on the quantized metric DOMAINS (days since head, event counts,
-    * whole units — all bounded far below user cardinality by
-    * construction) and broadcasts four cutoffs per metric back. The log
-    * head is driver-resolved to a literal (one tiny agg job).
+    * cutoff derivation runs on the quantized metric DOMAINS (days since
+    * head, event counts, whole units — all bounded far below user
+    * cardinality by construction) and broadcasts four cutoffs per metric
+    * back. The log head is driver-resolved to a literal (one tiny agg
+    * job).
+    *
+    * Plan note (final plan read at sf0.01): the `users` aggregate is
+    * RECOMPUTED under each cutoff branch — per-branch column pruning
+    * narrows each scan to its own metric, which defeats exchange-subtree
+    * reuse. Four slim scans of a 3-column projection is the right trade
+    * at bench scale; a 100 TB deployment materializes `users` once (it
+    * is |users| rows, tiny next to the fact) and feeds the cutoff
+    * branches from the materialization.
     */
   def rfm(spark: SparkSession, dir: String): DataFrame = {
     val e = withSec(Tables.events(spark, dir))
