@@ -83,6 +83,55 @@ object StreamOps {
       }
   }
 
+  // ------------------------------------- streaming last-touch attribution
+  case class AttrEvent(user_id: Long, event_id: Long, sec: Long,
+                       event_type: String, value: Double)
+  case class LastClick(sec: Long, id: Long)
+  case class Attribution(user_id: Long, purchase_id: Long, sec: Long,
+                         value: Double, attributed_click_id: Option[Long],
+                         attribution: String)
+
+  /** Streaming twin of [[graft.analytics.EventOps.attribution]]: credit
+    * each purchase to the user's most recent preceding click within
+    * `horizonSec`, continuously. State per user is ONE `(sec, id)` pair —
+    * the carried "latest click so far" — which is exactly the running
+    * `last(click, ignoreNulls)` the batch window computes, so on an
+    * event-time-ordered journal the emitted attributions are bit-equal to
+    * the batch operator over the union of micro-batches (spec-asserted).
+    * A late-arriving OLD click never overrides a newer one (the max-
+    * (sec, id) admission mirrors [[latestStateStream]]'s monotone head);
+    * purchases already emitted are append-only and not retro-credited —
+    * the standard streaming-attribution trade, stated rather than hidden.
+    */
+  def attributionStream(events: Dataset[AttrEvent],
+                        horizonSec: Long = 7L * 86400L): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastClick, Attribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[AttrEvent], state: GroupState[LastClick]) =>
+          val out = List.newBuilder[Attribution]
+          var last = state.getOption
+          rows.toSeq.sortBy(r => (r.sec, r.event_id)).foreach { r =>
+            r.event_type match {
+              case "click" =>
+                if (!last.exists(s => s.sec > r.sec ||
+                    (s.sec == r.sec && s.id > r.event_id)))
+                  last = Some(LastClick(r.sec, r.event_id))
+              case "purchase" =>
+                val attr = last.filter(s => r.sec - s.sec <= horizonSec)
+                out += Attribution(uid, r.event_id, r.sec,
+                  math.round(r.value * 100) / 100.0,
+                  attr.map(_.id),
+                  if (attr.isDefined) "click" else "organic")
+              case _ => ()
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   // ------------------------------------------- stream-stream range join
   /** Stream-stream interval join — the streaming twin of the batch
     * `events_range_join`: each error event joined to the same user's

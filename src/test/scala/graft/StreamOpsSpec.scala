@@ -312,6 +312,54 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(serving == Map("a" -> "a3", "c" -> "c5"))
   }
 
+  test("streaming last-touch attribution equals the batch operator on an ordered replay") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // the full event log in event-time order, split at the median second:
+    // batch 2 is strictly later than batch 1, so the replay is an ordered
+    // journal — the regime where the stream's carried last-click state is
+    // exactly the batch window's running last()
+    val all = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000000").as("sec"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)].collect()
+      .sortBy(r => (r._3, r._2))
+    val cut = all(all.length / 2)._3
+    val (b1, b2) = all.partition(_._3 <= cut)
+    val in = MemoryStream[(Long, Long, Long, String, Double)]
+    val events = in.toDS().map { case (u, e, s, t, v) =>
+      StreamOps.AttrEvent(u, e, s, t, v) }
+    val q = StreamOps.attributionStream(events)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      val afterB1 = spark.table("attrib").count()
+      assert(afterB1 > 0, "first batch must emit attributions")
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      assert(spark.table("attrib").count() > afterB1,
+        "second batch must attribute its purchases against carried state")
+      val streamed = spark.table("attrib")
+        .select(col("user_id"), col("purchase_id"),
+          col("attributed_click_id"), col("attribution"), col("value"))
+        .as[(Long, Long, Option[Long], String, Double)].collect().toSet
+      val batch = graft.analytics.EventOps.attribution(spark, sf)
+        .select(col("user_id"), col("purchase_id"),
+          col("attributed_click_id"), col("attribution"), col("value"))
+        .as[(Long, Long, Option[Long], String, Double)].collect().toSet
+      assert(streamed == batch,
+        "streamed attributions must be bit-equal to the batch window on the union")
+      // a cross-batch credit exists: some purchase in batch 2 attributed
+      // to a click from batch 1 — i.e. the state actually carried
+      val b2purchases = b2.filter(_._4 == "purchase").map(_._2).toSet
+      val b1clicks = b1.filter(_._4 == "click").map(_._2).toSet
+      assert(streamed.exists { case (_, pid, attrId, _, _) =>
+        b2purchases(pid) && attrId.exists(b1clicks) },
+        "expected at least one batch-2 purchase credited to a batch-1 click")
+    } finally q.stop()
+  }
+
   test("incremental kNN graph over two micro-batches equals the T=4 batch graph on the union") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
