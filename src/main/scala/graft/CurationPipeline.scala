@@ -42,14 +42,22 @@ class CurationPipeline(spark: SparkSession, corpusDir: String) {
   }
 
   /** The curated corpus: exact dups out, near-dup losers out, quality
-    * floor applied, and (when `minLmScore` > 0) the LM-table fluency
-    * floor ([[TextOps.textLmScore]]) on top — the KenLM-filter stage of
-    * a production curation chain. */
+    * floor applied, optionally the Gopher hard-rule gate
+    * ([[TextOps.textGopherRules]] — production chains run the cheap rule
+    * filter BEFORE any model-based score), and (when `minLmScore` > 0)
+    * the LM-table fluency floor ([[TextOps.textLmScore]]) on top — the
+    * KenLM-filter stage of a production curation chain. */
   def curated(minQuality: Double = 0.0, minLmScore: Double = 0.0,
-              lmVocabSize: Int = 1000): DataFrame = {
+              lmVocabSize: Int = 1000,
+              gopherRules: Boolean = false): DataFrame = {
     val docs = Tables.documents(spark, corpusDir)
     val drop = exactDupIds().unionByName(nearDupIds()).distinct()
-    val base = docs.join(drop, Seq("doc_id"), "left_anti")
+    val deduped = docs.join(drop, Seq("doc_id"), "left_anti")
+    val ruled =
+      if (!gopherRules) deduped
+      else deduped.join(TextOps.textGopherRules(spark, corpusDir)
+          .filter(col("pass") === 1).select("doc_id"), "doc_id")
+    val base = ruled
       .join(TextOps.textQuality(spark, corpusDir).select("doc_id", "quality"), "doc_id")
       .filter(col("quality") >= minQuality)
     if (minLmScore <= 0.0) base

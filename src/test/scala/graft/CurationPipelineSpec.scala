@@ -58,5 +58,18 @@ class CurationPipelineSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(!fluent.contains(4L), "gibberish doc must fail the LM floor")
     assert(fluent.contains(5L), "fluent doc must pass the LM floor")
+
+    // Gopher hard-rule gate stacks BEFORE the scores: the gated output is
+    // exactly the ungated survivors whose rule row says pass — the
+    // pipeline must reuse textGopherRules verbatim, not reimplement it
+    val ungated = pipe.curated(minQuality = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    val passing = graft.analytics.TextOps.textGopherRules(spark, dir)
+      .filter(col("pass") === 1).select("doc_id").as[Long].collect().toSet
+    val gated = pipe.curated(minQuality = 0.0, gopherRules = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gated == (ungated intersect passing),
+      s"gated=$gated ungated=$ungated passing=$passing")
+    assert(!gated.contains(4L), "the 3-token gibberish doc fails word-count rule")
   }
 }
