@@ -1117,30 +1117,35 @@ object TextOps {
     *    token-level diversity);
     *  - `r_repetition`: most frequent token ≤ 1/8 of the document.
     *
-    * Scale shape: one codegen'd projection per document — the per-doc
-    * term count is a higher-order-function pass over the (≤ ~100-token)
-    * token array, never a shuffle; nothing leaves the map side but the
-    * final ordered output.
+    * Scale shape: ONE compiled kernel pass per document
+    * ([[graft.functions.Sig.gopherStats]] — linear scan + token-count
+    * hash map, inside whole-stage codegen), never a shuffle; nothing
+    * leaves the map side but the final ordered output. The earlier
+    * declarative form computed `max_tf` with a nested interpreted HOF —
+    * O(distinct × tokens) per document, quadratic on the 50 000-token
+    * documents `r_word_count` itself admits, and the chain's worst
+    * last-step scaler (7.8× for 10× data) — the kernel is spec-pinned
+    * bit-equal to it (SigExpressionsSpec) and linear in document length
+    * (measured on the 10k-token long-document corpus, BENCH_SCALING.md).
     */
-  private val GopherStops = Seq("the", "a", "and", "is", "of")
+  private val GopherStops = graft.functions.Sig.GopherStops
 
   def textGopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val n = size(toks)
-    // token chars = text length minus the (n-1) separator spaces
-    val sumLen = length(col("text")) - (n - lit(1))
-    val nVocab = size(array_distinct(toks))
-    val maxTf = array_max(transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t))))
-    val nStops = size(filter(array_distinct(toks),
-      t => GopherStops.map(t === _).reduce(_ || _)))
+    graft.functions.GraftFunctions.register(spark)
+    val stats = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.gopherStats(col("text")).as("st"))
+      .select(col("doc_id"), col("st.n_tokens").as("n"),
+        col("st.sum_len").as("sum_len"), col("st.n_vocab").as("n_vocab"),
+        col("st.max_tf").as("max_tf"), col("st.n_stops").as("n_stops"))
+    val n = col("n")
     def i(c: Column): Column = c.cast("int")
     val rWc = n >= 15 && n <= 50000
-    val rMwl = sumLen >= n * 3 && sumLen * 10 <= n * 46
-    val rStop = nStops >= 2
-    val rTtr = nVocab * 2 >= n
-    val rRep = maxTf * 8 <= n
-    Tables.documents(spark, dir).select(
+    val rMwl = col("sum_len") >= n * 3 && col("sum_len") * 10 <= n * 46
+    val rStop = col("n_stops") >= 2
+    val rTtr = col("n_vocab") * 2 >= n
+    val rRep = col("max_tf") * 8 <= n
+    stats.select(
       col("doc_id"), n.as("n_tokens"),
       i(rWc).as("r_word_count"), i(rMwl).as("r_mean_word_len"),
       i(rStop).as("r_stopwords"), i(rTtr).as("r_ttr"),

@@ -274,6 +274,86 @@ object Sig {
       Array[Any](spaces + 1, words, seen.size, chars))
   }
 
+  /** The Gopher-rule stopword inventory (Rae et al. 2021 §A1.1 uses a
+    * "common English word" list; this engine pins the five-word subset
+    * its oracle-checked rule uses). Shared by the kernel registration and
+    * the `text_gopher_rules` oracle SQL so the two can never drift. */
+  final val GopherStops: Seq[String] = Seq("the", "a", "and", "is", "of")
+
+  /** Membership set for [[gopherStats]] — built once per expression
+    * instance and shipped to generated code as a reference object. */
+  def buildStopSet(stops: Seq[String])
+      : java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+      stops.size * 2)
+    stops.foreach(t =>
+      set.add(org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+    set
+  }
+
+  /** One-pass per-document Gopher-rule statistics — the compiled kernel
+    * behind `text_gopher_rules`. The declarative form computed the max
+    * term frequency as `array_max(transform(array_distinct(toks), t =>
+    * size(filter(toks, x => x === t))))` — an interpreted nested
+    * higher-order-function pass that is O(distinct × tokens) per
+    * document, quadratic on the 50 000-token documents the rule's own
+    * word-count bound admits (measured: the worst last-step scaler in
+    * BENCH_SCALING.md's 3-decade chain at 7.8× for 10× data, and the
+    * slowest ×100 query at 10.24 s on ~100-token docs). This kernel is
+    * one linear scan with a token-count hash map:
+    *  - `n_tokens` = `size(split(text, " "))` = spaces + 1 (trailing /
+    *    consecutive-space empties kept, exactly as `split` keeps them);
+    *  - `sum_len` = `length(text) - (n_tokens - 1)` = codepoints minus
+    *    separator spaces (the summed token lengths);
+    *  - `n_vocab` = exact distinct token count (byte-equality, the same
+    *    contract as `array_distinct` under binary collation);
+    *  - `max_tf`  = the highest single-token occurrence count;
+    *  - `n_stops` = distinct tokens present in `stops` (counted on a
+    *    token's FIRST occurrence, so each stopword counts once).
+    * Tokens are zero-copy byte-slices of the input; per token the map
+    * pays one hash + one boxed increment — no intermediate arrays, no
+    * per-distinct rescans. Bit-identical to the HOF form (spec-pinned in
+    * SigExpressionsSpec both on the real corpus and on adversarial
+    * edges). */
+  private val SumInts: java.util.function.BiFunction[Integer, Integer, Integer] =
+    (a, x) => Integer.valueOf(a.intValue() + x.intValue())
+
+  def gopherStats(s: org.apache.spark.unsafe.types.UTF8String,
+                  stops: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val b = s.getBytes
+    var spaces = 0
+    var chars = 0
+    var maxTf = 0
+    var nStops = 0
+    val counts =
+      new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
+    val one = Integer.valueOf(1)
+    var tokStart = 0
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if ((c & 0xc0) != 0x80) chars += 1
+      if (c == ' ') {
+        spaces += 1
+        val tok = org.apache.spark.unsafe.types.UTF8String
+          .fromBytes(b, tokStart, i - tokStart)
+        val cnt = counts.merge(tok, one, SumInts)
+        if (cnt > maxTf) maxTf = cnt
+        if (cnt == 1 && stops.contains(tok)) nStops += 1
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    val tok = org.apache.spark.unsafe.types.UTF8String
+      .fromBytes(b, tokStart, b.length - tokStart)
+    val cnt = counts.merge(tok, one, SumInts)
+    if (cnt > maxTf) maxTf = cnt
+    if (cnt == 1 && stops.contains(tok)) nStops += 1
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](spaces + 1, chars - spaces, counts.size, maxTf, nStops))
+  }
+
   /** Single-pass text canonicalization: ASCII lowercase, every byte
     * outside `[a-z0-9]` becomes a space, runs of spaces collapse to one,
     * leading/trailing spaces dropped. Byte-for-byte equal to
@@ -621,6 +701,28 @@ case class TokenStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): TokenStats = copy(child = c)
 }
 
+/** `graft_gopher_stats(string) -> struct<n_tokens:int, sum_len:int,
+  * n_vocab:int, max_tf:int, n_stops:int>` — see [[Sig.gopherStats]]. The
+  * stopword inventory is fixed at expression construction and shipped to
+  * generated code as a reference object (the [[ProfileScores]] pattern). */
+case class GopherStats(child: Expression, stops: Seq[String]) extends UnaryExpression {
+  @transient private lazy val stopSet = Sig.buildStopSet(stops)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("sum_len", IntegerType, nullable = false),
+    StructField("n_vocab", IntegerType, nullable = false),
+    StructField("max_tf", IntegerType, nullable = false),
+    StructField("n_stops", IntegerType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    Sig.gopherStats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], stopSet)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val set = ctx.addReferenceObj("gopherStops", stopSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sig.gopherStats($c, $set)")
+  }
+  override protected def withNewChildInternal(c: Expression): GopherStats = copy(child = c)
+}
+
 /** `graft_normalize(string) -> string` — see [[Sig.normalizeText]]. */
 case class NormalizeText(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -712,6 +814,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => NormalizeText(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_token_stats",
       (args: Seq[Expression]) => TokenStats(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_gopher_stats",
+      (args: Seq[Expression]) => GopherStats(args.head, Sig.GopherStops), "built-in")
     reg.createOrReplaceTempFunction("graft_scrub",
       (args: Seq[Expression]) => ScrubPii(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_winnow",
@@ -742,6 +846,7 @@ object GraftFunctions {
   def polyhash(c: Column): Column = call_function("graft_polyhash", c)
   def normalize(c: Column): Column = call_function("graft_normalize", c)
   def tokenStats(c: Column): Column = call_function("graft_token_stats", c)
+  def gopherStats(c: Column): Column = call_function("graft_gopher_stats", c)
   def scrub(c: Column): Column = call_function("graft_scrub", c)
   def winnow(grams: Column, w: Int): Column =
     call_function("graft_winnow", grams, org.apache.spark.sql.functions.lit(w))

@@ -175,6 +175,39 @@ class SigExpressionsSpec extends AnyFunSuite {
       assert((a1, a2, a3, a4) == (b1, b2, b3, b4)) }
   }
 
+  test("native gopher_stats equals the interpreted HOF forms (corpus + edges)") {
+    GraftFunctions.register(spark)
+    // the real corpus plus the edges where split/array_distinct semantics
+    // bite: empty string, consecutive/trailing spaces (empty tokens kept),
+    // repeated tokens, case-sensitive stopwords, non-ASCII codepoints,
+    // and a long document (the regime the kernel exists for)
+    val edge = Seq("", " ", "  ", "a", "the the the a of", "The THE the",
+      "trailing ", " leading", "double  space", "42 42 43 is of and",
+      "naïve café über tokens", Seq.fill(3000)("tok").mkString(" "),
+      (0 until 3000).map(i => s"w${i % 97}").mkString(" "))
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).as[String].collect().toSeq
+    val docs = (edge ++ corpus).toDF("text")
+    val stops = Sig.GopherStops
+    val toks = split(col("text"), " ")
+    val hof = docs.select(
+      GraftFunctions.gopherStats(col("text")).as("st"),
+      size(toks).as("n"),
+      (length(col("text")) - (size(toks) - lit(1))).as("sum_len"),
+      size(array_distinct(toks)).as("n_vocab"),
+      array_max(transform(array_distinct(toks),
+        t => size(filter(toks, x => x === t)))).as("max_tf"),
+      size(filter(array_distinct(toks),
+        t => stops.map(t === _).reduce(_ || _))).as("n_stops"))
+      .select(col("st.n_tokens"), col("st.sum_len"), col("st.n_vocab"),
+        col("st.max_tf"), col("st.n_stops"),
+        col("n"), col("sum_len"), col("n_vocab"), col("max_tf"), col("n_stops"))
+      .as[(Int, Int, Int, Int, Int, Int, Int, Int, Int, Int)].collect()
+    assert(hof.length == edge.size + corpus.size)
+    hof.foreach { case (k1, k2, k3, k4, k5, h1, h2, h3, h4, h5) =>
+      assert((k1, k2, k3, k4, k5) == (h1, h2, h3, h4, h5)) }
+  }
+
   test("native scrub equals the four-pass regex chain on the real corpus (both ways)") {
     GraftFunctions.register(spark)
     val dir = "/root/testdata/sf0.001"
