@@ -791,25 +791,45 @@ object EventOps {
     * cutoff derivation runs on the quantized metric DOMAINS (days since
     * head, event counts, whole units — all bounded far below user
     * cardinality by construction) and broadcasts four cutoffs per metric
-    * back. The log head is driver-resolved to a literal (one tiny agg
-    * job).
+    * back.
     *
-    * Plan note (final plan read at sf0.01): the `users` aggregate is
-    * RECOMPUTED under each cutoff branch — per-branch column pruning
-    * narrows each scan to its own metric, which defeats exchange-subtree
-    * reuse. Four slim scans of a 3-column projection is the right trade
-    * at bench scale; a 100 TB deployment materializes `users` once (it
-    * is |users| rows, tiny next to the fact) and feeds the cutoff
-    * branches from the materialization.
+    * Plan note (final plan read at sf0.01, round 11): the per-user fact
+    * aggregate is MATERIALIZED ONCE as a [[graft.ops.DerivedZone]]
+    * artifact (`events_user_facts`: user_id, max_sec, frequency, sum_v —
+    * |users| rows, tiny next to the fact), so the events fact is scanned
+    * and hash-aggregated exactly once per dataset; the three cutoff
+    * derivations, the log-head literal AND the final scoring all read the
+    * published zone parquet (the earlier shape re-derived the aggregate
+    * under every branch — per-branch column pruning defeated
+    * exchange-subtree reuse, 4× the fact scan+agg cost; ScanCountSpec now
+    * pins the single-scan shape). Zone-backed reads are also
+    * plan-canonicalization-stable, so the SQL face asserts full plan
+    * identity. The head is NOT a separate fact job either: max(sec) ==
+    * max over the zone's per-user max_sec. Metric division is integral
+    * (`div`) on both engines — exact at any magnitude; the event domain
+    * is non-negative (values are prices), where `div` (trunc) and the
+    * oracle's `//` (floor) coincide.
     */
+  private[graft] val userFactsMemo =
+    new graft.ops.DerivedZone("events_user_facts", Seq("events.parquet"))
+
+  private def userFacts(spark: SparkSession, dir: String): DataFrame =
+    userFactsMemo.get(spark, dir) {
+      withSec(Tables.events(spark, dir))
+        .select(col("user_id"), col("sec"), cents(col("value")).as("v_c"))
+        .groupBy("user_id").agg(
+          max(col("sec")).as("max_sec"),
+          count(lit(1)).as("frequency"),
+          sum(col("v_c")).as("sum_v"))
+    }
+
   def rfm(spark: SparkSession, dir: String): DataFrame = {
-    val e = withSec(Tables.events(spark, dir))
-      .select(col("user_id"), col("sec"), cents(col("value")).as("v_c"))
-    val head = e.agg(max(col("sec"))).first().getLong(0)
-    val users = e.groupBy("user_id").agg(
-      ((lit(head) - max(col("sec"))) / 86400L).cast("long").as("recency_days"),
-      count(lit(1)).as("frequency"),
-      (sum(col("v_c")) / 100L).cast("long").as("monetary_units"))
+    val facts = userFacts(spark, dir)
+    val head = facts.agg(max(col("max_sec"))).first().getLong(0)
+    val users = facts.select(col("user_id"),
+      expr(s"($head - max_sec) div 86400").as("recency_days"),
+      col("frequency"),
+      expr("sum_v div 100").as("monetary_units"))
     // nearest-rank quintile cutoffs over the (metric, count) histogram;
     // `asc` metrics are better SMALL (recency), `desc` better LARGE
     def cutoffs(metric: String, asc: Boolean): DataFrame = {

@@ -120,8 +120,13 @@ object StreamOps {
                   last = Some(LastClick(r.sec, r.event_id))
               case "purchase" =>
                 val attr = last.filter(s => r.sec - s.sec <= horizonSec)
+                // HALF_UP away from zero — the exact rounding of the batch
+                // operator's cents() (Spark round()); java's math.round is
+                // floor(x+0.5) and diverges on negative exact half-cents
+                val valueCents = BigDecimal(r.value * 100)
+                  .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
                 out += Attribution(uid, r.event_id, r.sec,
-                  math.round(r.value * 100) / 100.0,
+                  valueCents / 100.0,
                   attr.map(_.id),
                   if (attr.isDefined) "click" else "organic")
               case _ => ()

@@ -49,6 +49,10 @@ object ClusteredCorpus {
     require(clusters >= graft.analytics.Similarity.GraphRecallNQ,
       s"need >= ${graft.analytics.Similarity.GraphRecallNQ} clusters so the " +
         "recall sample (vec_id < 30) spans distinct clusters")
+    // the near-dup plant rewrites vec_id+1 for every id % 10 == 8; with
+    // n % 10 != 0 the last plant would emit vec_id == n, breaking the
+    // documented dense-ids-0..n-1 contract (n+1 rows)
+    require(n % 10 == 0, s"n must be a multiple of 10 (got $n)")
     // unit centers; tiny frame, broadcast below
     val centers = spark.range(0, clusters.toLong, 1, 1)
       .select(col("id").as("cid"), gaussArray(seed + 1000).as("c0"))
