@@ -332,12 +332,18 @@ object CluesoOps {
     * task), and the drill-down predicate is a prefix range the scan can
     * serve; neither pass sorts the full keyspace.
     */
+  private val snapKeysMemo = new graft.ops.SessionMemo(Seq("events.parquet"))
+
   def listObjects(spark: SparkSession, dir: String): DataFrame = {
     // two consumers (rollup + drill-down) — materialize the merged key
     // list once instead of running the MVCC merge twice; the checkpoint
-    // is one slim column of the snapshot's keys, and its blocks are
-    // ContextCleaner-reaped when the result frame goes out of scope
-    val snap = mvccSnapshotCore(spark, dir).select("object_key").localCheckpoint()
+    // is one slim column of the snapshot's keys. SESSION-MEMOIZED (the
+    // importantParts pattern) so repeated listings in one session reuse
+    // the materialization and both query faces share ONE plan (the SQL
+    // face asserts full plan identity); revalidated against the events
+    // table's on-disk fingerprint, so a rewrite rebuilds automatically.
+    val snap = snapKeysMemo.get(spark, dir)(
+      mvccSnapshotCore(spark, dir).select("object_key").localCheckpoint())
     val prefixes = snap
       .select(concat(substring_index(col("object_key"), ":", 1), lit(":")).as("name"))
       .groupBy("name").agg(count(lit(1)).as("n_keys"))

@@ -324,7 +324,7 @@ object Dedup {
     */
   def clearMemos(): Unit = {
     pairsMemo.clear(); labelsMemo.clear(); sharedMemo.clear()
-    simhashMemo.clear()
+    simhashMemo.clear(); semanticLabelsMemo.clear()
   }
 
   /** SimHash near-dup pairs, persisted once per DATASET like the MinHash
@@ -837,11 +837,19 @@ object Dedup {
     *
     * Same distributed machinery as [[dedupClusters]] (checkpointed
     * min-label propagation, no driver graph); only the edge source
-    * differs (cosine pairs instead of MinHash pairs).
+    * differs (cosine pairs instead of MinHash pairs). Labels are
+    * published once per dataset like [[labelsMemo]] — one row per
+    * clustered vector — which also makes the query's plan
+    * canonicalization-stable (both faces scan the same zone files), so
+    * the SQL surface asserts full plan identity on it.
     */
+  private[graft] val semanticLabelsMemo =
+    new graft.ops.DerivedZone("semantic_cluster_labels", Seq("embeddings.parquet"))
+
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(dedupEmbedding(spark, dir).select("a_id", "b_id"))
-      .withColumnRenamed("doc_id", "vec_id")
+    semanticLabelsMemo.get(spark, dir)(
+      connectedComponents(dedupEmbedding(spark, dir).select("a_id", "b_id"))
+        .withColumnRenamed("doc_id", "vec_id"))
 
   val dedupSemanticSql: String =
     s"""WITH RECURSIVE $embeddingPairsCtes,

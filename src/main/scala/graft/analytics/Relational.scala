@@ -702,23 +702,32 @@ object Relational {
     * key; supplier joins hint-free (AQE broadcasts it while it fits,
     * shuffles it at 100×).
     */
+  private val mcsSliceMemo =
+    new graft.ops.SessionMemo(Seq("lineitem.parquet", "part.parquet"))
+
   def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val p = Tables.part(spark, dir)
-      .filter(col("p_type") === "LARGE").select("p_partkey", "p_name")
-    val lp = Tables.lineitem(spark, dir)
-      .select(col("l_partkey"), col("l_suppkey"),
-        round(cents(col("l_extendedprice")) * 100 / cents(col("l_quantity")), 0)
-          .cast("long").as("unit_c"))
-      .join(p, col("l_partkey") === col("p_partkey"))
-      .repartition(col("l_partkey"))
-      // materialize the slim filtered slice ONCE (the importantParts
-      // pattern): without it the optimizer reorders the part join above
-      // the semi, the two consumers' subtrees diverge, ReuseExchange
-      // can't fire, and the plan scans + shuffles the FULL fact twice
-      // (measured at sf10). The checkpoint keeps the l_partkey
-      // partitioning, so both the MIN aggregate and the semi probe read
-      // it with zero further exchanges.
-      .localCheckpoint()
+    // materialize the slim filtered slice ONCE (the importantParts
+    // pattern): without it the optimizer reorders the part join above
+    // the semi, the two consumers' subtrees diverge, ReuseExchange
+    // can't fire, and the plan scans + shuffles the FULL fact twice
+    // (measured at sf10). The checkpoint keeps the l_partkey
+    // partitioning, so both the MIN aggregate and the semi probe read
+    // it with zero further exchanges. The checkpoint is SESSION-MEMOIZED
+    // (not zone-published — the slice is fact-sized, not a small derived
+    // artifact), which also gives the two faces of one session the SAME
+    // materialization: the query's plan is deterministic per session and
+    // the SQL face asserts full plan identity.
+    val lp = mcsSliceMemo.get(spark, dir) {
+      val p = Tables.part(spark, dir)
+        .filter(col("p_type") === "LARGE").select("p_partkey", "p_name")
+      Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(cents(col("l_extendedprice")) * 100 / cents(col("l_quantity")), 0)
+            .cast("long").as("unit_c"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .repartition(col("l_partkey"))
+        .localCheckpoint()
+    }
     val minUnit = lp.groupBy(col("l_partkey").as("mk"))
       .agg(min(col("unit_c")).as("min_unit_c"))
     lp.join(minUnit,
@@ -994,6 +1003,8 @@ object Relational {
     * distributed equi-join (`c_custkey DIV 2 = frontier.c`) — reachability
     * expressed the way a SQL user writes it, executed as iterated joins.
     */
+  private val chainMemo = new graft.ops.SessionMemo(Seq("customer.parquet"))
+
   def recursiveChain(spark: SparkSession, dir: String): DataFrame = {
     // Identical semantics to the oracle's WITH RECURSIVE (and to Spark's
     // native UnionLoop form), but iterated explicitly: the recursive-CTE
@@ -1003,19 +1014,26 @@ object Relational {
     // broadcast join of the (≤ 2^depth, customer-bounded) frontier
     // against the in-memory keys, with per-level localCheckpoint to keep
     // the 12-join lineage from deepening the analyzed plan (the CC
-    // family's checkpoint-cadence trick).
-    val keys = Tables.customer(spark, dir).select(col("c_custkey")).localCheckpoint()
-    var frontier = spark.range(1, 2)
-      .select(lit(1L).as("c"), lit(0).as("depth")).localCheckpoint()
-    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
-    for (_ <- 1 to 12) {
-      frontier = keys.join(frontier,
-          expr("c_custkey div 2") === col("c"))
-        .select(col("c_custkey").as("c"), (col("depth") + 1).as("depth"))
-        .localCheckpoint()
-      levels += frontier
+    // family's checkpoint-cadence trick). The reached (c, depth) set —
+    // one row per customer — is SESSION-MEMOIZED, so the iteration runs
+    // once per (session, dataset) and both query faces aggregate the
+    // SAME materialization (deterministic plan per session; the SQL face
+    // asserts full plan identity).
+    val reached = chainMemo.get(spark, dir) {
+      val keys = Tables.customer(spark, dir).select(col("c_custkey")).localCheckpoint()
+      var frontier = spark.range(1, 2)
+        .select(lit(1L).as("c"), lit(0).as("depth")).localCheckpoint()
+      val levels = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+      for (_ <- 1 to 12) {
+        frontier = keys.join(frontier,
+            expr("c_custkey div 2") === col("c"))
+          .select(col("c_custkey").as("c"), (col("depth") + 1).as("depth"))
+          .localCheckpoint()
+        levels += frontier
+      }
+      levels.reduce(_.unionByName(_))
     }
-    levels.reduce(_.unionByName(_))
+    reached
       .groupBy("depth").agg(count(lit(1)).as("n"),
         min(col("c")).as("min_key"), max(col("c")).as("max_key"))
       .orderBy("depth")
@@ -1121,17 +1139,24 @@ object Relational {
     * Scale shape: the per-part aggregation is the only fact shuffle; the
     * global average re-aggregates the per-part result (tiny), broadcasts
     * back as a one-row join, and the HAVING filter runs post-join — the
-    * fact table is scanned ONCE (the per-part frame is checkpointed
-    * before fan-out, so the scalar branch reuses it instead of
-    * re-scanning).
+    * fact table is scanned ONCE: the per-part aggregate (|parts| rows,
+    * tiny next to the fact) is published as a [[graft.ops.DerivedZone]]
+    * artifact, so the scalar branch and the HAVING probe both read the
+    * zone parquet (and a fresh session pays zero fact scans). Zone-backed
+    * reads are canonicalization-stable, so the SQL face asserts full plan
+    * identity (the earlier localCheckpoint form could not).
     */
+  private[graft] val partValueMemo =
+    new graft.ops.DerivedZone("lineitem_part_value", Seq("lineitem.parquet"))
+
   def importantParts(spark: SparkSession, dir: String): DataFrame = {
-    val perPart = Tables.lineitem(spark, dir)
-      .select(col("l_partkey"),
-        (cents(col("l_extendedprice")) * cents(col("l_quantity"))).as("val_c4"))
-      .groupBy("l_partkey")
-      .agg(sum(col("val_c4")).as("part_val_c4"))
-      .localCheckpoint()
+    val perPart = partValueMemo.get(spark, dir) {
+      Tables.lineitem(spark, dir)
+        .select(col("l_partkey"),
+          (cents(col("l_extendedprice")) * cents(col("l_quantity"))).as("val_c4"))
+        .groupBy("l_partkey")
+        .agg(sum(col("val_c4")).as("part_val_c4"))
+    }
     val avg = perPart
       .agg(expr("sum(part_val_c4) div count(*)").as("avg_c4"))
     perPart.join(broadcast(avg))

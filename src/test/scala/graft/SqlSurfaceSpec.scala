@@ -89,13 +89,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
   test("analytics suite drives from pure SQL with plan-identical results over EVERY key") {
     GraftEngine.registerAnalyticsSurface(spark, sf)
     // Keys whose canonicalized plans legitimately differ between two
-    // builds of the SAME query — measured (tools run, 2026-08-14), three
+    // builds of the SAME query — measured (tools run, 2026-08-14), two
     // root causes, none of them a surface drift:
-    //  - in-memory localCheckpoint artifacts (different RDD ids per
-    //    build): dedup_semantic, list_objects, q_important_parts,
-    //    q_min_cost_supplier, q_recursive_chain. (Zone-backed checkpoint
-    //    operators — dedup_clusters, knn_ivf_pq, kmeans_iter … — are
-    //    plan-STABLE: both builds scan the same on-disk DerivedZone.)
     //  - typed-lambda nodes (MapElements holds a fresh closure instance
     //    per build, reference equality): mm_resize.
     //  - Catalyst rewrite nondeterminism (RewriteDistinctAggregates gid
@@ -104,10 +99,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // These are asserted by ROW equality instead. Every OTHER key must be
     // plan-identical (canonicalized sameResult): the loop runs the FULL
     // SparkEntry.queries keyset so the SQL face cannot drift operator by
-    // operator.
+    // operator. (Round 11 removed the five in-memory-localCheckpoint
+    // entries: dedup_semantic / q_important_parts / events_rfm moved to
+    // DerivedZone-published artifacts — both builds scan the same zone
+    // files — and q_min_cost_supplier / q_recursive_chain / list_objects
+    // session-memoize their checkpoint, so both faces share ONE
+    // materialization.)
     val unstableCanonicalization = Set(
-      "dedup_semantic", "list_objects", "q_important_parts",
-      "q_min_cost_supplier", "q_recursive_chain",
       "mm_resize",
       "q_distinct_agg", "knn_pq", "knn_pq_recall")
     val planDrift = scala.collection.mutable.ListBuffer.empty[String]
