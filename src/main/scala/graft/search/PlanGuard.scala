@@ -73,6 +73,51 @@ object PlanGuard {
         .map(_.relation.location.rootPaths.mkString(",")))
   }
 
+  /** Per-table count of file scans over the named base tables in the
+    * ADAPTIVE-FINAL executed plan of `df` — the query is executed first
+    * (`toRdd.count()`, no rows to the driver) so AQE stage decisions,
+    * exchange reuse included, are what gets counted. Subquery plans are
+    * traversed; reused exchanges / reused subqueries / cached-relation
+    * rescans are NOT double-counted (a reuse reads shuffle files or
+    * cache, not the table).
+    *
+    * This is the regression net for the "silently re-derived fact
+    * subtree" defect class (events_rfm round 10: per-branch column
+    * pruning defeated exchange reuse and the events fact was scanned and
+    * hash-aggregated 4×): ScanCountSpec asserts a declared per-query
+    * budget over the big tables, so a refactor that re-scans a fact N×
+    * fails the suite instead of shipping N× scan cost to the cluster.
+    * Driver-resolved literal jobs and DerivedZone builds run OUTSIDE the
+    * query's own plan and are not counted — they are once-per-dataset
+    * (zone) or tiny-aggregate jobs, not per-execution fact scans.
+    */
+  def factScanCounts(df: DataFrame, tables: Seq[String]): Map[String, Int] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.{ExecSubqueryExpression, ReusedSubqueryExec}
+    df.queryExecution.toRdd.count()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here: Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case _: ReusedExchangeExec => Nil
+        case _: InMemoryTableScanExec => Nil
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+      here ++ p.expressions.flatMap(_.collect {
+        case sub: ExecSubqueryExpression => sub.plan match {
+          case _: ReusedSubqueryExec => Nil
+          case bp => scans(bp)
+        }
+      }.flatten)
+    }
+    val all = scans(df.queryExecution.executedPlan)
+    tables.map(t => t -> all.count(
+      _.relation.location.rootPaths.exists(_.toString.contains(s"/$t.parquet")))).toMap
+  }
+
   /** Throw before any task launches if the plan violates the budget.
     * Returns `df` unchanged when admitted, so it chains into the query
     * path: `PlanGuard.admit(search(q))`.

@@ -1,0 +1,118 @@
+package graft
+
+import graft.search.PlanGuard
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fact-scan-count regression net — the generalization of round 10's
+  * `events_rfm` defect (a per-user fact aggregate silently re-derived
+  * under every cutoff branch: per-branch column pruning defeated
+  * exchange reuse and the biggest table in the system was scanned and
+  * hash-aggregated 4× where once sufficed).
+  *
+  * Every registered query is EXECUTED (AQE stages finalized) and the
+  * number of file scans over each big base table in its final plan —
+  * reused exchanges/subqueries and cached reads excluded — is asserted
+  * against a declared budget ([[PlanGuard.factScanCounts]]). Default
+  * budget: ONE scan per big table. Queries that legitimately read a
+  * table more than once declare their measured count below, with the
+  * reason; a refactor that silently re-derives a fact subtree fails HERE,
+  * not at 100 TB. Re-derive numbers with `runMain graft.tools.ScanAudit`.
+  *
+  * DerivedZone-backed operators legitimately show ZERO scans of their
+  * source fact (the zone build is a separate once-per-dataset job; the
+  * query serves the published artifact) — 0 ≤ 1, no declaration needed.
+  */
+class ScanCountSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val bigTables = graft.tools.ScanAudit.BigTables
+
+  /** Measured 2026-08-15 (`ScanAudit` at sf0.001) — every entry above the
+    * default budget of 1, grouped by cause:
+    *
+    *  - self-join / cohort-pair shapes (the operator compares the table
+    *    with itself): events_retention (cohort ⋈ return visits),
+    *    events_anomaly (per-key stats ⋈ points), events_cumulative_users
+    *    (day totals ⋈ first appearances), approx_distinct_kmv (exact side
+    *    ⋈ KMV side of the quality gate), q_avg_yearly / q_top_supplier /
+    *    q_waiting_suppliers (TPC-H correlated/semi shapes measured at 2 —
+    *    the decorrelated branch is its own slim scan), dedup_exact /
+    *    dedup_normalized / dedup_chunks (dup-group build ⋈ member list),
+    *    corpus_overlap-family text ops with a tf branch and a df branch
+    *    (text_top_term, text_salient_terms, text_cms, text_repetition,
+    *    text_decontaminate, corpus_mixture);
+    *  - histogram-domain derivations (cutoffs derived on a quantized
+    *    domain, then applied to the full rows — each branch is a slim
+    *    pruned scan, documented in the operators' Scaladoc):
+    *    text_perplexity_bucket (5), corpus_temperature (4),
+    *    corpus_dsir (3), text_lm_score (3);
+    *  - ANN family (codebook training sample + assignment + scoring
+    *    branches over the embeddings table; the recall harnesses
+    *    additionally scan a broadcast ≤30-row sample branch and an exact
+    *    baseline BY DESIGN — they are measurement tools):
+    *    centroid_ivf (4), dedup_embedding (3), kmeans_iter (3),
+    *    knn_graph (3), knn_graph_refine (4), knn_recall (4),
+    *    knn_ivf_pq (6), knn_graph_refine_recall (9), knn_graph_recall (14),
+    *    knn_brute / knn_filtered / knn_hard_negatives / knn_lsh (2);
+    *  - storage_info reads one slim stats pass per zone table (1 each —
+    *    listed only because it touches three big tables).
+    */
+  private val declared: Map[String, Map[String, Int]] = Map(
+    "approx_distinct_kmv" -> Map("events" -> 2),
+    "events_anomaly" -> Map("events" -> 2),
+    "events_cumulative_users" -> Map("events" -> 2),
+    "events_retention" -> Map("events" -> 2),
+    "q_avg_yearly" -> Map("lineitem" -> 2),
+    "q_top_supplier" -> Map("lineitem" -> 2),
+    "q_waiting_suppliers" -> Map("lineitem" -> 2),
+    "corpus_dsir" -> Map("documents" -> 3),
+    "corpus_mixture" -> Map("documents" -> 2),
+    "corpus_temperature" -> Map("documents" -> 4),
+    "dedup_chunks" -> Map("documents" -> 2),
+    "dedup_exact" -> Map("documents" -> 2),
+    "dedup_normalized" -> Map("documents" -> 2),
+    "text_cms" -> Map("documents" -> 2),
+    "text_decontaminate" -> Map("documents" -> 2),
+    "text_lm_score" -> Map("documents" -> 3),
+    "text_perplexity_bucket" -> Map("documents" -> 5),
+    "text_repetition" -> Map("documents" -> 2),
+    "text_salient_terms" -> Map("documents" -> 2),
+    "text_top_term" -> Map("documents" -> 2),
+    "centroid_ivf" -> Map("embeddings" -> 4),
+    "dedup_embedding" -> Map("embeddings" -> 3),
+    "kmeans_iter" -> Map("embeddings" -> 3),
+    "knn_brute" -> Map("embeddings" -> 2),
+    "knn_filtered" -> Map("embeddings" -> 2),
+    "knn_graph" -> Map("embeddings" -> 3),
+    "knn_graph_recall" -> Map("embeddings" -> 14),
+    "knn_graph_refine" -> Map("embeddings" -> 4),
+    "knn_graph_refine_recall" -> Map("embeddings" -> 9),
+    "knn_hard_negatives" -> Map("embeddings" -> 2),
+    "knn_ivf_pq" -> Map("embeddings" -> 6),
+    "knn_lsh" -> Map("embeddings" -> 2),
+    "knn_recall" -> Map("embeddings" -> 4))
+
+  test("every registered query stays within its declared big-table scan budget") {
+    val over = scala.collection.mutable.ListBuffer.empty[String]
+    for (name <- SparkEntry.queries.keySet.toSeq.sorted) {
+      val counts =
+        PlanGuard.factScanCounts(SparkEntry.queries(name)(spark, sf), bigTables)
+      val budget = declared.getOrElse(name, Map.empty)
+      for (t <- bigTables; n = counts(t); if n > budget.getOrElse(t, 1))
+        over += s"$name: $t scanned $n× (budget ${budget.getOrElse(t, 1)})"
+    }
+    assert(over.isEmpty,
+      "queries re-deriving a fact subtree beyond their declared budget " +
+        s"(the events_rfm defect class):\n${over.mkString("\n")}")
+  }
+
+  test("events_rfm's fact aggregate is materialized once: zero events scans in the query plan") {
+    // the round-10 defect, pinned at its fixed value: the per-user
+    // aggregate is a DerivedZone artifact (ONE events scan at zone build,
+    // once per dataset); the query plan itself reads only the zone
+    val counts =
+      PlanGuard.factScanCounts(SparkEntry.queries("events_rfm")(spark, sf), bigTables)
+    assert(counts("events") == 0,
+      s"events_rfm scans events ${counts("events")}× — the zone materialization regressed")
+  }
+}
