@@ -134,9 +134,53 @@ object ScaleData {
       "embeddings", 8)
   }
 
-  /** `runMain graft.tools.ScaleData <srcDir> <dstDir> <factor>` */
+  /** Long-document corpus: the SAME total token volume as the source
+    * documents table, reshaped to ~`tokensPerDoc` tokens per document —
+    * the regime real curation corpora live in (10k–50k-token books/pages
+    * vs the synthetic ~100-token rows every committed text bench ran on),
+    * where any per-document cost that is super-linear in document length
+    * changes regime (the text_gopher_rules HOF defect class).
+    *
+    * Consecutive documents (by `doc_id`, so merging never crosses a
+    * ScaleData copy boundary — copy offsets keep the id ranges disjoint)
+    * are concatenated with single spaces: total whitespace-token count is
+    * EXACTLY preserved (joins add separators, never tokens), so a
+    * per-token-linear operator should cost the same on both corpora and
+    * the ratio isolates the per-document-shape term. `lang`/`source` are
+    * taken from the group's head document (the corpus mixture shifts —
+    * acceptable: this corpus benchmarks cost shape, not quality
+    * semantics). Only `documents.parquet` is written: the §2.5 text
+    * family reads nothing else.
+    */
+  def longDocs(spark: SparkSession, src: String, dst: String,
+               tokensPerDoc: Int): Unit = {
+    require(tokensPerDoc >= 1, "tokensPerDoc must be >= 1")
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val avgTok = docs.agg(avg(size(split(col("text"), " "))))
+      .first().getDouble(0)
+    val g = math.max(1L, math.round(tokensPerDoc / avgTok))
+    docs
+      .withColumn("gid", expr(s"doc_id div $g"))
+      .groupBy("gid")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            e => e.getField("text")), " ").as("text"),
+        min_by(col("lang"), col("doc_id")).as("lang"),
+        min_by(col("source"), col("doc_id")).as("source"))
+      .select(col("gid").as("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).as("n_chars"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+  }
+
+  /** `runMain graft.tools.ScaleData <srcDir> <dstDir> <factor>`
+    * or `runMain graft.tools.ScaleData --longdocs <srcDir> <dstDir> <tokensPerDoc>` */
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleData <srcDir> <dstDir> <factor>")
+    val longMode = args.headOption.contains("--longdocs")
+    val rest = if (longMode) args.tail else args
+    require(rest.length == 3,
+      "usage: ScaleData [--longdocs] <srcDir> <dstDir> <factor|tokensPerDoc>")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[16]"))
       .appName("graft-scaledata")
@@ -145,7 +189,8 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    scale(spark, args(0), args(1), args(2).toInt)
+    if (longMode) longDocs(spark, rest(0), rest(1), rest(2).toInt)
+    else scale(spark, rest(0), rest(1), rest(2).toInt)
     spark.stop()
   }
 }

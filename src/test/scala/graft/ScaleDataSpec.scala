@@ -25,6 +25,26 @@ class ScaleDataSpec extends AnyFunSuite {
     Seq("region", "nation").foreach(t => assert(n(dst, t) == n(src, t)))
   }
 
+  test("longDocs preserves total token volume at the target per-doc length") {
+    val d = SparkTestSession.tempDir("longdocs")
+    ScaleData.longDocs(spark, src, d, 1000)
+    val srcDocs = spark.read.parquet(s"$src/documents.parquet")
+    val out = spark.read.parquet(s"$d/documents.parquet")
+    def totalTokens(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(size(split(col("text"), " ")))).first().getLong(0)
+    // merging joins docs with single spaces: separators, never tokens
+    assert(totalTokens(out) == totalTokens(srcDocs), "token volume must be exact")
+    // ~1000 tokens per doc: group size = round(1000 / avg) source docs each
+    val perDoc = out.select(size(split(col("text"), " ")).as("n"))
+      .agg(avg(col("n"))).first().getDouble(0)
+    assert(perDoc > 500 && perDoc < 2000, s"mean tokens/doc $perDoc not ~1000")
+    assert(out.count() < srcDocs.count() / 2, "docs must actually merge")
+    // ids stay unique and lang/source come from each group's head doc
+    assert(out.select("doc_id").distinct().count() == out.count())
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
   test("per-copy join integrity: every order resolves its customer") {
     val o = spark.read.parquet(s"$dst/orders.parquet")
     val c = spark.read.parquet(s"$dst/customer.parquet")
