@@ -199,35 +199,58 @@ object Dedup {
 
   private def sharedCounts(spark: SparkSession, dir: String): DataFrame =
     sharedMemo.get(spark, dir) {
-      // localCheckpoint (not cache): materialized once for the branches
-      // below, auto-dropped when this build's frames go out of scope
-      val sh = shingled(spark, dir).localCheckpoint()
-      val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      // Build shape re-derived from the round-11 ×1000 full-suite failure
+      // (bench_scaling_x1000_full_run1.json: SparkOutOfMemory in the pair
+      // aggregate, then a disk-full rebuild): at 5M docs the candidate
+      // pair table is ~1.1B rows, and the old shape pushed it through a
+      // session-width (32) exchange — ~35M pair keys per final aggregate
+      // task — then joined the doc sizes back onto it TWICE (two more
+      // 1.1B-row exchanges). Three fixes, all scale-rules already used
+      // elsewhere in the engine:
+      //  - the pair aggregate (and the self-join feeding it) runs at a
+      //    width ∝ posting-list size (1 partition per ~1M postings, the
+      //    connectedComponents sizing rule) instead of the session pin,
+      //    so per-task hash state stays ~constant at every SF;
+      //  - the capped posting list is cached COLUMNAR (`persist`,
+      //    compressed) instead of localCheckpoint's raw deserialized
+      //    row blocks — the 100× point measured ~10+ GB as rows; the
+      //    shingle checkpoint is gone entirely (shingling is one cheap
+      //    compiled-kernel projection — recomputing it twice costs CPU
+      //    linear in the corpus, not executor storage);
+      //  - each doc's capped-set size is attached to the posting list
+      //    BEFORE the self-join, so (na, nb) ride the aggregate keys
+      //    (functionally dependent on the pair — group count unchanged)
+      //    and the two size join-backs on the pair table disappear.
+      // Only pairs that can pass EITHER downstream filter materialize:
+      // containment ≥ jaccard always, so containment ≥ 0.5 is a superset
+      // of jaccard ≥ 0.5 and containment ≥ 0.8. The filtered near-dup
+      // table is the small artifact the zone publishes (the DerivedZone
+      // parquet write is the materialization; the localCheckpoint below
+      // only exists so the posting cache can be dropped before the write).
+      val ex = shingled(spark, dir)
+        .select(col("doc_id"), explode(col("sh")).as("s"))
       val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") <= ShingleDfCap)
         .select("s")
-      // materialize the capped posting list once: it feeds the size lookup
-      // and BOTH sides of the self-join, which would otherwise re-run the
-      // explode + df-join three times
-      val exC = ex.join(rare, "s").select("doc_id", "s").localCheckpoint()
+      val exC = ex.join(rare, "s").select("doc_id", "s").persist()
+      val nPost = exC.count()
+      val parts = math.max(spark.sessionState.conf.numShufflePartitions,
+        math.min(2048, (nPost / 1000000L).toInt + 1))
       val sizes = exC.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      exC.as("a").join(exC.as("b"),
+      val posts = exC.join(sizes, "doc_id")
+        .repartition(parts, col("s"))
+      val pairs = posts.as("a").join(posts.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .repartition(parts, col("a_id"), col("b_id"))
+        .groupBy("a_id", "b_id", "na", "nb")
         .agg(count(lit(1)).as("shared"))
-        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
-        // Keep only pairs that can pass EITHER downstream filter before
-        // materializing: containment ≥ jaccard always (with shared ≤
-        // min(na,nb), na+nb−shared ≥ max(na,nb) ≥ min(na,nb)), so
-        // containment ≥ 0.5 is a superset of both jaccard ≥ 0.5 and
-        // containment ≥ 0.8. The UNFILTERED candidate table is not small —
-        // 113M rows (~10+ GB deserialized) at the 100× scale point, and
-        // pinning it in executor storage turned this one-time build into a
-        // 641 s heap-thrash; the filtered near-dup table is the actually
-        // small derived artifact worth publishing. (No localCheckpoint
-        // here: the DerivedZone parquet write IS the materialization.)
         .filter(col("shared") / least(col("na"), col("nb")) >= 0.5)
+        .select("a_id", "b_id", "shared", "na", "nb")
+        .localCheckpoint()
+      exC.unpersist()
+      pairs
     }
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
