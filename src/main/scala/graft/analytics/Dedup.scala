@@ -236,19 +236,62 @@ object Dedup {
       val nPost = exC.count()
       val parts = math.max(spark.sessionState.conf.numShufflePartitions,
         math.min(2048, (nPost / 1000000L).toInt + 1))
+      // the one unavoidable exchange is pair-keyed: Σ_s df·(df−1)/2 rows
+      // (EXACTLY linear in corpus size by the df cap — measured 126.6M at
+      // ×100 → 1.266B at ×1000, tools/PairProbe). At ×1000 that shuffle
+      // is ~45-50 GB on disk — beyond one host's scratch in a full-suite
+      // run (the round-11 disk-full failures). PAIR-SPACE SHARDING bounds
+      // the high-water: pass k joins only the a-side docs with
+      // hash(doc_id) % passes == k against the full posting list, so
+      // every pair (keyed by its SMALLER id, the a-side) lands in exactly
+      // one pass, per-pass aggregates are complete (the b-side list is
+      // whole), the ≥0.5 containment filter applies per pass, and each
+      // pass's shuffle files are ContextCleaner-reaped before the next
+      // starts — disk high-water ∝ pairs/passes. On a cluster the same
+      // code runs passes=1 (aggregate scratch is a cluster resource);
+      // here passes sizes itself off the measured pair count.
+      val pairCnt = exC.groupBy("s").agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) div 2")).cast("long")).first().getLong(0)
+      val passes = math.min(8L, pairCnt / 320000000L + 1L).toInt
       val sizes = exC.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // cached (columnar) rather than re-exchanged: every pass's join
+      // reads it partition-local — the s-clustering from the repartition
+      // survives the cache, so no pass pays a posting-list shuffle
       val posts = exC.join(sizes, "doc_id")
-        .repartition(parts, col("s"))
-      val pairs = posts.as("a").join(posts.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.n").as("na"), col("b.n").as("nb"))
-        .repartition(parts, col("a_id"), col("b_id"))
-        .groupBy("a_id", "b_id", "na", "nb")
-        .agg(count(lit(1)).as("shared"))
-        .filter(col("shared") / least(col("na"), col("nb")) >= 0.5)
-        .select("a_id", "b_id", "shared", "na", "nb")
-        .localCheckpoint()
+        .repartition(parts, col("s")).persist()
+      val passResults = (0 until passes).map { k =>
+        val aSide =
+          if (passes == 1) posts
+          else posts.filter(pmod(hash(col("doc_id")), lit(passes)) === k)
+        // SHUFFLE_HASH on the sliced build side: a sort-merge join here
+        // sorts the 260M-row posting list — sort spill the disk pays on
+        // top of the pair shuffle; the hash build is ~1M rows per task
+        val passPairs = aSide.as("a").hint("SHUFFLE_HASH")
+          .join(posts.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            col("a.n").as("na"), col("b.n").as("nb"))
+          .repartition(parts, col("a_id"), col("b_id"))
+          .groupBy("a_id", "b_id", "na", "nb")
+          .agg(count(lit(1)).as("shared"))
+          // only pairs that can pass EITHER downstream filter materialize:
+          // containment ≥ jaccard always, so containment ≥ 0.5 is a
+          // superset of jaccard ≥ 0.5 and containment ≥ 0.8
+          .filter(col("shared") / least(col("na"), col("nb")) >= 0.5)
+          .select("a_id", "b_id", "shared", "na", "nb")
+          .localCheckpoint() // small filtered table; ends the pass's lineage
+        if (passes > 1) {
+          // drop the finished pass's shuffle files before the next pass
+          // allocates its own (the Bench inter-query hygiene, applied
+          // intra-build): gc enqueues the cleanup, the brief poll lets
+          // the async ContextCleaner actually delete
+          System.gc()
+          Thread.sleep(500)
+        }
+        passPairs
+      }
+      val pairs = passResults.reduce(_.unionByName(_))
+      posts.unpersist()
       exC.unpersist()
       pairs
     }
