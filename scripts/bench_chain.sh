@@ -11,6 +11,12 @@
 set -u
 cd /root/repo
 rm -rf "${TMPDIR:-/tmp}/graft-derived"
+# Chain-ratio legs PIN the core count (Bench's default is now the
+# Tuning-derived robustness width, which grows with data — right for
+# robustness runs, wrong for like-with-like ratios), and declare this
+# host's scratch budget so disk-bounded builds shard themselves.
+export SPARK_GRAFT_SHUFFLE_PARTITIONS=32
+export SPARK_GRAFT_SCRATCH_BYTES=${SPARK_GRAFT_SCRATCH_BYTES:-32212254720}
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT=bench_scaling_sf01.json \
   scripts/run_main.sh graft.Bench > /tmp/benchchain_sf01.log 2>&1 \
 && SPARK_GRAFT_SF_DIR=/root/repo/.bench/x10 SPARK_GRAFT_BENCH_OUT=bench_scaling_x10.json \

@@ -3,16 +3,21 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // The width is TUNING'S prescription by default — Tuning.benchWidth
+    // applied to the scale point's on-disk bytes — so the sizing rule the
+    // repo documents and the width the benches actually run can't drift
+    // (round-11 ran the prescribed 128 at ×1000 via a hand-set env var;
+    // now Bench derives it: ~17 GB source → 128 on 32 cores, sf0.1 → 64).
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS still overrides: chain-ratio
+    // artifacts pin the core count at every point so ratios compare like
+    // with like (partitions that grow with data are the cluster shape,
+    // but they'd make the small points measure scheduling, not data).
+    val width = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+      ops.Tuning.benchWidth(dirBytes(sfDir), cpus.toInt).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      // Pinned to the core count at every scale point so chain ratios
-      // compare like with like. Tuning.profile prescribes partitions
-      // that GROW with data on a real cluster — the
-      // SPARK_GRAFT_SHUFFLE_PARTITIONS override exists so scale
-      // experiments can measure that prescription at the large points
-      // (never set it for the committed chain artifacts).
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+      .config("spark.sql.shuffle.partitions", width)
       // The generated-class cache defaults to 100 entries; 100 queries x
       // several codegen units each thrash it, so classes compiled by the
       // untimed warm-up get evicted and RECOMPILED inside timed windows
@@ -31,7 +36,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val json = run(spark,
-      sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+      sfDir = sfDir,
       only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet),
       reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1),
       commit = gitCommit())
@@ -42,6 +47,23 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     spark.stop()
+  }
+
+  /** Total bytes of data files under `dir` (driver-side walk, no
+    * session needed — the width must be known before the session
+    * starts). Hidden/underscore marker files are skipped, matching
+    * [[graft.ops.SessionMemo.listEntries]]. */
+  def dirBytes(dir: String): Long = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(root)) 0L
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .mapToLong(java.nio.file.Files.size).sum()
+      finally s.close()
+    }
   }
 
   /** The repo's current short commit hash, for artifact provenance —
@@ -186,6 +208,6 @@ object Bench {
     // provenance: wall-clock stamp makes every artifact auditable as
     // actually re-measured (vs a counter bump on stale numbers)
     val stamp = java.time.Instant.now().toString
-    s"""{"metric":"total","value":$total,"first_value":$firstTotal,"unit":"sec","reps":$reps,"agg":"min","errors":$nErr,"queries":$qs,"runs":$runsJ,"gc_sec":$gcs,"status":$status,"sf":"$sfDir","generated_at":"$stamp","commit":"$commit"}"""
+    s"""{"metric":"total","value":$total,"first_value":$firstTotal,"unit":"sec","reps":$reps,"agg":"min","errors":$nErr,"shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},"queries":$qs,"runs":$runsJ,"gc_sec":$gcs,"status":$status,"sf":"$sfDir","generated_at":"$stamp","commit":"$commit"}"""
   }
 }

@@ -20,6 +20,12 @@ package graft
   *                        footprint; 0 disables the [[graft.search.PlanGuard]]
   *                        gate (cartesian/nested-loop joins are still
   *                        rejected whenever the gate is on)
+  * @param scratchBytes    per-host shuffle-scratch budget for disk-bounded
+  *                        builds (the near-dup pair build shards its pair
+  *                        space so one pass's shuffle fits this — see
+  *                        [[graft.ops.Tuning.pairShardPasses]]); 0 (the
+  *                        default) means scratch is a cluster-aggregate
+  *                        resource and builds run single-pass
   */
 case class GraftConfig(landingDir: String, stagingDir: String,
                        checkpointDir: String,
@@ -29,13 +35,36 @@ case class GraftConfig(landingDir: String, stagingDir: String,
                        purgeToleranceMs: Long = 0L,
                        kafkaBootstrap: String = "",
                        kafkaTopic: String = "",
-                       maxSearchScanBytes: Long = 0L) {
+                       maxSearchScanBytes: Long = 0L,
+                       scratchBytes: Long = 0L) {
   require(groupInterval > 0, "groupInterval must be positive")
   require(purgeToleranceMs >= 0, "purgeToleranceMs must be non-negative")
   require(maxSearchScanBytes >= 0, "maxSearchScanBytes must be non-negative")
+  require(scratchBytes >= 0, "scratchBytes must be non-negative")
+
+  /** Publish the session-scoped knobs onto `spark.conf` so engine code
+    * that takes only a session (the analytics families) sees the
+    * deployment's resource shape — e.g. [[graft.analytics.Dedup]] reads
+    * `spark.graft.scratch.bytes` to size its pair-shard pass count. */
+  def applySessionConfs(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.conf.set(GraftConfig.ScratchBytesConf, scratchBytes.toString)
 }
 
 object GraftConfig {
+
+  /** Session-conf key carrying [[GraftConfig.scratchBytes]] (also
+    * settable directly — `spark.conf.set` or `--conf` — for processes
+    * that never build a GraftConfig, e.g. the scaling benches). */
+  val ScratchBytesConf = "spark.graft.scratch.bytes"
+
+  /** The session's per-host scratch budget: the session conf if set,
+    * else the `SPARK_GRAFT_SCRATCH_BYTES` env (so bench/CLI runs can
+    * declare the host's disk without code), else 0 = cluster-aggregate
+    * scratch (single-pass builds). */
+  def scratchBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(ScratchBytesConf)
+      .orElse(sys.env.get("SPARK_GRAFT_SCRATCH_BYTES"))
+      .map(_.trim.toLong).getOrElse(0L)
 
   /** Load from a HOCON-style config file — the deployment surface the
     * reference exposes (CluesoConfig takes a parsed config file; every
@@ -134,6 +163,7 @@ object GraftConfig {
       purgeToleranceMs = props.getProperty("graft.purge.tolerance.ms", "0").toLong,
       kafkaBootstrap = props.getProperty("graft.kafka.bootstrap", ""),
       kafkaTopic = props.getProperty("graft.kafka.topic", ""),
-      maxSearchScanBytes = props.getProperty("graft.search.max.scan.bytes", "0").toLong)
+      maxSearchScanBytes = props.getProperty("graft.search.max.scan.bytes", "0").toLong,
+      scratchBytes = props.getProperty("graft.scratch.bytes", "0").toLong)
   }
 }

@@ -82,7 +82,15 @@ object CluesoOps {
   private val maxIdMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, Long)]()
 
+  /** Eviction hatch for long-lived multi-session processes (mirrors
+    * [[graft.analytics.Dedup.clearMemos]]); stopped sessions' entries are
+    * additionally purged automatically on every memo access. */
+  def clearMemos(): Unit = {
+    maxIdMemo.clear(); snapKeysMemo.clear()
+  }
+
   private def maxOpId(spark: SparkSession, dir: String): Long = {
+    maxIdMemo.keySet.removeIf(_._1.sparkContext.isStopped)
     val fp = graft.ops.SessionMemo.fingerprint(spark, Seq(s"$dir/events.parquet"))
     maxIdMemo.compute((spark, dir), (_, cur) =>
       if (cur != null && cur._1 == fp) cur

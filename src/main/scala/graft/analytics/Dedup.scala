@@ -247,12 +247,29 @@ object Dedup {
       // one pass, per-pass aggregates are complete (the b-side list is
       // whole), the ≥0.5 containment filter applies per pass, and each
       // pass's shuffle files are ContextCleaner-reaped before the next
-      // starts — disk high-water ∝ pairs/passes. On a cluster the same
-      // code runs passes=1 (aggregate scratch is a cluster resource);
-      // here passes sizes itself off the measured pair count.
-      val pairCnt = exC.groupBy("s").agg(count(lit(1)).as("c"))
-        .agg(sum(expr("c * (c - 1) div 2")).cast("long")).first().getLong(0)
-      val passes = math.min(8L, pairCnt / 320000000L + 1L).toInt
+      // starts — disk high-water ∝ pairs/passes.
+      //
+      // The pass count is a RESOURCE decision, not a host constant: the
+      // deployment declares its per-host scratch budget
+      // (`spark.graft.scratch.bytes`, via GraftConfig or env) and
+      // Tuning.pairShardPasses converts the measured pair count into the
+      // number of shards whose per-pass shuffle fits it. No budget (the
+      // default) is the cluster case — shuffle scratch is an aggregate
+      // resource — and the build runs ONE pass with no counting job, no
+      // slicing and no inter-pass hygiene; this sandbox's bench runs
+      // declare ~30 GB and land on 4 passes at ×1000 pair volumes.
+      val scratchBudget = graft.GraftConfig.scratchBytes(spark)
+      val passes =
+        if (scratchBudget <= 0L) 1
+        else {
+          // sum() over zero rows is NULL: a corpus whose shingles are all
+          // above the df cap (or an empty corpus) must size as 0 pairs,
+          // not NPE (connectedComponents guards the same pattern)
+          val pairCnt = exC.groupBy("s").agg(count(lit(1)).as("c"))
+            .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
+              .cast("long")).first().getLong(0)
+          graft.ops.Tuning.pairShardPasses(pairCnt, scratchBudget)
+        }
       val sizes = exC.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // cached (columnar) rather than re-exchanged: every pass's join
       // reads it partition-local — the s-clustering from the repartition
@@ -280,11 +297,13 @@ object Dedup {
           .filter(col("shared") / least(col("na"), col("nb")) >= 0.5)
           .select("a_id", "b_id", "shared", "na", "nb")
           .localCheckpoint() // small filtered table; ends the pass's lineage
-        if (passes > 1) {
-          // drop the finished pass's shuffle files before the next pass
+        if (k < passes - 1) {
+          // drop the finished pass's shuffle files before the NEXT pass
           // allocates its own (the Bench inter-query hygiene, applied
           // intra-build): gc enqueues the cleanup, the brief poll lets
-          // the async ContextCleaner actually delete
+          // the async ContextCleaner actually delete. Only BETWEEN
+          // passes — after the final pass there is nothing to make room
+          // for, and the single-pass (cluster) shape never pays it.
           System.gc()
           Thread.sleep(500)
         }

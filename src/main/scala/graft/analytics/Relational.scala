@@ -705,6 +705,13 @@ object Relational {
   private val mcsSliceMemo =
     new graft.ops.SessionMemo(Seq("lineitem.parquet", "part.parquet"))
 
+  /** Eviction hatch for long-lived multi-session processes (mirrors
+    * [[graft.analytics.Dedup.clearMemos]]); stopped sessions' entries are
+    * additionally purged automatically on every memo access. */
+  def clearMemos(): Unit = {
+    mcsSliceMemo.clear(); chainMemo.clear()
+  }
+
   def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     // materialize the slim filtered slice ONCE (the importantParts
     // pattern): without it the optimizer reorders the part join above

@@ -958,6 +958,11 @@ object Similarity {
     * `first_value`/`runs` artifact. */
   private val pqCbMemo = new graft.ops.SessionMemo(Seq("embeddings.parquet"))
 
+  /** Eviction hatch for long-lived multi-session processes (mirrors
+    * [[graft.analytics.Dedup.clearMemos]]); stopped sessions' entries are
+    * additionally purged automatically on every memo access. */
+  def clearMemos(): Unit = pqCbMemo.clear()
+
   private def pqTrainedMemo(spark: SparkSession, dir: String,
                             sub: DataFrame): DataFrame =
     pqCbMemo.get(spark, dir)(pqTrained(sub).localCheckpoint())

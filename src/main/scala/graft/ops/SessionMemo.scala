@@ -20,9 +20,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Entries hold strong references to their session (unavoidable: the
   * memoized DataFrame itself references it, so a weak-keyed map would
-  * never collect — the value would resurrect the key). Long-lived
-  * multi-session processes evict via [[clear]]
-  * (e.g. [[graft.analytics.Dedup.clearMemos]]).
+  * never collect — the value would resurrect the key). Entries whose
+  * session has STOPPED are purged on every [[get]] (the
+  * [[DerivedZone]] rule), so a long-lived multi-session process that
+  * cycles sessions doesn't accumulate dead pins; [[clear]] remains the
+  * explicit hatch (e.g. [[graft.analytics.Dedup.clearMemos]]) for
+  * evicting LIVE sessions' entries.
   *
   * A rebuild runs inside the map's compute (the bin stays locked for the
   * build): callers are per-session query registries where concurrent
@@ -44,6 +47,10 @@ private[graft] final class SessionMemo(tables: Seq[String]) {
     * entry's checkpoint blocks are ContextCleaner-reaped once unreferenced.
     */
   def get(spark: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+    // a stopped session's frames can never be served again; drop their
+    // entries so the memo doesn't pin dead sessions (their checkpoint
+    // blocks died with the context — only the references linger)
+    entries.keySet.removeIf(_._1.sparkContext.isStopped)
     val fp = SessionMemo.fingerprint(spark, tables.map(t => s"$dir/$t"))
     val key = (spark, dir)
     val cur = entries.get(key)

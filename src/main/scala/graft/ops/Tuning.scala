@@ -45,6 +45,55 @@ object Tuning {
   def broadcastThresholdBytes(executorMemBytes: Long): Long =
     math.min(executorMemBytes / 32, 1 * GiB)
 
+  /** Measured scratch-disk high-water per candidate pair in the
+    * near-dup shared-counts build (shuffle files + the per-pass
+    * aggregate's spill, compressed): the round-11 ×1000 run put ~1.266B
+    * pairs through a 4-pass build with a measured ≤30 GB sawtooth —
+    * ≈95 bytes of peak scratch per pair-per-pass; 96 rounds to a power
+    * of two. Conservative by construction (the measurement is a
+    * high-water, not an average). */
+  val PairScratchBytesPerPair: Long = 96L
+
+  /** Pass count for the pair-space-sharded shared-counts build
+    * ([[graft.analytics.Dedup]]): the number of disjoint a-side shards
+    * needed so one pass's pair shuffle fits the per-host scratch budget.
+    *
+    * `scratchBudgetBytes <= 0` means scratch is not a bottleneck — the
+    * cluster case, where shuffle scratch is an aggregate resource sized
+    * with the fleet — and the build runs ONE pass (no sharding, no
+    * inter-pass hygiene). A positive budget is the single-host case
+    * (e.g. this sandbox's ~30 GB effective headroom): passes =
+    * ceil(pairCount × bytes/pair ÷ budget), capped at `maxPasses`
+    * because each pass rescans the full cached posting list (CPU ∝
+    * passes) — past the cap, more scratch is the answer, not more
+    * passes. */
+  def pairShardPasses(pairCount: Long, scratchBudgetBytes: Long,
+                      maxPasses: Int = 8): Int = {
+    require(pairCount >= 0, "pairCount must be non-negative")
+    require(maxPasses >= 1, "maxPasses must be >= 1")
+    if (scratchBudgetBytes <= 0L) 1
+    else {
+      val perPass = math.max(1L, scratchBudgetBytes / PairScratchBytesPerPair)
+      val needed = (pairCount + perPass - 1) / perPass
+      math.max(1L, math.min(needed, maxPasses.toLong)).toInt
+    }
+  }
+
+  /** Local-bench shuffle width for a run over `inputBytes` of source
+    * data on `cores` cores: the [[shufflePartitions]] rule applied with
+    * worst-case single-query shuffle ≈ input bytes (the measured ×1000
+    * ratio for the suite's shuffle-heaviest relational queries — the
+    * pair build sizes its own width off posting count and is excluded),
+    * rounded UP to a whole number of `cores`-wide scheduler waves so
+    * every wave runs full. This is the width robustness runs use; chain-
+    * ratio artifacts pin the core count explicitly so ratios compare
+    * like with like. ×1000 (~17 GB of source parquet, 32 cores) → 128. */
+  def benchWidth(inputBytes: Long, cores: Int): Int = {
+    val base = shufflePartitions(inputBytes, cores)
+    val waves = (base + cores - 1) / cores
+    waves * cores
+  }
+
   /** The conf profile for a cluster of `executors`×`coresPerExecutor`
     * cores and an expected worst-case shuffle of `maxShuffleBytes`. */
   def profile(executors: Int, coresPerExecutor: Int,

@@ -79,7 +79,11 @@ object PlanGuard {
     * exchange reuse included, are what gets counted. Subquery plans are
     * traversed; reused exchanges / reused subqueries / cached-relation
     * rescans are NOT double-counted (a reuse reads shuffle files or
-    * cache, not the table).
+    * cache, not the table). A cache that is still COLD going into this
+    * execution is the exception: materializing it runs the cached plan's
+    * base scan once, and that one build scan IS counted (once per cache,
+    * however many consumers) — a query whose first execution scans a
+    * fact to cache it reports that scan instead of 0.
     *
     * This is the regression net for the "silently re-derived fact
     * subtree" defect class (events_rfm round 10: per-branch column
@@ -96,13 +100,46 @@ object PlanGuard {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     import org.apache.spark.sql.execution.{ExecSubqueryExpression, ReusedSubqueryExec}
+    import org.apache.spark.sql.graft.CacheIntrospect
+    // A cached-relation scan reads column buffers, not the table — EXCEPT
+    // the execution that MATERIALIZES the cache, which runs the cached
+    // plan's scan once. Snapshot, before executing, which cache builders
+    // are still cold: those (and only those) charge their cached plan's
+    // base scans to this execution, once per builder no matter how many
+    // cache consumers the plan has.
+    def coldBuilders(p: SparkPlan): Seq[AnyRef] = {
+      val here: Seq[AnyRef] = p match {
+        case a: AdaptiveSparkPlanExec => coldBuilders(a.executedPlan)
+        case q: QueryStageExec => coldBuilders(q.plan)
+        case im: InMemoryTableScanExec =>
+          if (CacheIntrospect.isLoaded(im)) Nil
+          else CacheIntrospect.cacheKey(im) +:
+            coldBuilders(CacheIntrospect.cachedPlan(im))
+        case other => other.children.flatMap(coldBuilders)
+      }
+      here ++ p.expressions.flatMap(_.collect {
+        case sub: ExecSubqueryExpression => coldBuilders(sub.plan)
+      }.flatten)
+    }
+    // identity sets: one builder INSTANCE per cache (CacheManager shares
+    // it across every consumer), and plan-node structural equality is
+    // neither needed nor cheap here
+    val cold = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    coldBuilders(df.queryExecution.executedPlan).foreach(cold.add)
     df.queryExecution.toRdd.count()
+    val counted = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
       val here: Seq[FileSourceScanExec] = p match {
         case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
         case q: QueryStageExec => scans(q.plan)
         case _: ReusedExchangeExec => Nil
-        case _: InMemoryTableScanExec => Nil
+        case im: InMemoryTableScanExec =>
+          val b = CacheIntrospect.cacheKey(im)
+          if (cold.contains(b) && counted.add(b))
+            scans(CacheIntrospect.cachedPlan(im))
+          else Nil
         case f: FileSourceScanExec => Seq(f)
         case other => other.children.flatMap(scans)
       }
