@@ -17,9 +17,95 @@ import org.apache.spark.sql.SparkSession
   * use 32 to reproduce the bench's runtime decisions at sf10).
   */
 object PlanAudit {
+
+  /** The queries whose static plans PLANS.md documents (the headline
+    * shapes per family plus every query whose plan a round materially
+    * changed). `PlansDriftSpec` recomputes each one's [[planHash]] and
+    * compares against the manifest embedded in PLANS.md, so a code
+    * change that alters a covered plan fails the suite until the
+    * artifact is regenerated (`runMain graft.tools.PlanAudit --md`). */
+  val PlansMdQueries: Seq[String] = Seq(
+    "compaction_merge", "dedup_embedding", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "events_range_join", "events_rfm",
+    "events_session_window", "knn_lsh", "knn_pq", "metadata_search",
+    "mvcc_diff", "mvcc_snapshot", "q3_join", "q5_join", "q_custdist",
+    "q_disjunctive", "q_forecast_revenue", "q_important_parts",
+    "q_waiting_suppliers", "text_cms", "text_gopher_rules")
+
+  val GenBegin = "<!-- GENERATED PLANS BEGIN (runMain graft.tools.PlanAudit --md; do not hand-edit between markers) -->"
+  val GenEnd = "<!-- GENERATED PLANS END -->"
+  private val FpPrefix = "<!-- plan-fingerprints: "
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Strip the per-JVM identifiers from a plan string so its hash is
+    * stable across sessions: expression/subquery ids (`#123`), plan ids,
+    * and checkpoint RDD numbers vary with allocation order; everything
+    * else (operators, join strategies, pushed filters, read schemas,
+    * partition counts) is the content the artifact pins. */
+  def normalizePlan(plan: String): String = plan
+    .replaceAll("#\\d+", "#N")                          // expr/subquery ids
+    .replaceAll("plan_id=\\d+", "plan_id=N")
+    .replaceAll("RDD\\[\\d+\\]", "RDD[N]")              // checkpoint RDD ids
+    // zone paths embed the input fingerprint (mtime included), so they
+    // churn whenever the dataset is re-materialized even byte-identical;
+    // plain data paths churn across hosts — neither is plan content
+    .replaceAll("[A-Za-z0-9_./:-]*graft-derived[^\\s,\\]]*", "<zone>")
+    .replaceAll("file:/[^\\s,\\]]*", "<path>")
+    .trim
+
+  /** Static formatted plan of one registered query. */
+  def explainText(spark: SparkSession, dir: String, name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  def planHash(spark: SparkSession, dir: String, name: String): String =
+    md5(normalizePlan(explainText(spark, dir, name)))
+
+  /** Regenerate the PLANS.md generated block in place: per-query plan
+    * sections plus a normalized-hash manifest. The preamble above
+    * [[GenBegin]] and the hand-maintained scale sections below
+    * [[GenEnd]] survive verbatim. */
+  def writePlansMd(spark: SparkSession, dir: String, path: String): Unit = {
+    val file = java.nio.file.Paths.get(path)
+    val old = if (java.nio.file.Files.exists(file))
+      java.nio.file.Files.readString(file) else ""
+    val (pre, post) =
+      if (old.contains(GenBegin) && old.contains(GenEnd))
+        (old.substring(0, old.indexOf(GenBegin)),
+          old.substring(old.indexOf(GenEnd) + GenEnd.length))
+      else (old, "")
+    val sections = PlansMdQueries.sorted.map { name =>
+      val text = explainText(spark, dir, name)
+      (name, text, md5(normalizePlan(text)))
+    }
+    val manifest = sections.map { case (n, _, h) => s""""$n":"$h"""" }
+      .mkString(FpPrefix + "{", ",", "} -->")
+    val body = sections.map { case (n, t, _) =>
+      s"## $n\n\n```\n${t.trim}\n```\n" }.mkString("\n")
+    val gen = s"$GenBegin\n$manifest\n\n$body\n$GenEnd"
+    java.nio.file.Files.writeString(file, pre + gen + post)
+    println(s"[plans] wrote ${sections.size} sections to $path")
+  }
+
+  /** The manifest embedded in a PLANS.md: query -> normalized plan hash. */
+  def readManifest(path: String): Map[String, String] = {
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    val line = text.linesIterator.find(_.startsWith(FpPrefix))
+      .getOrElse(sys.error(s"$path has no plan-fingerprints manifest"))
+    val json = line.stripPrefix(FpPrefix).stripSuffix(" -->").trim
+    "\"([^\"]+)\":\"([0-9a-f]+)\"".r.findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2)).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val showFinal = args.contains("--final")
-    val rest = args.filterNot(_ == "--final")
+    val mdMode = args.contains("--md")
+    val rest = args.filterNot(a => a == "--final" || a == "--md")
     val dir = rest.headOption.getOrElse("/root/testdata/sf0.01")
     val which = if (rest.length > 1) rest.tail.toSet else Set.empty[String]
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -27,6 +113,14 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (mdMode) {
+      // regeneration must run under the drift spec's session shape
+      // (local[4], 4 shuffle partitions — SparkTestSession) or the
+      // manifest would pin plans the spec can't reproduce
+      writePlansMd(spark, dir, "PLANS.md")
+      spark.stop()
+      return
+    }
     graft.SparkEntry.queries
       .filter { case (n, _) => which.isEmpty || which.contains(n) }
       .toSeq.sortBy(_._1)
