@@ -1381,10 +1381,23 @@ object Relational {
     * sf10 that plan measured 50 s), where one aggregation pass already
     * holds everything the predicate needs. Per (order, supplier):
     * late-row count; per order: distinct-supplier and late-supplier
-    * counts (a re-aggregation of the first pass, co-keyed — never a
-    * second fact scan). A supplier's qualifying rows are then
+    * counts. A supplier's qualifying rows are then
     * `sup_late ∧ n_suppliers ≥ 2 ∧ n_late_suppliers = 1` — the EXISTS
     * is the ≥2, the NOT EXISTS is the =1.
+    *
+    * The per-order predicate needs no join-back at all (the round-11
+    * shape joined the pair aggregate against its own re-aggregation —
+    * two consumers of one subtree, which per-branch column pruning kept
+    * ReuseExchange from sharing, so the fact pipeline ran twice: 197 s
+    * in-suite at ×1000): when `n_late_suppliers = 1`, THE late supplier
+    * and its late-row count are themselves per-order aggregates
+    * (`max(when(sup_late=1, …))` over a group that contains exactly one
+    * such row), so the whole query is ONE aggregation chain. Exchange
+    * economics: the fact⋈orders join partitions both sides by
+    * l_orderkey; both downstream groupBys cluster on key SUBSETS of
+    * that partitioning, so neither re-shuffles — the only other
+    * exchanges are the tiny qualifying-supplier join and the final
+    * s_name rollup.
     */
   def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val perPair = Tables.lineitem(spark, dir)
@@ -1397,15 +1410,15 @@ object Relational {
       .groupBy("l_orderkey", "l_suppkey")
       .agg(max(col("is_late")).as("sup_late"),
         sum(col("is_late")).cast("long").as("n_late_rows"))
-    val perOrder = perPair.groupBy(col("l_orderkey").as("ok"))
+    perPair.groupBy("l_orderkey")
       .agg(count(lit(1)).as("n_suppliers"),
-        sum(col("sup_late")).as("n_late_suppliers"))
-    perPair.join(perOrder, col("l_orderkey") === col("ok"))
-      .filter(col("sup_late") === 1 && col("n_suppliers") >= 2 &&
-        col("n_late_suppliers") === 1)
-      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+        sum(col("sup_late")).as("n_late_suppliers"),
+        max(when(col("sup_late") === 1, col("l_suppkey"))).as("late_suppkey"),
+        max(when(col("sup_late") === 1, col("n_late_rows"))).as("late_rows"))
+      .filter(col("n_suppliers") >= 2 && col("n_late_suppliers") === 1)
+      .join(Tables.supplier(spark, dir), col("late_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
-      .agg(sum(col("n_late_rows")).as("numwait"))
+      .agg(sum(col("late_rows")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(20)
   }

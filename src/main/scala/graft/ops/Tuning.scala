@@ -80,18 +80,23 @@ object Tuning {
   }
 
   /** Local-bench shuffle width for a run over `inputBytes` of source
-    * data on `cores` cores: the [[shufflePartitions]] rule applied with
-    * worst-case single-query shuffle ≈ input bytes (the measured ×1000
-    * ratio for the suite's shuffle-heaviest relational queries — the
-    * pair build sizes its own width off posting count and is excluded),
-    * rounded UP to a whole number of `cores`-wide scheduler waves so
-    * every wave runs full. This is the width robustness runs use; chain-
-    * ratio artifacts pin the core count explicitly so ratios compare
-    * like with like. ×1000 (~17 GB of source parquet, 32 cores) → 128. */
+    * data on `cores` cores: the size-driven partition count (worst-case
+    * single-query shuffle ≈ input bytes — the measured ×1000 ratio for
+    * the suite's shuffle-heaviest relational queries; the pair build
+    * sizes its own width off posting count and is excluded), rounded UP
+    * to a whole number of `cores`-wide scheduler waves so every wave
+    * runs full — floored at ONE full wave, not [[shufflePartitions]]'s
+    * 2-tasks-per-core: that floor smooths task skew on cluster-scale
+    * scans, but a local point whose data needs fewer than `cores`
+    * partitions is latency-bound and extra waves are pure scheduling
+    * overhead (measured: the 120-query suite at sf0.1 runs 54 s at one
+    * wave vs 64 s at two). ×1000 (~17 GB of source parquet, 32 cores)
+    * → 128, the width the round-11 robustness runs proved. */
   def benchWidth(inputBytes: Long, cores: Int): Int = {
-    val base = shufflePartitions(inputBytes, cores)
-    val waves = (base + cores - 1) / cores
-    waves * cores
+    require(inputBytes >= 0 && cores > 0)
+    val bySize = (inputBytes + 128 * MiB - 1) / (128 * MiB)
+    val waves = math.max(1L, (bySize + cores - 1) / cores)
+    (waves * cores).min(Int.MaxValue).toInt
   }
 
   /** The conf profile for a cluster of `executors`×`coresPerExecutor`
