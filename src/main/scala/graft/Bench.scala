@@ -8,7 +8,7 @@ object Bench {
     // applied to the scale point's on-disk bytes — so the sizing rule the
     // repo documents and the width the benches actually run can't drift
     // (round-11 ran the prescribed 128 at ×1000 via a hand-set env var;
-    // now Bench derives it: ~17 GB source → 128 on 32 cores, sf0.1 → 64).
+    // now Bench derives it: ~17 GB source → 128 on 32 cores, sf0.1 → 32).
     // SPARK_GRAFT_SHUFFLE_PARTITIONS still overrides: chain-ratio
     // artifacts pin the core count at every point so ratios compare like
     // with like (partitions that grow with data are the cluster shape,

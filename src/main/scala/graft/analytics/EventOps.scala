@@ -918,4 +918,78 @@ object EventOps {
       |       r_score * 100 + f_score * 10 + m_score AS rfm
       |FROM scored ORDER BY user_id""".stripMargin
   }
+
+  // -------------------------------------- #121 event-type Markov chain
+  /** First-order Markov transition matrix of the event stream: for every
+    * ordered pair of event types, how often one follows the other inside
+    * a user's timeline, and the conditional probability P(next | current).
+    * The behavioral-model summary (journey simulation, anomaly priors,
+    * funnel discovery) a session store derives from its raw stream.
+    *
+    * Shape: ONE shuffle on `user_id` feeds a per-partition ordered `lead`
+    * pass (ties broken by `event_id`, oracle-mirrored), then the pair
+    * aggregate — map-side combined into at most |types|² rows, so the
+    * second exchange and the per-current-type normalizing window are
+    * O(types²) no matter the corpus size. The one division happens once
+    * per OUTPUT row on two exact longs; both engines compute the same
+    * IEEE double.
+    */
+  def markov(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val total = Window.partitionBy("event_type")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n") / sum("n").over(total))
+      .orderBy("event_type", "next_type")
+  }
+
+  val markovSql: String =
+    """WITH s AS (
+      |  SELECT event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY epoch_ns(ts), event_id) AS next_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT event_type, next_type, count(*) AS n
+      |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, next_type, n,
+      |       n / CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS p
+      |FROM pairs ORDER BY event_type, next_type""".stripMargin
+
+  // ---------------------------------- #122 fixed-width value histogram
+  /** $10-bucket histogram of event value per event type — the dashboard
+    * distribution primitive. Buckets are computed in exact integer cents
+    * (`floor(cents / 1000)`), so bucket edges can never disagree between
+    * engines; per-bucket totals stay integral to the end.
+    *
+    * Scale shape: the bucket key is derived per row before the ONLY
+    * exchange, partial aggregation collapses each partition to its
+    * (type, bucket) counts map-side, and the result is bounded by
+    * |types| × |buckets| — a 100 TB scan shuffles kilobytes.
+    */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), cents(col("value")).as("c"))
+      .withColumn("bucket", floor(col("c") / 1000.0).cast("long"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("c")) / 100.0).as("total_value"))
+      .withColumn("bucket_lo", col("bucket") * 10.0)
+      .select("event_type", "bucket", "bucket_lo", "n_events", "total_value")
+      .orderBy("event_type", "bucket")
+
+  val valueHistogramSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events)
+      |SELECT event_type,
+      |       CAST(floor(c / 1000.0) AS BIGINT) AS bucket,
+      |       CAST(floor(c / 1000.0) AS BIGINT) * 10.0 AS bucket_lo,
+      |       count(*) AS n_events,
+      |       CAST(sum(c) AS BIGINT) / 100.0 AS total_value
+      |FROM e GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
 }

@@ -85,6 +85,45 @@ object Similarity {
       |SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= $K
       |ORDER BY q_id, rank""".stripMargin
 
+  // ------------------------------------------------ #125 range search
+  /** Cosine RANGE search: every corpus vector within a similarity
+    * threshold of each query — the other half of the similarity-query
+    * surface (top-k answers "the k closest", range answers "everything
+    * this similar": near-dup sweeps, radius joins, recall floors).
+    * Result size is data-dependent, so no bounded-heap shortcut exists;
+    * the comparison happens on the same round-6 cosine both engines
+    * compute, so the threshold can never disagree in the last ulp.
+    *
+    * Scale shape: queries broadcast against one full scan — per-row
+    * work, no shuffle of the corpus, output ∝ true matches. The 100 TB
+    * path composes exactly like [[knnLsh]]: pre-bucket both sides with
+    * the hyperplane LSH and range-scan only same-bucket candidates
+    * (recall follows the measured per-cap curves in
+    * CLUSTERED_RECALL.json); this operator is the exact form and the
+    * oracle for that composition.
+    */
+  private val RangeTau = 0.35
+
+  def knnRange(spark: SparkSession, dir: String): DataFrame = {
+    val base = normed(spark, dir)
+    val queries = base.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("ed"), col("nrm"))
+    base.as("c")
+      .join(broadcast(queries.as("q")), col("q.q_id") =!= col("c.vec_id"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
+        round(cosAB, 6).as("cosine"))
+      .filter(col("cosine") >= RangeTau)
+      .orderBy(col("q_id"), col("cosine").desc, col("n_id"))
+  }
+
+  val knnRangeSql: String =
+    s"""WITH $normedSql
+      |SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |       round($cosABSql, 6) AS cosine
+      |FROM normed q JOIN normed c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id
+      |WHERE round($cosABSql, 6) >= $RangeTau
+      |ORDER BY q_id, cosine DESC, n_id""".stripMargin
+
   // ---------------------------------------------------------- #26 LSH ANN
   /** Random-hyperplane LSH ANN: 8 deterministic ±1 planes → 256 buckets;
     * each query only scores its own bucket (the scale path: bucket-key

@@ -1219,4 +1219,108 @@ object TextOps {
       |  FROM tf JOIN df ON tf.term = df.term)
       |SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
       |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  // --------------------------------------- #123 Zipf rank-decade profile
+  /** Zipf diagnostic of the corpus vocabulary: mass per RANK DECADE of
+    * the frequency-ranked term list (ranks 1–9, 10–99, 100–999 — under a
+    * Zipf s≈1 law each decade carries roughly equal total occurrences;
+    * deviation is the health signal corpus curators watch for template
+    * spam or tokenizer damage).
+    *
+    * The scale discipline is [[textPerplexityBucket]]'s: NO global sort
+    * of the vocabulary and no per-term rank materialization. After the
+    * one heavy exchange (term counts, map-side combined), terms collapse
+    * to the distinct-FREQUENCY histogram `(f, n_terms)` — a frame bounded
+    * by the largest term count, not vocabulary size — and each frequency
+    * maps to its exact rank INTERVAL `[1+Σ_{f'>f} n', Σ_{f'≥f} n']` by a
+    * cumulative window over that tiny frame. Decade membership is then
+    * interval overlap in exact integers. Terms tied on frequency are
+    * interchangeable for every emitted statistic, so the oracle's naive
+    * `row_number` formulation is provably equal no matter how either
+    * engine breaks ties. Capped at rank 999 so decades are whole.
+    */
+  def textZipf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("f"))
+    val hist = tf.groupBy("f").agg(count(lit(1)).as("nt"))
+    val w = Window.orderBy(col("f").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spanned = hist
+      .withColumn("lo", lit(1L) + coalesce(sum("nt").over(w), lit(0L)))
+      .withColumn("hi", col("lo") + col("nt") - 1)
+    spanned
+      .select(col("f"), col("lo"), col("hi"),
+        explode(array(lit(1), lit(2), lit(3))).as("decade"))
+      .withColumn("dlo", pow(lit(10.0), col("decade") - 1).cast("long"))
+      .withColumn("dhi", least(pow(lit(10.0), col("decade")).cast("long") - 1, lit(999L)))
+      .withColumn("overlap",
+        greatest(lit(0L), least(col("hi"), col("dhi")) - greatest(col("lo"), col("dlo")) + 1))
+      .filter(col("overlap") > 0)
+      .groupBy("decade")
+      .agg(sum("overlap").as("n_terms"),
+        sum(col("f") * col("overlap")).as("total_occurrences"),
+        max("f").as("max_freq"), min("f").as("min_freq"))
+      .orderBy("decade")
+  }
+
+  val textZipfSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT term, count(*) AS f FROM tok GROUP BY term),
+      |ranked AS (
+      |  SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r FROM tf)
+      |SELECT length(CAST(r AS VARCHAR)) AS decade,
+      |       count(*) AS n_terms,
+      |       CAST(sum(f) AS BIGINT) AS total_occurrences,
+      |       CAST(max(f) AS BIGINT) AS max_freq,
+      |       CAST(min(f) AS BIGINT) AS min_freq
+      |FROM ranked WHERE r <= 999 GROUP BY 1 ORDER BY decade""".stripMargin
+
+  // -------------------------------------- #124 boilerplate shingle share
+  /** Per-document boilerplate share: the fraction (exact ppm) of a
+    * document's distinct word-3-gram shingles that are corpus-common
+    * (appear in ≥ 4 documents) — the CCNet-style template/boilerplate
+    * signal used to down-weight navigation chrome, licence blocks and
+    * mirrored passages before training.
+    *
+    * Scale shape: the same two-branch tf/df discipline as
+    * [[textSalientTerms]] — explode distinct shingles once per branch,
+    * document-frequency aggregate on the shingle key (map-side combined),
+    * then an equi-join back on that key (both sides arrive
+    * shingle-partitioned) and a per-doc aggregate. No all-pairs stage,
+    * nothing driver-side; the ppm is integer division on two exact longs.
+    * Documents shorter than 3 tokens have no shingles and are (per the
+    * oracle, which mirrors this) not emitted.
+    */
+  private val BoilerDf = 4
+
+  def textBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.Portable.shingles3(split(col("text"), " "))).as("s"))
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= BoilerDf, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("boiler_ppm",
+        expr("n_common * 1000000L div n_shingles"))
+      .select("doc_id", "n_shingles", "n_common", "boiler_ppm")
+      .orderBy("doc_id")
+  }
+
+  val textBoilerplateSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(${graft.functions.Portable.shingles3Sql("t")}) AS s
+      |  FROM toks),
+      |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+      |SELECT sh.doc_id, count(*) AS n_shingles,
+      |       CAST(count(*) FILTER (WHERE df.df >= $BoilerDf) AS BIGINT) AS n_common,
+      |       CAST(count(*) FILTER (WHERE df.df >= $BoilerDf) AS BIGINT) * 1000000 // count(*) AS boiler_ppm
+      |FROM sh JOIN df ON sh.s = df.s
+      |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin
 }

@@ -79,10 +79,15 @@ object CurationBench {
     val corpus = args(0)
     val minQuality = if (args.length > 1) args(1).toDouble else 0.35
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Same width discipline as graft.Bench: Tuning's prescription for
+    // the corpus' on-disk bytes (override honored) — a pinned core-count
+    // width is the shape that OOM'd the ×1000 full suite in round 11.
+    val width = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+      graft.ops.Tuning.benchWidth(graft.Bench.dirBytes(corpus), cpus.toInt).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-curation-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", width)
       .config("spark.ui.enabled", "false")
       .config("spark.network.timeout", "600s")
       .getOrCreate()
@@ -101,6 +106,7 @@ object CurationBench {
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       val json =
         s"""{"metric":"curation_bench","corpus":"$corpus","min_quality":$minQuality,""" +
+          s""""shuffle_partitions":$width,""" +
           s""""cold_wall_sec":${"%.2f".format(coldWall)},""" +
           s""""warm_wall_sec":${"%.2f".format(warmWall)},""" +
           s""""cold_stages":$coldStages,"warm_stages":$warmStages,""" +

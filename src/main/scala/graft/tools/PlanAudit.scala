@@ -49,6 +49,10 @@ object PlanAudit {
     .replaceAll("#\\d+", "#N")                          // expr/subquery ids
     .replaceAll("plan_id=\\d+", "plan_id=N")
     .replaceAll("RDD\\[\\d+\\]", "RDD[N]")              // checkpoint RDD ids
+    // call-site line numbers in RDD scan descriptions ("at localCheckpoint
+    // at Similarity.scala:1015") move whenever UNRELATED code is added
+    // above the call — source position, not plan content
+    .replaceAll("at [A-Za-z0-9_]+\\.scala:\\d+", "at <site>")
     // zone paths embed the input fingerprint (mtime included), so they
     // churn whenever the dataset is re-materialized even byte-identical;
     // plain data paths churn across hosts — neither is plan content

@@ -13,14 +13,15 @@ class PlanQualitySpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   /** Queries whose nested-loop is the intended plan:
-    *  - `knn_brute`/`knn_recall`: exact-baseline scan IS the broadcast
-    *    nested loop (every query × every vector by design);
+    *  - `knn_brute`/`knn_recall`/`knn_range`: exact-baseline scan IS the
+    *    broadcast nested loop (every query × every vector by design);
     *  - single-row scalar broadcasts (threshold / global-total / max
     *    joins) plan as BroadcastNestedLoopJoin with a one-row build side
     *    — constant work, not a degeneration.
     */
   private val nestedLoopByDesign = Set(
-    "knn_brute", "knn_recall", "knn_graph_recall", "knn_graph_refine_recall",
+    "knn_brute", "knn_recall", "knn_range",
+    "knn_graph_recall", "knn_graph_refine_recall",
     "knn_filtered", "knn_hard_negatives",
     "knn_lsh", "knn_pq", "knn_pq_recall", "knn_ivf_pq", "centroid_ivf", "kmeans_iter",
     "q_wealthy_inactive", "q_important_parts", "q_top_supplier",

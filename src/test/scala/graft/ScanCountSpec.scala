@@ -34,13 +34,15 @@ class ScanCountSpec extends AnyFunSuite {
     *    with itself): events_retention (cohort ⋈ return visits),
     *    events_anomaly (per-key stats ⋈ points), events_cumulative_users
     *    (day totals ⋈ first appearances), approx_distinct_kmv (exact side
-    *    ⋈ KMV side of the quality gate), q_avg_yearly / q_top_supplier /
-    *    q_waiting_suppliers (TPC-H correlated/semi shapes measured at 2 —
-    *    the decorrelated branch is its own slim scan), dedup_exact /
+    *    ⋈ KMV side of the quality gate), q_avg_yearly / q_top_supplier
+    *    (TPC-H correlated/semi shapes measured at 2 — the decorrelated
+    *    branch is its own slim scan; q_waiting_suppliers dropped to the
+    *    default 1 in round 12 when its re-aggregation join-back collapsed
+    *    into one aggregation chain), dedup_exact /
     *    dedup_normalized / dedup_chunks (dup-group build ⋈ member list),
     *    corpus_overlap-family text ops with a tf branch and a df branch
-    *    (text_top_term, text_salient_terms, text_cms, text_repetition,
-    *    text_decontaminate, corpus_mixture);
+    *    (text_top_term, text_salient_terms, text_boilerplate, text_cms,
+    *    text_repetition, text_decontaminate, corpus_mixture);
     *  - histogram-domain derivations (cutoffs derived on a quantized
     *    domain, then applied to the full rows — each branch is a slim
     *    pruned scan, documented in the operators' Scaladoc):
@@ -53,7 +55,8 @@ class ScanCountSpec extends AnyFunSuite {
     *    centroid_ivf (4), dedup_embedding (3), kmeans_iter (3),
     *    knn_graph (3), knn_graph_refine (4), knn_recall (4),
     *    knn_ivf_pq (6), knn_graph_refine_recall (9), knn_graph_recall (14),
-    *    knn_brute / knn_filtered / knn_hard_negatives / knn_lsh (2);
+    *    knn_brute / knn_filtered / knn_hard_negatives / knn_lsh /
+    *    knn_range (2);
     *  - storage_info reads one slim stats pass per zone table (1 each —
     *    listed only because it touches three big tables).
     */
@@ -64,7 +67,6 @@ class ScanCountSpec extends AnyFunSuite {
     "events_retention" -> Map("events" -> 2),
     "q_avg_yearly" -> Map("lineitem" -> 2),
     "q_top_supplier" -> Map("lineitem" -> 2),
-    "q_waiting_suppliers" -> Map("lineitem" -> 2),
     "corpus_dsir" -> Map("documents" -> 3),
     "corpus_mixture" -> Map("documents" -> 2),
     "corpus_temperature" -> Map("documents" -> 4),
@@ -75,6 +77,7 @@ class ScanCountSpec extends AnyFunSuite {
     "text_decontaminate" -> Map("documents" -> 2),
     "text_lm_score" -> Map("documents" -> 3),
     "text_perplexity_bucket" -> Map("documents" -> 5),
+    "text_boilerplate" -> Map("documents" -> 2),
     "text_repetition" -> Map("documents" -> 2),
     "text_salient_terms" -> Map("documents" -> 2),
     "text_top_term" -> Map("documents" -> 2),
@@ -90,6 +93,7 @@ class ScanCountSpec extends AnyFunSuite {
     "knn_hard_negatives" -> Map("embeddings" -> 2),
     "knn_ivf_pq" -> Map("embeddings" -> 6),
     "knn_lsh" -> Map("embeddings" -> 2),
+    "knn_range" -> Map("embeddings" -> 2),
     "knn_recall" -> Map("embeddings" -> 4))
 
   test("every registered query stays within its declared big-table scan budget") {
