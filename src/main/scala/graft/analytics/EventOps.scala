@@ -992,4 +992,51 @@ object EventOps {
       |       count(*) AS n_events,
       |       CAST(sum(c) AS BIGINT) / 100.0 AS total_value
       |FROM e GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
+
+  // ------------------------------------- #127 inactivity / dormancy profile
+  /** Per-user inactivity profile: event count, the longest gap between
+    * consecutive events, and seconds dormant since the last event (against
+    * the stream head) — the churn-risk signal that complements
+    * [[rfm]]'s recency quintile with the gap STRUCTURE behind it.
+    *
+    * Gap determinism: `lag` over second-floored times partitioned by user
+    * — equal-timestamp ties order arbitrarily, but the sorted second
+    * sequence is the same multiset either way, so the gap multiset (and
+    * its max) is order-independent. The head is re-aggregated from the
+    * per-user frame (|users| rows, a tiny second aggregate broadcast back
+    * — never a second pass over the fact at full width), mirrored by the
+    * oracle's scalar subquery over the same CTE. One user_id exchange
+    * carries everything.
+    */
+  def inactivity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("sec")
+    val perUser = withSec(Tables.events(spark, dir))
+      .select(col("user_id"), col("sec"))
+      .withColumn("gap", col("sec") - lag("sec", 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(max(col("gap")), lit(0L)).as("max_gap_sec"),
+        max(col("sec")).as("last_sec"))
+    val head = perUser.agg(max(col("last_sec")).as("head"))
+    perUser.crossJoin(broadcast(head))
+      .select(col("user_id"), col("n_events"), col("max_gap_sec"),
+        (col("head") - col("last_sec")).as("dormant_sec"))
+      .orderBy("user_id")
+  }
+
+  val inactivitySql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts)//1000000000 AS sec FROM events),
+      |g AS (
+      |  SELECT user_id, sec,
+      |         sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) AS gap
+      |  FROM e),
+      |u AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |         CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_sec,
+      |         max(sec) AS last_sec
+      |  FROM g GROUP BY 1)
+      |SELECT user_id, n_events, max_gap_sec,
+      |       CAST((SELECT max(last_sec) FROM u) - last_sec AS BIGINT) AS dormant_sec
+      |FROM u ORDER BY user_id""".stripMargin
 }

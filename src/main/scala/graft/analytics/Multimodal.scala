@@ -124,4 +124,49 @@ object Multimodal {
       |            ELSE 128 END AS out_h,
       |       CAST(NOT (width <= 128 AND height <= 128) AS INT) AS scaled
       |FROM feats ORDER BY doc_id""".stripMargin
+
+  /** #126 mm_fingerprint: DECODED-content fingerprint + duplicate-group
+    * stats — the multimodal dedup primitive. The fingerprint folds the
+    * decoder's outputs (container size, geometry, frame count, pixel-plane
+    * sum — the witnesses the raster was actually read), NOT the raw bytes,
+    * so byte-identical re-encodings and container-comment differences
+    * collapse while any pixel-plane change separates. Groups carry the
+    * keeper (min doc_id, the standard dedup-survivor rule) and member
+    * count; downstream drops `n_copies > 1` members ≠ keeper exactly like
+    * `dedup_exact` over text.
+    *
+    * All fold inputs are < P, so every intermediate product stays within
+    * Long in BOTH engines — the fingerprint is exact integer math on the
+    * closed-form features the oracle re-derives. Scale shape: the decode
+    * runs once per dataset (zone-backed [[MediaPipeline.features]]);
+    * this query is one hash-agg on the five-feature key — map-side
+    * combined, output ∝ distinct images.
+    */
+  def mmFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val p = graft.functions.Portable.P
+    val seed = graft.functions.Portable.Seed
+    val fold = Seq("byte_len", "px_sum", "width", "height", "n_frames")
+      .foldLeft(lit(seed)) { (acc, c) => (acc * 31L + col(c)) % p }
+    MediaPipeline.features(spark, dir)
+      .groupBy("byte_len", "width", "height", "n_frames", "px_sum")
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .withColumn("fingerprint", fold)
+      .select("fingerprint", "keeper", "n_copies", "byte_len", "width",
+        "height", "n_frames", "px_sum")
+      .orderBy("keeper")
+  }
+
+  val mmFingerprintSql: String = {
+    val p = graft.functions.Portable.P
+    val seed = graft.functions.Portable.Seed
+    val fold = Seq("byte_len", "px_sum", "width", "height", "n_frames")
+      .foldLeft(s"$seed") { (acc, c) => s"(($acc) * 31 + $c) % $p" }
+    s"""$featsCte
+      |SELECT $fold AS fingerprint,
+      |       min(doc_id) AS keeper, count(*) AS n_copies,
+      |       byte_len, width, height, n_frames, px_sum
+      |FROM feats
+      |GROUP BY byte_len, width, height, n_frames, px_sum
+      |ORDER BY keeper""".stripMargin
+  }
 }

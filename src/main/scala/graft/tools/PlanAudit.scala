@@ -30,7 +30,8 @@ object PlanAudit {
     "events_session_window", "knn_lsh", "knn_pq", "metadata_search",
     "mvcc_diff", "mvcc_snapshot", "q3_join", "q5_join", "q_custdist",
     "q_disjunctive", "q_forecast_revenue", "q_important_parts",
-    "q_waiting_suppliers", "text_cms", "text_gopher_rules")
+    "q_waiting_suppliers", "text_cms", "text_gopher_rules",
+    "events_markov", "text_zipf", "text_boilerplate")
 
   val GenBegin = "<!-- GENERATED PLANS BEGIN (runMain graft.tools.PlanAudit --md; do not hand-edit between markers) -->"
   val GenEnd = "<!-- GENERATED PLANS END -->"

@@ -81,6 +81,39 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(rows.length.toLong == expected)
   }
 
+  test("events_inactivity: dormancy is anchored to the stream head and gaps to real events") {
+    val rows = EventOps.inactivity(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+    assert(rows.length.toLong == ev.select("user_id").distinct().count())
+    assert(rows.map(_.getLong(1)).sum == ev.count(), "per-user counts must tile")
+    // at least one user is active at the head (dormant 0); none negative
+    assert(rows.exists(_.getLong(3) == 0L), "head user must be 0-dormant")
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(3) >= 0))
+    // a single-event user (if any) must report gap 0; max_gap bounded by span
+    val span = {
+      val mm = ev.agg(min(expr("ts div 1000000000")), max(expr("ts div 1000000000"))).head()
+      mm.getLong(1) - mm.getLong(0)
+    }
+    assert(rows.forall(_.getLong(2) <= span))
+  }
+
+  test("mm_fingerprint collapses duplicate decoded content to one keeper") {
+    val rows = graft.analytics.Multimodal.mmFingerprint(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == docs, "group sizes must tile the corpus")
+    // fingerprint is a pure function of the grouped features: no two rows
+    // may share all five features, and fingerprints must be within [0, P)
+    val keys = rows.map(r => (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(keys.distinct.length == keys.length)
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < graft.functions.Portable.P))
+    // keepers are distinct real documents (min of disjoint groups)
+    val keepers = rows.map(_.getLong(1))
+    assert(keepers.distinct.length == keepers.length)
+    val ids = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(keepers.forall(ids.contains))
+  }
+
   test("knn_range returns exactly the pairs at or above the threshold") {
     val rows = Similarity.knnRange(spark, sf).collect()
     assert(rows.forall(_.getDouble(2) >= 0.35), "below-threshold row leaked")

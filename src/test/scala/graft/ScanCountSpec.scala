@@ -33,7 +33,8 @@ class ScanCountSpec extends AnyFunSuite {
     *  - self-join / cohort-pair shapes (the operator compares the table
     *    with itself): events_retention (cohort ⋈ return visits),
     *    events_anomaly (per-key stats ⋈ points), events_cumulative_users
-    *    (day totals ⋈ first appearances), approx_distinct_kmv (exact side
+    *    (day totals ⋈ first appearances), events_inactivity (per-user
+    *    frame ⋈ its own head re-aggregate), approx_distinct_kmv (exact side
     *    ⋈ KMV side of the quality gate), q_avg_yearly / q_top_supplier
     *    (TPC-H correlated/semi shapes measured at 2 — the decorrelated
     *    branch is its own slim scan; q_waiting_suppliers dropped to the
@@ -64,6 +65,7 @@ class ScanCountSpec extends AnyFunSuite {
     "approx_distinct_kmv" -> Map("events" -> 2),
     "events_anomaly" -> Map("events" -> 2),
     "events_cumulative_users" -> Map("events" -> 2),
+    "events_inactivity" -> Map("events" -> 2),
     "events_retention" -> Map("events" -> 2),
     "q_avg_yearly" -> Map("lineitem" -> 2),
     "q_top_supplier" -> Map("lineitem" -> 2),
