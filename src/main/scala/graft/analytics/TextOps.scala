@@ -1297,9 +1297,16 @@ object TextOps {
   private val BoilerDf = 4
 
   def textBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // native NGrams, not Portable.shingles3: the interpreted HOF re-splits
+    // the text inside every element_at lambda (O(tokens²) character work
+    // per document — measured 63 s isolated at ×100 where the compiled
+    // one-pass kernel needs ~3 s); same output, spec-pinned in
+    // FunctionsSpec
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        explode(graft.functions.Portable.shingles3(split(col("text"), " "))).as("s"))
+        explode(graft.functions.GraftFunctions
+          .ngrams(split(col("text"), " "), 3, distinct = true)).as("s"))
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     // SHUFFLE_HASH on the df side: the default sort-merge join sorts the
     // full exploded shingle stream (tens of chars per key) — measured
