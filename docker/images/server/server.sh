@@ -1,14 +1,20 @@
 #!/bin/bash
-# Run ONE resident SearchServer and front its stdin/stdout-JSONL protocol
-# on a TCP port. All connections multiplex onto the same warm process, so
-# the per-bucket snapshot cache amortizes across every client — the
-# reference achieves the same with Livy fronting its resident
-# MetadataQueryExecutor (clueso-docker-livy/entrypoint.sh).
+# Run ONE resident SearchServer and expose it to clients. Two gateway
+# protocols, selected by GRAFT_PROTOCOL:
 #
-# Gateway contract: ONE request line per connection, answered with one
-# response line. Connections serialize on a lock (the backend is a single
-# ordered stdin/stdout stream); the warm snapshot cache is what makes the
-# serialized answers fast (~ms after the first query per bucket).
+#  - http (default): the JVM's own REST face (graft.search.HttpSearchServer)
+#    — the wire shape a reference client speaks (bin/search.py issues
+#    GET /<bucket>?search=<urlencoded where> and reads a JSON array;
+#    POST /search takes the line-protocol JSON object). All requests
+#    serialize onto the warm session inside the JVM; no sidecar needed.
+#  - line: the stdin/stdout-JSONL protocol fronted by socat — one request
+#    line per connection, answered with one response line, connections
+#    serialized on a lock (kept for gateways that already speak it).
+#
+# Either way all connections multiplex onto the same warm process, so the
+# per-bucket snapshot cache amortizes across every client — the reference
+# achieves the same with Livy fronting its resident MetadataQueryExecutor
+# (clueso-docker-livy/entrypoint.sh).
 #
 # Port 8998 is Livy's default — kept so a reference deployment's gateway
 # config ports over unchanged.
@@ -16,6 +22,12 @@ set -eo pipefail
 
 PORT="${GRAFT_SERVER_PORT:-8998}"
 TTL="${GRAFT_CACHE_TTL_MS:-60000}"
+PROTOCOL="${GRAFT_PROTOCOL:-http}"
+
+if [ "$PROTOCOL" = "http" ]; then
+  exec /graft/bin/search-server.sh --http "$PORT" \
+    /zones/landing /zones/staging "$TTL"
+fi
 
 mkdir -p /graft/run
 PIPE_IN=/graft/run/server.in

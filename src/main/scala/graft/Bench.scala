@@ -126,6 +126,7 @@ object Bench {
     // output JSON so the artifact is self-describing.
     val results = selected.map { case (name, fn) =>
       val gc0 = gcMillis
+      val zb0 = graft.ops.DerivedZone.processBuilds.get()
       var best = Double.MaxValue
       val runTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
@@ -174,9 +175,14 @@ object Bench {
       // progress breadcrumb (stderr, not part of the JSON contract): when a
       // run dies mid-flight this is the only way to attribute the death to
       // a query; timing cost is one syscall per query.
+      // warm/cold decomposition flag: did any derived-zone build (full or
+      // delta) run inside this query's timed reps? A `true` marks the
+      // number as carrying one-time materialization cost; cross-round
+      // comparisons of `false` rows compare steady state mechanically.
+      val zoneBuilt = graft.ops.DerivedZone.processBuilds.get() > zb0
       System.err.println(
-        f"[bench] $name done best=$dt%.3fs runs=${runTimes.mkString(",")} err=${err.getOrElse("-")}")
-      (name, dt, runTimes.toSeq, gcDt, err)
+        f"[bench] $name done best=$dt%.3fs runs=${runTimes.mkString(",")} zone_built=$zoneBuilt err=${err.getOrElse("-")}")
+      (name, dt, runTimes.toSeq, gcDt, err, zoneBuilt)
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -184,18 +190,21 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // every rep's wall time, in order — the min is the headline, but a
     // memoized query's first run carries its one-time stage build; the
     // full list keeps that cost auditable instead of vanishing into min()
-    val runsJ = results.map { case (k, _, rs, _, _) =>
+    val runsJ = results.map { case (k, _, rs, _, _, _) =>
       s"\"" + k + "\":" + rs.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, _, g, _) => s"\"" + k + "\":" + g }
+    val gcs = results.map { case (k, _, _, g, _, _) => s"\"" + k + "\":" + g }
       .mkString("{", ",", "}")
-    val status = results.map { case (k, _, _, _, err) =>
+    val status = results.map { case (k, _, _, _, err, _) =>
       s"\"" + k + "\":" + err.map(jstr).getOrElse("\"ok\"") }
+      .mkString("{", ",", "}")
+    val zones = results.map { case (k, _, _, _, _, zb) =>
+      s"\"" + k + "\":" + zb }
       .mkString("{", ",", "}")
     val nErr = results.count(_._5.isDefined)
     val total = results.map(_._2).sum
@@ -208,6 +217,6 @@ object Bench {
     // provenance: wall-clock stamp makes every artifact auditable as
     // actually re-measured (vs a counter bump on stale numbers)
     val stamp = java.time.Instant.now().toString
-    s"""{"metric":"total","value":$total,"first_value":$firstTotal,"unit":"sec","reps":$reps,"agg":"min","errors":$nErr,"shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},"queries":$qs,"runs":$runsJ,"gc_sec":$gcs,"status":$status,"sf":"$sfDir","generated_at":"$stamp","commit":"$commit"}"""
+    s"""{"metric":"total","value":$total,"first_value":$firstTotal,"unit":"sec","reps":$reps,"agg":"min","errors":$nErr,"shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},"queries":$qs,"runs":$runsJ,"gc_sec":$gcs,"status":$status,"zone_built":$zones,"sf":"$sfDir","generated_at":"$stamp","commit":"$commit"}"""
   }
 }

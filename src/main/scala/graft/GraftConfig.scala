@@ -26,6 +26,21 @@ package graft
   *                        [[graft.ops.Tuning.pairShardPasses]]); 0 (the
   *                        default) means scratch is a cluster-aggregate
   *                        resource and builds run single-pass
+  * @param s3Endpoint      S3-compatible object-store endpoint for `s3a://`
+  *                        zone paths (the reference's entire deployment
+  *                        premise — SparkUtils.scala:26-70 wires endpoint/
+  *                        credentials/path-style/SSL from CluesoConfig
+  *                        into every session and filesystem handle);
+  *                        empty → the Hadoop defaults (IAM/instance
+  *                        profile on AWS proper) are left alone
+  * @param s3AccessKey     access key; empty → env (`AWS_ACCESS_KEY_ID`) or
+  *                        provider-chain credentials
+  * @param s3SecretKey     secret key; empty → env (`AWS_SECRET_ACCESS_KEY`)
+  *                        or provider-chain credentials
+  * @param s3PathStyleAccess path-style addressing (required by most
+  *                        non-AWS S3 implementations, incl. the
+  *                        reference's target store)
+  * @param s3SslEnabled    TLS to the endpoint
   */
 case class GraftConfig(landingDir: String, stagingDir: String,
                        checkpointDir: String,
@@ -36,7 +51,12 @@ case class GraftConfig(landingDir: String, stagingDir: String,
                        kafkaBootstrap: String = "",
                        kafkaTopic: String = "",
                        maxSearchScanBytes: Long = 0L,
-                       scratchBytes: Long = 0L) {
+                       scratchBytes: Long = 0L,
+                       s3Endpoint: String = "",
+                       s3AccessKey: String = "",
+                       s3SecretKey: String = "",
+                       s3PathStyleAccess: Boolean = false,
+                       s3SslEnabled: Boolean = true) {
   require(groupInterval > 0, "groupInterval must be positive")
   require(purgeToleranceMs >= 0, "purgeToleranceMs must be non-negative")
   require(maxSearchScanBytes >= 0, "maxSearchScanBytes must be non-negative")
@@ -45,9 +65,39 @@ case class GraftConfig(landingDir: String, stagingDir: String,
   /** Publish the session-scoped knobs onto `spark.conf` so engine code
     * that takes only a session (the analytics families) sees the
     * deployment's resource shape — e.g. [[graft.analytics.Dedup]] reads
-    * `spark.graft.scratch.bytes` to size its pair-shard pass count. */
-  def applySessionConfs(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.conf.set(GraftConfig.ScratchBytesConf, scratchBytes.toString)
+    * `spark.graft.scratch.bytes` to size its pair-shard pass count — and
+    * wire the object-store connection into the session's Hadoop conf so
+    * `s3a://` zone paths resolve without out-of-band `--conf` flags
+    * (reference: SparkUtils.confSparkSession, SparkUtils.scala:58-70).
+    *
+    * An explicit `scratchBytes = 0` in a conf FILE means "unset", not
+    * "force single-pass" — the key is left alone so local-master
+    * sessions keep the free-disk fallback; a deployment that wants the
+    * cluster single-pass shape on a local master sets the session conf
+    * directly. S3 settings are applied per-field only when non-empty:
+    * a deployment on real AWS with instance-profile credentials sets
+    * only what it overrides and the Hadoop provider chain supplies the
+    * rest. */
+  def applySessionConfs(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (scratchBytes > 0L)
+      spark.conf.set(GraftConfig.ScratchBytesConf, scratchBytes.toString)
+    // fs.s3a.* must land on the CONTEXT Hadoop configuration: session
+    // `spark.hadoop.*` confs are only folded in at session build, and
+    // every FileSystem.get in the engine (zones, compactor, journal)
+    // reads sparkContext.hadoopConfiguration — setting both keeps the
+    // session conf introspectable and the filesystem handles correct.
+    def set(k: String, v: String): Unit = {
+      spark.conf.set(s"spark.hadoop.$k", v)
+      spark.sparkContext.hadoopConfiguration.set(k, v)
+    }
+    if (s3Endpoint.nonEmpty) {
+      set("fs.s3a.endpoint", s3Endpoint)
+      set("fs.s3a.path.style.access", s3PathStyleAccess.toString)
+      set("fs.s3a.connection.ssl.enabled", s3SslEnabled.toString)
+    }
+    if (s3AccessKey.nonEmpty) set("fs.s3a.access.key", s3AccessKey)
+    if (s3SecretKey.nonEmpty) set("fs.s3a.secret.key", s3SecretKey)
+  }
 }
 
 object GraftConfig {
@@ -59,12 +109,37 @@ object GraftConfig {
 
   /** The session's per-host scratch budget: the session conf if set,
     * else the `SPARK_GRAFT_SCRATCH_BYTES` env (so bench/CLI runs can
-    * declare the host's disk without code), else 0 = cluster-aggregate
-    * scratch (single-pass builds). */
+    * declare the host's disk without code), else — ONLY under a
+    * `local[*]` master — half of the shuffle directory's free space.
+    *
+    * The local-master fallback exists because on a single host the
+    * shuffle scratch genuinely IS bounded by one disk: an unconfigured
+    * run of a disk-bounded build (the near-dup pair shuffle is ~45-50 GB
+    * at ×1000) on a machine with less free space than that would
+    * otherwise run single-pass and die on ENOSPC — the exact failure
+    * mode the pair-space sharding was built to prevent. Half of free
+    * space leaves headroom for everything the budget does NOT model
+    * (cached posting lists on disk, checkpoint files, other queries'
+    * shuffles in a full-suite run). A real cluster master keeps the
+    * 0 = cluster-aggregate default: there, per-host scratch is sized
+    * with the fleet and single-pass is the right shape. */
   def scratchBytes(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption(ScratchBytesConf)
       .orElse(sys.env.get("SPARK_GRAFT_SCRATCH_BYTES"))
-      .map(_.trim.toLong).getOrElse(0L)
+      .map(_.trim.toLong).getOrElse(localScratchFallback(spark))
+
+  /** Half the usable space of the first shuffle-scratch dir when the
+    * master is local, else 0. Exposed for `ConfigToolsSpec`. */
+  private[graft] def localScratchFallback(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    if (!spark.sparkContext.master.startsWith("local")) 0L
+    else {
+      val dir = spark.conf.getOption("spark.local.dir")
+        .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
+        .map(_.split(",")(0))
+        .getOrElse(System.getProperty("java.io.tmpdir"))
+      math.max(0L, new java.io.File(dir).getUsableSpace / 2)
+    }
 
   /** Load from a HOCON-style config file — the deployment surface the
     * reference exposes (CluesoConfig takes a parsed config file; every
@@ -164,6 +239,17 @@ object GraftConfig {
       kafkaBootstrap = props.getProperty("graft.kafka.bootstrap", ""),
       kafkaTopic = props.getProperty("graft.kafka.topic", ""),
       maxSearchScanBytes = props.getProperty("graft.search.max.scan.bytes", "0").toLong,
-      scratchBytes = props.getProperty("graft.scratch.bytes", "0").toLong)
+      scratchBytes = props.getProperty("graft.scratch.bytes", "0").toLong,
+      // credentials fall back to the standard AWS env vars (the
+      // reference's envOrElseConfig order: environment wins over file —
+      // keeps secrets out of checked-in conf files)
+      s3Endpoint = props.getProperty("graft.s3.endpoint", ""),
+      s3AccessKey = sys.env.getOrElse("AWS_ACCESS_KEY_ID",
+        props.getProperty("graft.s3.access.key", "")),
+      s3SecretKey = sys.env.getOrElse("AWS_SECRET_ACCESS_KEY",
+        props.getProperty("graft.s3.secret.key", "")),
+      s3PathStyleAccess =
+        props.getProperty("graft.s3.path.style", "false").toBoolean,
+      s3SslEnabled = props.getProperty("graft.s3.ssl", "true").toBoolean)
   }
 }

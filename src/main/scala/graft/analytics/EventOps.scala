@@ -963,8 +963,11 @@ object EventOps {
   // ---------------------------------- #122 fixed-width value histogram
   /** $10-bucket histogram of event value per event type — the dashboard
     * distribution primitive. Buckets are computed in exact integer cents
-    * (`floor(cents / 1000)`), so bucket edges can never disagree between
-    * engines; per-bucket totals stay integral to the end.
+    * with INTEGER division (`c div 1000` on both faces — no float op
+    * anywhere in the edge math), so bucket edges can never disagree
+    * between engines. Event values are non-negative by schema, so
+    * truncating division IS floor division here; per-bucket totals stay
+    * integral to the end.
     *
     * Scale shape: the bucket key is derived per row before the ONLY
     * exchange, partial aggregation collapses each partition to its
@@ -974,7 +977,7 @@ object EventOps {
   def valueHistogram(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"), cents(col("value")).as("c"))
-      .withColumn("bucket", floor(col("c") / 1000.0).cast("long"))
+      .withColumn("bucket", expr("c div 1000"))
       .groupBy("event_type", "bucket")
       .agg(count(lit(1)).as("n_events"),
         (sum(col("c")) / 100.0).as("total_value"))
@@ -987,8 +990,8 @@ object EventOps {
       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
       |  FROM events)
       |SELECT event_type,
-      |       CAST(floor(c / 1000.0) AS BIGINT) AS bucket,
-      |       CAST(floor(c / 1000.0) AS BIGINT) * 10.0 AS bucket_lo,
+      |       c // 1000 AS bucket,
+      |       (c // 1000) * 10.0 AS bucket_lo,
       |       count(*) AS n_events,
       |       CAST(sum(c) AS BIGINT) / 100.0 AS total_value
       |FROM e GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin

@@ -21,7 +21,7 @@ import org.apache.spark.sql.expressions.Window
   * engine-deterministic.
   */
 object Similarity {
-  private val K = 5
+  private[graft] val K = 5
   private val NQueries = 10
 
   /** Bounded-heap top-k per `q_id` over `scored(q_id, n_id, cosine)`,
@@ -574,13 +574,34 @@ object Similarity {
     * Recall lift is measured by [[knnGraphRefineRecall]]; further rounds
     * compound (each is this same operator over its own output).
     */
+  /** NN-descent round count: `spark.graft.refine.rounds` (or the
+    * `SPARK_GRAFT_REFINE_ROUNDS` env for bench chains), default 1 — the
+    * oracle-gated shape. Rounds compound (each is [[refineRound]] over
+    * the previous round's edges); the measured cost/recall curve on the
+    * planted-cluster corpus is 68% → 78% (round 1) → 82% (round 2)
+    * against the 84.7% LSH-candidate ceiling (`CLUSTERED_RECALL.json`,
+    * `tools/ClusteredRecallBench`), so round 2 buys half the remaining
+    * headroom for one more linear 4k²N candidate pass. */
+  private[graft] def refineRounds(spark: SparkSession): Int = {
+    val r = spark.conf.getOption("spark.graft.refine.rounds")
+      .orElse(sys.env.get("SPARK_GRAFT_REFINE_ROUNDS"))
+      .map(_.trim.toInt).getOrElse(1)
+    require(r >= 1, s"spark.graft.refine.rounds must be >= 1, got $r")
+    r
+  }
+
   def knnGraphRefine(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val vectors = Tables.embeddings(spark, dir)
     val base = vecBase(vectors)
-    val edges = knnGraphFrame(spark, vectors)
+    var edges = knnGraphFrame(spark, vectors)
       .select(col("q_id"), col("n_id"), col("cosine"))
-    refineRound(base, edges)
+    var out: DataFrame = null
+    for (_ <- 1 to refineRounds(spark)) {
+      out = refineRound(base, edges)
+      edges = out.select(col("q_id"), col("n_id"), col("cosine"))
+    }
+    out
   }
 
   /** One NN-descent round over an explicit `(q_id, n_id, cosine)` edge

@@ -137,6 +137,7 @@ private[graft] final class DerivedZone(artifact: String, tables: Seq[String],
       val (df, parents, sidecarContent) = parent match {
         case Some(p) =>
           deltaBuilds.incrementAndGet()
+          DerivedZone.processBuilds.incrementAndGet()
           val newPaths = {
             val old = p.entries.toSet
             inputEntries.filterNot(old).map(SessionMemo.entryPath)
@@ -157,6 +158,7 @@ private[graft] final class DerivedZone(artifact: String, tables: Seq[String],
           (d, p.ancestors :+ p.fp, p.sidecar)
         case None =>
           builds.incrementAndGet()
+          DerivedZone.processBuilds.incrementAndGet()
           val d = build
           (d, Nil, d.schema.json + "\n" + d.columns.mkString(","))
       }
@@ -197,6 +199,13 @@ private[graft] final class DerivedZone(artifact: String, tables: Seq[String],
 }
 
 private[graft] object DerivedZone {
+
+  /** Zone builds (full or delta) by this PROCESS, across every artifact —
+    * the cross-round bench decomposition hook: Bench samples this before
+    * and after each timed query and emits a per-query `zone_built` flag,
+    * so a warm-vs-cold wall-time delta can be attributed mechanically to
+    * first-touch zone materialization instead of by narrative. */
+  private[graft] val processBuilds = new java.util.concurrent.atomic.AtomicLong(0)
 
   private[ops] val SchemaFile = "_graft_schema.json"
   private[ops] val InputsFile = "_graft_inputs"

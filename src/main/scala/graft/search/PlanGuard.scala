@@ -137,7 +137,13 @@ object PlanGuard {
         case _: ReusedExchangeExec => Nil
         case im: InMemoryTableScanExec =>
           val b = CacheIntrospect.cacheKey(im)
-          if (cold.contains(b) && counted.add(b))
+          // charge only builders that TRANSITIONED cold -> loaded during
+          // this execution: a cold cache on a branch the execution never
+          // materialized (pruned by AQE, short-circuited join side) ran
+          // no build scan, so the post-execution isLoaded re-check keeps
+          // it out of the count instead of charging its base scans
+          // unconditionally off the pre-execution snapshot
+          if (cold.contains(b) && CacheIntrospect.isLoaded(im) && counted.add(b))
             scans(CacheIntrospect.cachedPlan(im))
           else Nil
         case f: FileSourceScanExec => Seq(f)

@@ -108,12 +108,57 @@ class SearchServer(spark: SparkSession, landingDir: String, stagingDir: String,
   /** Drop a bucket's cached snapshot (compaction rewrote its zones). */
   def invalidate(bucket: String): Unit = cache.invalidate(bucket)
 
+  private def escJson(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\x00-\\x1f]", " ")
+
+  /** Answer ONE request (the line-protocol JSON object) — the single
+    * handler both faces share: [[serve]] feeds it stdin lines, and
+    * [[HttpSearchServer]] feeds it request bodies / query-string
+    * translations, so the two protocols cannot drift. Returns the
+    * response JSON plus whether the request asked the server to stop.
+    * Errors are answered in-band — a bad query must not kill the warm
+    * executor on either face.
+    */
+  def handle(request: String): (String, Boolean) = {
+    implicit val fmts: DefaultFormats.type = DefaultFormats
+    try {
+      val j: JValue = JsonMethods.parse(request)
+      (j \ "cmd").extractOpt[String] match {
+        case Some("shutdown") =>
+          ("""{"ok":true}""", true)
+        case Some("invalidate") =>
+          invalidate((j \ "bucket").extract[String])
+          ("""{"ok":true}""", false)
+        case Some("metrics") =>
+          val m = SearchMetricsSource.getOrRegister()
+          (s"""{"searchCount":${m.searchCount.getCount},""" +
+            s""""searchFailures":${m.searchFailures.getCount},""" +
+            s""""rowsReturned":${m.rowsReturned.getCount},""" +
+            s""""snapshotRebuilds":${snapshotRebuilds}}""", false)
+        case Some(other) =>
+          // client-supplied string: escape it or a quote/control char
+          // in `cmd` breaks the one-JSON-object-per-line protocol
+          (s"""{"error":"unknown cmd: ${escJson(other)}"}""", false)
+        case None =>
+          (executeJson(SearchQuery(
+            bucket = (j \ "bucket").extract[String],
+            where = (j \ "where").extractOpt[String].getOrElse(""),
+            startKey = (j \ "startKey").extractOpt[String],
+            limit = (j \ "limit").extractOpt[Int].getOrElse(1000))), false)
+      }
+    } catch {
+      case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        (s"""{"error":"${escJson(msg)}"}""", false)
+    }
+  }
+
   /** Serve requests line-by-line until EOF or a shutdown command; returns
     * the number of requests answered. One response line per request line,
     * errors answered in-band — the loop survives bad queries.
     */
   def serve(in: BufferedReader, out: PrintWriter): Long = {
-    implicit val fmts: DefaultFormats.type = DefaultFormats
     var served = 0L
     var running = true
     while (running) {
@@ -121,42 +166,8 @@ class SearchServer(spark: SparkSession, landingDir: String, stagingDir: String,
       if (line == null) running = false
       else if (line.trim.nonEmpty) {
         served += 1
-        val response =
-          try {
-            val j: JValue = JsonMethods.parse(line)
-            (j \ "cmd").extractOpt[String] match {
-              case Some("shutdown") =>
-                running = false
-                """{"ok":true}"""
-              case Some("invalidate") =>
-                invalidate((j \ "bucket").extract[String])
-                """{"ok":true}"""
-              case Some("metrics") =>
-                val m = SearchMetricsSource.getOrRegister()
-                s"""{"searchCount":${m.searchCount.getCount},""" +
-                  s""""searchFailures":${m.searchFailures.getCount},""" +
-                  s""""rowsReturned":${m.rowsReturned.getCount},""" +
-                  s""""snapshotRebuilds":${snapshotRebuilds}}"""
-              case Some(other) =>
-                // client-supplied string: escape it or a quote/control char
-                // in `cmd` breaks the one-JSON-object-per-line protocol
-                val esc = other.replace("\\", "\\\\").replace("\"", "\\\"")
-                  .replaceAll("[\\x00-\\x1f]", " ")
-                s"""{"error":"unknown cmd: $esc"}"""
-              case None =>
-                executeJson(SearchQuery(
-                  bucket = (j \ "bucket").extract[String],
-                  where = (j \ "where").extractOpt[String].getOrElse(""),
-                  startKey = (j \ "startKey").extractOpt[String],
-                  limit = (j \ "limit").extractOpt[Int].getOrElse(1000)))
-            }
-          } catch {
-            case e: Throwable =>
-              val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-                .replace("\\", "\\\\").replace("\"", "\\\"")
-                .replaceAll("[\\x00-\\x1f]", " ")
-              s"""{"error":"$msg"}"""
-          }
+        val (response, stop) = handle(line)
+        if (stop) running = false
         out.println(response)
         out.flush()
       }
@@ -171,16 +182,120 @@ class SearchServer(spark: SparkSession, landingDir: String, stagingDir: String,
   }
 }
 
-/** `runMain graft.search.SearchServer <landingDir> <stagingDir> [ttlMs]` —
-  * build one session, serve stdin-JSONL until EOF/shutdown. The gateway
-  * (the reference fronts this with S3/Livy) keeps the process alive and
-  * pipes queries in; session + cache warmth amortizes across all of them.
+/** Minimal HTTP/REST face over a warm [[SearchServer]] — the wire shape a
+  * reference client actually speaks (reference: `bin/search.py` issues
+  * `GET /<bucket>?search=<urlencoded where>` against its gateway and
+  * reads the JSON-array response; the Livy image fronts the resident
+  * executor the same way). Built on the JDK's `com.sun.net.httpserver`
+  * (zero dependencies, same classpath everywhere Spark runs).
+  *
+  * Routes (every search answer is the same bare JSON array the line
+  * protocol emits — both faces share [[SearchServer.handle]]):
+  *  - `GET /<bucket>?search=<where>[&limit=N][&start_key=K]` — the
+  *    reference client's query shape, translated to the line protocol
+  *  - `POST /search` with a line-protocol JSON object body
+  *  - `GET /metrics` — the `graft.search` counters
+  *  - `POST /invalidate?bucket=<b>` — drop a bucket's snapshot
+  *
+  * Requests serialize onto one handler thread — the backend is one warm
+  * session and the snapshot cache is what makes serialized answers fast,
+  * exactly like the socat gateway's flock (docker/images/server).
+  */
+class HttpSearchServer(server: SearchServer, port: Int = 0)
+    extends AutoCloseable {
+  import com.sun.net.httpserver.{HttpExchange, HttpServer => JdkHttp}
+
+  private val http = JdkHttp.create(new java.net.InetSocketAddress(port), 0)
+  private val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+  @volatile private var stopRequested = false
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+      .filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  http.createContext("/", (ex: HttpExchange) => {
+    try {
+      val path = ex.getRequestURI.getPath.stripPrefix("/")
+      val request = (ex.getRequestMethod, path) match {
+        case ("POST", "search") =>
+          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        case ("GET", "metrics") => """{"cmd":"metrics"}"""
+        case ("POST", "invalidate") =>
+          val b = queryParams(ex).getOrElse("bucket", "")
+          s"""{"cmd":"invalidate","bucket":${jstr(b)}}"""
+        case ("GET", bucket) if bucket.nonEmpty && !bucket.contains("/") =>
+          // the reference client's shape: GET /<bucket>?search=<where>
+          val p = queryParams(ex)
+          val limit = p.get("limit").flatMap(_.toIntOption).getOrElse(1000)
+          val sk = p.get("start_key").map(k => s""","startKey":${jstr(k)}""")
+            .getOrElse("")
+          s"""{"bucket":${jstr(bucket)},"where":${jstr(
+            p.getOrElse("search", ""))},"limit":$limit$sk}"""
+        case _ => ""
+      }
+      if (request.isEmpty)
+        respond(ex, 404, """{"error":"unknown route"}""")
+      else {
+        val (body, stop) = server.handle(request)
+        if (stop) stopRequested = true
+        respond(ex, if (body.startsWith("""{"error""")) 400 else 200, body)
+      }
+    } catch {
+      case e: Throwable =>
+        try respond(ex, 500, s"""{"error":${jstr(
+          Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
+        catch { case _: Throwable => () }
+    }
+  })
+  http.setExecutor(pool)
+  http.start()
+
+  /** The bound port (for `port = 0` ephemeral binds in specs). */
+  def boundPort: Int = http.getAddress.getPort
+
+  /** Block until a `{"cmd":"shutdown"}` request arrives. */
+  def awaitShutdown(pollMillis: Long = 200L): Unit =
+    while (!stopRequested) Thread.sleep(pollMillis)
+
+  override def close(): Unit = {
+    http.stop(0)
+    pool.shutdownNow()
+    ()
+  }
+}
+
+/** `runMain graft.search.SearchServer [--http <port>] <landingDir>
+  * <stagingDir> [ttlMs]` — build one session and serve until shutdown:
+  * stdin-JSONL by default (the gateway pipes queries in), or the REST
+  * face on `--http` (the reference's Livy-gateway port is 8998). Session
+  * + cache warmth amortizes across all requests either way.
   */
 object SearchServer {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2,
-      "usage: SearchServer <landingDir> <stagingDir> [cacheTtlMillis]")
-    val ttl = if (args.length > 2) args(2).toLong else 60000L
+    val httpPort = args.sliding(2).collectFirst {
+      case Array("--http", p) => p.toInt }
+    val rest = {
+      val i = args.indexOf("--http")
+      if (i < 0) args else args.patch(i, Nil, 2)
+    }
+    require(rest.length >= 2,
+      "usage: SearchServer [--http <port>] <landingDir> <stagingDir> [cacheTtlMillis]")
+    val ttl = if (rest.length > 2) rest(2).toLong else 60000L
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-search-server")
@@ -189,12 +304,20 @@ object SearchServer {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val server = new SearchServer(spark, args(0), args(1), ttl,
+    val server = new SearchServer(spark, rest(0), rest(1), ttl,
       metricsFlushMillis = 10000L)
-    try server.serve(
-      new BufferedReader(new InputStreamReader(System.in, StandardCharsets.UTF_8)),
-      new PrintWriter(System.out))
-    finally {
+    try httpPort match {
+      case Some(p) =>
+        val h = new HttpSearchServer(server, p)
+        System.err.println(s"[graft] http search server on port ${h.boundPort}")
+        try h.awaitShutdown() finally h.close()
+      case None =>
+        server.serve(
+          new BufferedReader(
+            new InputStreamReader(System.in, StandardCharsets.UTF_8)),
+          new PrintWriter(System.out))
+        ()
+    } finally {
       server.close()
       spark.stop()
     }

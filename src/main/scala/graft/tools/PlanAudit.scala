@@ -113,7 +113,11 @@ object PlanAudit {
     val rest = args.filterNot(a => a == "--final" || a == "--md")
     val dir = rest.headOption.getOrElse("/root/testdata/sf0.01")
     val which = if (rest.length > 1) rest.tail.toSet else Set.empty[String]
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // --md regeneration is hard-pinned to the drift spec's session shape
+    // (local[4], 4 shuffle partitions — SparkTestSession): honoring
+    // SPARK_GRAFT_CPUS here would write a manifest whose plan hashes
+    // PlansDriftSpec can never reproduce under its own fixed session.
+    val cpus = if (mdMode) "4" else sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()

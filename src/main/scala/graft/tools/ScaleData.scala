@@ -174,13 +174,48 @@ object ScaleData {
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
   }
 
+  /** Constant-vocabulary document corpus at N×: copies shift `doc_id`
+    * but keep the TEXT verbatim — no per-copy token suffixing — so the
+    * distinct n-gram/shingle KEY SPACE stays exactly the source corpus's
+    * while row volume grows ×factor. This is the control experiment for
+    * the "key-growth class" attribution: the suffixed [[scale]] corpus
+    * grows distinct 3-gram keys ~×factor, so an aggregation keyed on
+    * n-grams (text_ngram_stats, text_boilerplate's df build) pays
+    * key-cardinality growth ON TOP of row growth there. On THIS corpus a
+    * healthy hash-aggregation should scale ~linearly in rows (map-side
+    * partials collapse to the same bounded key set); if it doesn't, the
+    * operator shape has a real defect the suffixed corpus masks.
+    *
+    * Within-copy near-dup structure is preserved trivially (each copy is
+    * isomorphic to the source); cross-copy, every document is an exact
+    * clone of its ×factor siblings — WRONG for benchmarking the pair-
+    * joining dedup family (clone clusters explode pair counts), fine for
+    * the per-token/per-n-gram text family this corpus exists to probe.
+    * Only `documents.parquet` is written.
+    */
+  def constVocab(spark: SparkSession, src: String, dst: String,
+                 factor: Int): Unit = {
+    require(factor >= 1, "factor must be >= 1")
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val r = docs.agg(max(col("doc_id")).cast("long")).first()
+    require(r.isNullAt(0) || r.getLong(0) < CopyOffset,
+      "source doc_id reaches the copy shift — rescale from the ORIGINAL data")
+    docs.withColumn("cp", explode(sequence(lit(0L), lit(factor - 1L))))
+      .select((col("doc_id") + col("cp") * CopyOffset).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+  }
+
   /** `runMain graft.tools.ScaleData <srcDir> <dstDir> <factor>`
-    * or `runMain graft.tools.ScaleData --longdocs <srcDir> <dstDir> <tokensPerDoc>` */
+    * or `runMain graft.tools.ScaleData --longdocs <srcDir> <dstDir> <tokensPerDoc>`
+    * or `runMain graft.tools.ScaleData --constvocab <srcDir> <dstDir> <factor>` */
   def main(args: Array[String]): Unit = {
     val longMode = args.headOption.contains("--longdocs")
-    val rest = if (longMode) args.tail else args
+    val cvMode = args.headOption.contains("--constvocab")
+    val rest = if (longMode || cvMode) args.tail else args
     require(rest.length == 3,
-      "usage: ScaleData [--longdocs] <srcDir> <dstDir> <factor|tokensPerDoc>")
+      "usage: ScaleData [--longdocs|--constvocab] <srcDir> <dstDir> <factor|tokensPerDoc>")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[16]"))
       .appName("graft-scaledata")
@@ -190,6 +225,7 @@ object ScaleData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (longMode) longDocs(spark, rest(0), rest(1), rest(2).toInt)
+    else if (cvMode) constVocab(spark, rest(0), rest(1), rest(2).toInt)
     else scale(spark, rest(0), rest(1), rest(2).toInt)
     spark.stop()
   }

@@ -15,8 +15,12 @@ class BenchContractSpec extends AnyFunSuite {
     assert(json.startsWith("{") && json.endsWith("}"))
     for (field <- Seq("\"metric\":\"total\"", "\"reps\":2", "\"agg\":\"min\"",
         "\"errors\":0", "\"q1_agg\":", "\"storage_info\":", "\"runs\":",
-        "\"gc_sec\":", "\"status\":", "\"first_value\":"))
+        "\"gc_sec\":", "\"status\":", "\"first_value\":", "\"zone_built\":"))
       assert(json.contains(field), s"missing $field in $json")
+    // zone_built is a per-query boolean map (warm/cold decomposition flag)
+    val zbRe = """"zone_built":\{[^}]*"storage_info":(true|false)""".r
+    assert(zbRe.findFirstIn(json).isDefined,
+      s"zone_built must carry a boolean per query: $json")
     // first_value sums FIRST reps (memo builds included) and can only be
     // >= the best-of total
     val num = """"(value|first_value)":([0-9.eE+-]+)""".r

@@ -88,6 +88,77 @@ class ConfigToolsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("quote URIs"))
   }
 
+  test("s3 block wires the object-store connection onto the session") {
+    // the reference's deployment premise (SparkUtils.scala:26-70):
+    // endpoint/credentials/path-style/SSL flow from the conf file into
+    // the session AND the context Hadoop conf every FileSystem.get reads
+    val conf = GraftConfig.fromFile(writeConf(
+      "s3a://md-bucket/zones/landing", "s3a://md-bucket/zones/staging",
+      extra =
+        """  s3 {
+          |    endpoint = "object.example.internal:8000"
+          |    access.key = AKTEST
+          |    secret.key = sk-test
+          |    path.style = true
+          |    ssl = false
+          |  }
+          |""".stripMargin))
+    assert(conf.landingDir == "s3a://md-bucket/zones/landing",
+      "zone paths must accept s3a:// URIs")
+    assert(conf.s3Endpoint == "object.example.internal:8000")
+    assert(conf.s3PathStyleAccess && !conf.s3SslEnabled)
+    // env-provided credentials would override the file; only assert the
+    // file values when the env doesn't carry them
+    if (!sys.env.contains("AWS_ACCESS_KEY_ID"))
+      assert(conf.s3AccessKey == "AKTEST" && conf.s3SecretKey == "sk-test")
+    conf.applySessionConfs(spark)
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      assert(hc.get("fs.s3a.endpoint") == "object.example.internal:8000")
+      assert(hc.get("fs.s3a.path.style.access") == "true")
+      assert(hc.get("fs.s3a.connection.ssl.enabled") == "false")
+      assert(spark.conf.get("spark.hadoop.fs.s3a.endpoint") ==
+        "object.example.internal:8000")
+      // an s3a zone root resolves as a path (scheme survives; no
+      // filesystem I/O — the sandbox has no S3 endpoint)
+      spark.conf.set("spark.graft.derived.dir", "s3a://md-bucket/derived")
+      assert(new org.apache.hadoop.fs.Path(
+        graft.ops.DerivedZone.root(spark), "x").toUri.getScheme == "s3a")
+    } finally {
+      spark.conf.unset("spark.graft.derived.dir")
+      Seq("fs.s3a.endpoint", "fs.s3a.path.style.access",
+        "fs.s3a.connection.ssl.enabled", "fs.s3a.access.key",
+        "fs.s3a.secret.key").foreach { k =>
+        spark.sparkContext.hadoopConfiguration.unset(k)
+        spark.conf.unset(s"spark.hadoop.$k")
+      }
+    }
+  }
+
+  test("the example config's s3 block is parseable when uncommented") {
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("conf/graft.conf.example"))
+    assert(text.contains("s3 {") || text.contains("# s3"),
+      "example config must document the s3 connection block")
+  }
+
+  test("scratch budget: explicit conf wins; unset local master derives from free disk") {
+    // explicit session conf short-circuits everything
+    spark.conf.set(GraftConfig.ScratchBytesConf, "12345")
+    try assert(GraftConfig.scratchBytes(spark) == 12345L)
+    finally spark.conf.unset(GraftConfig.ScratchBytesConf)
+    // the local-master fallback is half the shuffle dir's free space —
+    // nonzero on any live machine, so an unconfigured single-host run of
+    // the disk-bounded pair build shards instead of dying on ENOSPC
+    // (the round-11 failure mode)
+    val fb = GraftConfig.localScratchFallback(spark)
+    assert(fb > 0L, "local master must derive a nonzero scratch budget")
+    // and the unset path agrees with the fallback unless the env carries
+    // a budget (bench chains export SPARK_GRAFT_SCRATCH_BYTES)
+    if (!sys.env.contains("SPARK_GRAFT_SCRATCH_BYTES"))
+      assert(GraftConfig.scratchBytes(spark) > 0L)
+  }
+
   test("CompactorTool rejects malformed numeric args with the usage code") {
     assert(graft.tools.CompactorTool.run(Array("/no/conf", "abc")) == 2)
     assert(graft.tools.CompactorTool.run(Array("/no/conf", "4", "b1", "maybe")) == 2)

@@ -140,6 +140,61 @@ class SearchServerSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("HTTP face: reference client GET, POST /search, metrics, errors in-band") {
+    val server = new SearchServer(spark, landing, staging, cacheTtlMillis = 600000L)
+    val http = new graft.search.HttpSearchServer(server, port = 0)
+    try {
+      val base = s"http://127.0.0.1:${http.boundPort}"
+      def fetch(method: String, pathAndQuery: String, body: String = "")
+          : (Int, String) = {
+        val conn = java.net.URI.create(base + pathAndQuery).toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod(method)
+        if (body.nonEmpty) {
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(body.getBytes("UTF-8"))
+        }
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        (code, new String(is.readAllBytes(), "UTF-8"))
+      }
+      // the reference client's exact shape (bin/search.py):
+      // GET /<bucket>?search=<urlencoded where>[&limit] -> JSON array
+      val where = java.net.URLEncoder.encode(
+        " userMd.`x-amz-meta-food` = 'pizza' ", "UTF-8")
+      val (c1, b1) = fetch("GET", s"/sb1?search=$where&limit=5")
+      assert(c1 == 200 && b1.startsWith("[") && b1.endsWith("]"))
+      val httpKeys = keysOf(b1)
+      // and it answers exactly what the line protocol answers — shared handler
+      val lineKeys = keysOf(serve(server, Seq(
+        s"""{"bucket":"sb1","where":" userMd.`x-amz-meta-food` = 'pizza' ","limit":5}""")).head)
+      assert(httpKeys == lineKeys && httpKeys.nonEmpty)
+      // POST /search takes the line-protocol object verbatim
+      val (c2, b2) = fetch("POST", "/search",
+        """{"bucket":"sb2","limit":3}""")
+      assert(c2 == 200 && keysOf(b2).size == 3)
+      // start_key paginates like the line protocol's startKey
+      val (c3, b3) = fetch("GET",
+        s"/sb1?search=&limit=4&start_key=obj_0000000009")
+      assert(c3 == 200 && keysOf(b3).forall(_ > "obj_0000000009"))
+      // metrics and invalidate round-trip
+      val (cm, bm) = fetch("GET", "/metrics")
+      assert(cm == 200 && bm.contains("\"searchCount\""))
+      val (ci, bi) = fetch("POST", "/invalidate?bucket=sb1")
+      assert(ci == 200 && bi == """{"ok":true}""")
+      // a bad query answers 400 with the in-band error, server survives
+      val (ce, be) = fetch("POST", "/search", """{"bucket":"sb1","where":"NOT SQL ("}""")
+      assert(ce == 400 && be.contains("\"error\""))
+      val (cu, _) = fetch("GET", "/no/such/route")
+      assert(cu == 404)
+      val (cOk, _) = fetch("GET", s"/sb1?search=&limit=1")
+      assert(cOk == 200, "the warm executor survives bad requests")
+    } finally {
+      http.close()
+      server.close()
+    }
+  }
+
   test("warm queries launch no scan of the zone files (persisted snapshot reused)") {
     val server = new SearchServer(spark, landing, staging, cacheTtlMillis = 600000L)
     try {
