@@ -17,9 +17,14 @@ object GraphProbe {
     val dir = args.filterNot(_ == "--refine").headOption
       .getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle width defaults to the core count but can be pinned
+    // independently — variance attribution runs mirror Bench's session
+    // (local[32] with the Tuning-derived width, 192 at x1000), and the
+    // spread under test may itself be a function of that width
+    val sp = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", sp)
       .config("spark.ui.enabled", "false")
       .config("spark.network.timeout", "600s")
       .getOrCreate()
