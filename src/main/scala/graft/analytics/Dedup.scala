@@ -948,4 +948,96 @@ object Dedup {
       |SELECT u AS vec_id, min(v) AS cluster_id,
       |       CAST(u = min(v) AS INT) AS is_keeper
       |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------- #128 per-source duplication audit
+  /** Near-dup impact per corpus SOURCE — the pipeline diagnostic that
+    * decides which feeds get demoted or re-crawled: for every `source`,
+    * total docs, docs that are members of any duplicate cluster, docs a
+    * keep-one-per-cluster pass would REMOVE (cluster keeper = the
+    * min-doc_id label holder, same convention as [[dedupKeepBest]]'s
+    * cluster ids), and the removal rate in exact integer ppm.
+    *
+    * Scale shape: cluster labels come from the published
+    * [[labelsMemo]] zone (built once per dataset, shared with
+    * `dedup_clusters`/`dedup_keep_best`), so this query adds ONE
+    * pruned-column scan of `documents` (doc_id, source), a key join
+    * against the (corpus-sparse) label frame, and a per-source
+    * aggregation whose key space is the source catalog — partial
+    * aggregation collapses each partition before the only small exchange.
+    */
+  def corpusDupBySource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val labels = clusterLabels(spark, dir)
+      .select(col("doc_id"), col("is_keeper"))
+    docs.join(labels, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_keeper").isNotNull, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("is_keeper") === 0, 1L).otherwise(0L)).as("n_removable"))
+      .withColumn("dup_ppm", expr("n_removable * 1000000 div n_docs"))
+      .orderBy("source")
+  }
+
+  val corpusDupBySourceSql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+      |edges AS (
+      |  SELECT a_id AS u, b_id AS v FROM confirmed
+      |  UNION ALL SELECT b_id, a_id FROM confirmed),
+      |reach(u, v) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |labels AS (
+      |  SELECT u AS doc_id, CAST(u = min(v) AS INT) AS is_keeper
+      |  FROM reach GROUP BY u)
+      |SELECT d.source,
+      |       count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |       CAST(sum(CASE WHEN l.is_keeper = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removable,
+      |       (CAST(sum(CASE WHEN l.is_keeper = 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |         // count(*) AS dup_ppm
+      |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  // ----------------------------------- #129 dedup threshold sensitivity
+  /** Cosine-threshold sensitivity sweep over the embedding near-dup pair
+    * space: how many candidate pairs a semantic-dedup pass would confirm
+    * at each threshold step — the tuning curve an operator reads BEFORE
+    * committing a threshold to a 100 TB dedup run. Buckets are 0.05-wide
+    * steps over the same LSH-bucketed, cell-capped pair frame
+    * [[dedupEmbedding]] enumerates (never all-pairs), bucketed in exact
+    * integer micro-cosine units (`round(cosine·10⁶) div 50000` — no float
+    * edge math), with a cumulative count from the top so each row reads
+    * "pairs at or above this threshold".
+    *
+    * Scale shape: the pair enumeration is the measured linear
+    * [[dedupEmbedding]] machinery; on top of it sit one partial-agg
+    * exchange over ≤ ~13 bucket keys and a single-partition running sum
+    * over those 13 rows — free at any corpus size.
+    */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = dedupEmbedding(spark, dir)
+      .select(round(col("cosine") * 1e6).cast("long").as("c6"))
+      // `div`, not `/`: Spark's `/` is DOUBLE division even on longs, and
+      // a quotient landing within one ulp of an integer would truncate to
+      // the wrong bucket; integral division cannot
+      .select(expr("c6 div 50000").as("bi"))
+      .groupBy("bi").agg(count(lit(1)).as("n_pairs"))
+    hist
+      .select((col("bi") / 20.0).as("threshold"), col("n_pairs"),
+        sum(col("n_pairs")).over(Window.orderBy(col("bi").desc))
+          .as("cum_pairs"))
+      .orderBy(col("threshold").desc)
+  }
+
+  val dedupThresholdSweepSql: String =
+    s"""WITH $embeddingPairsCtes,
+      |h AS (
+      |  SELECT CAST(round(cosine * 1000000) AS BIGINT) // 50000 AS bi,
+      |         count(*) AS n_pairs
+      |  FROM epairs GROUP BY 1)
+      |SELECT bi / 20.0 AS threshold, n_pairs,
+      |       CAST(sum(n_pairs) OVER (ORDER BY bi DESC) AS BIGINT) AS cum_pairs
+      |FROM h ORDER BY threshold DESC""".stripMargin
 }

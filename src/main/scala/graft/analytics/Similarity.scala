@@ -355,18 +355,29 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val base = vecBase(vectors)
     val codes = codedTables(base, tables)
+    // the payload rides the fat N·T cell exchange in its STORAGE type
+    // (array<float>, half the bytes of the pre-widened doubles) and is
+    // scored by graft_dotf, which accumulates float→double casts — a
+    // bit-identical cosine (the cast is exact, the fold order the same;
+    // `nrm` likewise: dotf(ef,ef) ≡ dot(ed,ed)). Round-13 probe data:
+    // this exchange's IO timing is the build stage's only variance
+    // source (41.2→89.9 s run-to-run at ×1000 on identical plans), so
+    // halving its bytes halves the exposure.
+    val baseF = vectors.select(col("vec_id"), col("embedding").as("ef"))
+      .withColumn("nrm", sqrt(
+        graft.functions.GraftFunctions.dotpf(col("ef"), col("ef"))))
     val cc = withCells(codes, bucketDivisors(codes, GraphCell))
-      .join(base, "vec_id")
+      .join(baseF, "vec_id")
       .select(col("vec_id"), col("tbl"), col("bucket"), col("cell"),
-        col("ed"), col("nrm"))
+        col("ef"), col("nrm"))
     val scored = cc.select(col("vec_id").as("q_id"), col("tbl"), col("bucket"),
-        col("cell"), col("ed").as("q_ed"), col("nrm").as("q_nrm"))
+        col("cell"), col("ef").as("q_ef"), col("nrm").as("q_nrm"))
       .join(cc.select(col("vec_id").as("n_id"), col("tbl"), col("bucket"),
-        col("cell"), col("ed").as("n_ed"), col("nrm").as("n_nrm")),
+        col("cell"), col("ef").as("n_ef"), col("nrm").as("n_nrm")),
         Seq("tbl", "bucket", "cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(graft.functions.GraftFunctions.dotp(col("q_ed"), col("n_ed")) /
+        round(graft.functions.GraftFunctions.dotpf(col("q_ef"), col("n_ef")) /
           (col("q_nrm") * col("n_nrm")), 6).as("cosine"))
     topK(scored, K, dedupeIds = true)
   }

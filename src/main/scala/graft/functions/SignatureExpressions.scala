@@ -205,6 +205,21 @@ object Sig {
     acc
   }
 
+  /** Dot product of two FLOAT arrays accumulated in double — BIT-IDENTICAL
+    * to [[dot]] over element-wise float→double casts (a float→double cast
+    * is exact, and the accumulation order is the same), while the array
+    * rides shuffles at half the bytes. This is the scoring kernel for fat
+    * linear exchanges that carry the raw storage-typed vectors
+    * (embeddings parquet is `array<float>`) instead of pre-widened
+    * doubles. */
+  def dotF(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
   /** Squared L2 distance between two long arrays — the quantized-space
     * kernel of the PQ/ADC scan and integer k-means; identical to the
     * `zip_with`+`aggregate` fold and the oracle's `list_reduce` sum. */
@@ -664,6 +679,20 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `graft_dotf(array<float>, array<float>) -> double` — see [[Sig.dotF]]:
+  * bit-identical to `graft_dot` over exact float→double casts, half the
+  * exchange bytes when the array rides a shuffle. */
+case class DotProductF(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Sig.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Sig.dotF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductF =
+    copy(left = l, right = r)
+}
+
 /** `graft_l2sq(array<long>, array<long>) -> long` — see [[Sig.l2sq]]. */
 case class L2Sq(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -798,6 +827,8 @@ object GraftFunctions {
         args(2).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_dot",
       (args: Seq[Expression]) => DotProduct(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_dotf",
+      (args: Seq[Expression]) => DotProductF(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_l2sq",
       (args: Seq[Expression]) => L2Sq(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_ngrams",
@@ -831,6 +862,7 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(start),
       org.apache.spark.sql.functions.lit(planes))
   def dotp(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def dotpf(a: Column, b: Column): Column = call_function("graft_dotf", a, b)
   def l2sq(a: Column, b: Column): Column = call_function("graft_l2sq", a, b)
   def ngrams(toks: Column, n: Int, distinct: Boolean): Column =
     call_function("graft_ngrams", toks,

@@ -69,6 +69,11 @@ class ScanCountSpec extends AnyFunSuite {
     "events_retention" -> Map("events" -> 2),
     "q_avg_yearly" -> Map("lineitem" -> 2),
     "q_top_supplier" -> Map("lineitem" -> 2),
+    // corpus_dup_by_source: one direct pruned (doc_id, source) scan +
+    // the labels zone's build pass when the zone is first-touch cold
+    // (warm steady state is 1 — budget covers the cold path the suite
+    // may execute first, since the key sorts before dedup_clusters)
+    "corpus_dup_by_source" -> Map("documents" -> 2),
     "corpus_dsir" -> Map("documents" -> 3),
     "corpus_mixture" -> Map("documents" -> 2),
     "corpus_temperature" -> Map("documents" -> 4),
@@ -85,6 +90,8 @@ class ScanCountSpec extends AnyFunSuite {
     "text_top_term" -> Map("documents" -> 2),
     "centroid_ivf" -> Map("embeddings" -> 4),
     "dedup_embedding" -> Map("embeddings" -> 3),
+    // dedup_threshold_sweep wraps dedup_embedding's pair frame verbatim
+    "dedup_threshold_sweep" -> Map("embeddings" -> 3),
     "kmeans_iter" -> Map("embeddings" -> 3),
     "knn_brute" -> Map("embeddings" -> 2),
     "knn_filtered" -> Map("embeddings" -> 2),
