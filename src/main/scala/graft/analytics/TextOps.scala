@@ -407,17 +407,35 @@ object TextOps {
 
   // ---------------------------------------------------- #31 n-gram stats
   /** Corpus bigram frequency: top 100 bigrams with doc frequency and total
-    * count — the classic n-gram statistics sweep (map-side explode, one
-    * aggregation shuffle on the gram key).
+    * count — the classic n-gram statistics sweep.
+    *
+    * Scale shape (round-13 rework): TWO gram-keyed aggregations joined on
+    * the gram key — total counts over the raw explode, doc frequencies
+    * over the per-doc DISTINCT explode (the compiled NGrams kernel
+    * dedupes in-doc repeats map-side) — so BOTH partial aggregations
+    * collapse each task to its distinct-gram set and the only exchanges
+    * carry ~|vocab²|-bounded gram keys. The previous one-liner
+    * (`agg(count, countDistinct(doc_id))`) looked like one aggregation
+    * but planned as Spark's single-distinct rewrite: a FIRST aggregation
+    * keyed on `(gram, doc_id)`, whose partial maps collapse almost
+    * nothing (a doc contributes each gram once) — the shuffle carried
+    * ~70 rows per document and the per-task hash maps fell off a spill
+    * cliff past ~1M docs. Measured on the constant-vocabulary control
+    * corpus (keys pinned, rows ×10): 4.8 → 120.6 s for 10× rows on the
+    * old shape — the cliff, not key growth; the rework is re-measured in
+    * BENCH_SCALING.md.
     */
   def textNgramStats(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val bigrams = graft.functions.GraftFunctions
-      .ngrams(split(col("text"), " "), 2, distinct = false)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(bigrams).as("gram"))
-      .groupBy("gram")
-      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+    val docs = Tables.documents(spark, dir)
+    def grams(distinct: Boolean) = docs.select(explode(graft.functions
+      .GraftFunctions.ngrams(split(col("text"), " "), 2, distinct)).as("gram"))
+    val tf = grams(distinct = false).groupBy("gram")
+      .agg(count(lit(1)).as("n"))
+    val dfq = grams(distinct = true).groupBy("gram")
+      .agg(count(lit(1)).as("n_docs"))
+    tf.join(dfq, "gram")
+      .select(col("gram"), col("n"), col("n_docs"))
       .orderBy(col("n").desc, col("gram"))
       .limit(100)
   }

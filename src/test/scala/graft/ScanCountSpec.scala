@@ -83,6 +83,7 @@ class ScanCountSpec extends AnyFunSuite {
     "text_cms" -> Map("documents" -> 2),
     "text_decontaminate" -> Map("documents" -> 2),
     "text_lm_score" -> Map("documents" -> 3),
+    "text_ngram_stats" -> Map("documents" -> 2),
     "text_perplexity_bucket" -> Map("documents" -> 5),
     "text_boilerplate" -> Map("documents" -> 2),
     "text_repetition" -> Map("documents" -> 2),
