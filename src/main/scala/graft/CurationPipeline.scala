@@ -67,6 +67,54 @@ class CurationPipeline(spark: SparkSession, corpusDir: String) {
       .filter(col("lm_score") >= minLmScore)
   }
 
+  /** Corpus-health dashboard: the one-frame read an operator takes BEFORE
+    * committing a curation run (and again after, on the curated output
+    * directory, to verify the run moved the needles). One row per metric,
+    * exact-integer values (counts or ppm):
+    *
+    *  - `total_docs`,
+    *  - `exact_dup_ppm` / `near_dup_ppm` — duplication pressure,
+    *  - `langid_agree_ppm` — label vs n-gram language-ID agreement
+    *    ([[TextOps.textLangid]]); a drop flags mislabeled feeds,
+    *  - `boilerplate_ppm` — corpus-level common-shingle share
+    *    ([[TextOps.textBoilerplate]] aggregated exactly),
+    *  - `charset_other_ppm` — non letter/digit/space character share
+    *    ([[TextOps.textCharsetProfile]] aggregated): encoding damage,
+    *  - `tokens_per_mchar` — corpus tokenizer fertility
+    *    ([[TextOps.textFertility]] aggregated).
+    *
+    * Every tile reuses a registered operator's frame (zones and session
+    * memos shared), re-aggregated to corpus level in exact longs — the
+    * audit adds NO new scan shapes, so its cost profile is the operators'
+    * own, and the facade can never disagree with the ops it summarizes.
+    */
+  def audit(): DataFrame = {
+    import spark.implicits._
+    val total = Tables.documents(spark, corpusDir).count()
+    val exact = exactDupIds().count()
+    val near = nearDupIds().count()
+    val langAgree = TextOps.textLangid(spark, corpusDir)
+      .agg(sum(col("agree"))).first().getLong(0)
+    val boiler = TextOps.textBoilerplate(spark, corpusDir)
+      .agg(sum(col("n_common")).as("c"), sum(col("n_shingles")).as("s"))
+      .select(expr("c * 1000000L div s")).first().getLong(0)
+    val charset = TextOps.textCharsetProfile(spark, corpusDir)
+      .agg(sum(col("n_other")).as("o"), sum(col("n_chars")).as("c"))
+      .select(expr("o * 1000000L div c")).first().getLong(0)
+    val fertility = TextOps.textFertility(spark, corpusDir)
+      .agg(sum(col("n_tokens")).as("t"), sum(col("n_chars")).as("c"))
+      .select(expr("t * 1000000L div c")).first().getLong(0)
+    Seq(
+      "total_docs" -> total,
+      "exact_dup_ppm" -> exact * 1000000L / total,
+      "near_dup_ppm" -> near * 1000000L / total,
+      "langid_agree_ppm" -> langAgree * 1000000L / total,
+      "boilerplate_ppm" -> boiler,
+      "charset_other_ppm" -> charset,
+      "tokens_per_mchar" -> fertility,
+    ).toDF("metric", "value")
+  }
+
   /** Run the pipeline: write the curated corpus (partitioned by lang) and
     * return the audit counts per stage. Counts are DISJOINT: an exact
     * duplicate that is (inevitably) also a near-dup loser is charged to

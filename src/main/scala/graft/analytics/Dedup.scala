@@ -409,7 +409,7 @@ object Dedup {
     */
   def clearMemos(): Unit = {
     pairsMemo.clear(); labelsMemo.clear(); sharedMemo.clear()
-    simhashMemo.clear(); semanticLabelsMemo.clear()
+    simhashMemo.clear(); semanticLabelsMemo.clear(); lshCandMemo.clear()
   }
 
   /** SimHash near-dup pairs, persisted once per DATASET like the MinHash
@@ -422,11 +422,14 @@ object Dedup {
   private[analytics] def confirmedPairs(spark: SparkSession, dir: String): DataFrame =
     pairsMemo.get(spark, dir)(minhashConfirm(spark, dir))
 
-  private def minhashConfirm(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    // short-lived shingle checkpoint — see the sharedCounts note on why
-    // the corpus-sized stage is not held in the session memo
-    val sh = shingled(spark, dir).localCheckpoint()
+  /** The LSH CANDIDATE stage of the MinHash pipeline — signatures, 8×4
+    * banding, and the band-key equality self-join — factored out so the
+    * banding's recall can be MEASURED ([[dedupLshQuality]]) with exactly
+    * the candidate set the dedup path confirms. Input is the (already
+    * checkpointed/persisted) shingle frame; output the distinct unordered
+    * candidate pair list `(a_id, b_id)`.
+    */
+  private def lshCandidates(sh: DataFrame): DataFrame = {
     val sig = sh.select(col("doc_id"), col("sh"),
       graft.functions.GraftFunctions.minhash32(col("sh")).as("sig"))
     def bandKey(b: Int): Column =
@@ -437,11 +440,19 @@ object Dedup {
         explode(array((0 until 8).map(b =>
           struct(lit(b).as("band"), bandKey(b).as("bkey"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val cand = bands.as("a").join(bands.as("b"),
+    bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+  }
+
+  private def minhashConfirm(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // short-lived shingle checkpoint — see the sharedCounts note on why
+    // the corpus-sized stage is not held in the session memo
+    val sh = shingled(spark, dir).localCheckpoint()
+    val cand = lshCandidates(sh)
     val withSets = cand
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
@@ -486,6 +497,83 @@ object Dedup {
     s"""WITH $minhashPairsCtes
       |SELECT a_id, b_id, jaccard FROM confirmed
       |ORDER BY a_id, b_id""".stripMargin
+
+  // ------------------------------------------- #134 LSH banding recall
+  /** #134 dedup_lsh_quality: the measured S-curve of the MinHash banding —
+    * per 0.05-wide Jaccard band of the exact near-dup ground truth (the
+    * [[dedupNgramJaccard]] pair frame, df-capped sets, j ≥ 0.5), how many
+    * pairs the 8×4 LSH candidate stage actually surfaced, with recall in
+    * exact ppm (the step width matches [[dedupThresholdSweep]]'s cosine
+    * sweep, so the two tuning reads line up). The read an operator takes before trusting a banding
+    * config at corpus scale: theory says 8 bands × 4 rows crosses 50%
+    * capture near j = (1/8)^(1/4) ≈ 0.59 and saturates by ≈ 0.8, and this
+    * operator replaces that formula with the corpus's own curve. A recall
+    * hole in a high bucket means real duplicates are escaping the dedup
+    * pass — the silent-quality failure LSH deployments get audited for.
+    *
+    * Scale shape: the truth side is the published [[sharedMemo]] zone
+    * (jaccard ≥ 0.5 ⇒ containment ≥ 0.5, so the zone's prefilter loses
+    * nothing); the candidate side is [[lshCandidates]] — 8 (band,key)
+    * rows per doc, collisions ∝ true near-dups. Both frames are
+    * pairs-sized (tiny next to the corpus); the band key is exact
+    * integer math, the final aggregate is |bands| rows. Truth uses the
+    * dedup family's capped-shingle semantics; the banding hashes the full
+    * sets exactly as the production [[dedupMinhashLsh]] path does — the
+    * measurement covers the shipped pipeline, not an idealized one.
+    */
+  /** The banding's raw candidate pair list, session-memoized (the
+    * [[graft.ops.SessionMemo]] checkpoint-sharing rule: a NAKED
+    * localCheckpoint per call would give the Scala and SQL faces
+    * reference-distinct plans — both faces must serve ONE
+    * materialization). Pairs-sized, so the checkpoint is small. */
+  private[graft] val lshCandMemo =
+    new graft.ops.SessionMemo(Seq("documents.parquet"))
+
+  def dedupLshQuality(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val truth = sharedCounts(spark, dir)
+      .filter(col("shared") * 2 >= col("na") + col("nb") - col("shared"))
+      .select(col("a_id"), col("b_id"),
+        expr("shared * 20 div (na + nb - shared)").as("bucket"))
+    val cand = lshCandMemo.get(spark, dir) {
+      val sh = shingled(spark, dir).localCheckpoint()
+      lshCandidates(sh).localCheckpoint()
+    }.withColumn("hit", lit(1L))
+    truth.join(cand, Seq("a_id", "b_id"), "left")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+      .withColumn("recall_ppm", expr("n_caught * 1000000L div n_true"))
+      .withColumn("jaccard_lo", col("bucket").cast("double") / lit(20))
+      .select("bucket", "jaccard_lo", "n_true", "n_caught", "recall_ppm")
+      .orderBy("bucket")
+  }
+
+  val dedupLshQualitySql: String =
+    s"""WITH $minhashPairsCtes,
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+      |rare AS (
+      |  SELECT s FROM (SELECT s, count(*) AS df FROM ex GROUP BY s) t
+      |  WHERE df <= $ShingleDfCap),
+      |exc AS (SELECT doc_id, ex.s AS s FROM ex JOIN rare ON ex.s = rare.s),
+      |shared AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+      |  FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM exc GROUP BY doc_id),
+      |truth AS (
+      |  SELECT a_id, b_id,
+      |         (shared * 20) // (sa.n + sb.n - shared) AS bucket
+      |  FROM shared
+      |  JOIN sizes sa ON a_id = sa.doc_id
+      |  JOIN sizes sb ON b_id = sb.doc_id
+      |  WHERE shared * 2 >= sa.n + sb.n - shared)
+      |SELECT bucket, CAST(bucket AS DOUBLE) / 20 AS jaccard_lo,
+      |       count(*) AS n_true,
+      |       CAST(count(*) FILTER (WHERE c.a_id IS NOT NULL) AS BIGINT) AS n_caught,
+      |       CAST(count(*) FILTER (WHERE c.a_id IS NOT NULL) AS BIGINT) * 1000000 // count(*) AS recall_ppm
+      |FROM truth t LEFT JOIN cand c ON t.a_id = c.a_id AND t.b_id = c.b_id
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // --------------------------------------------------------- #23 simhash
   /** 63-bit SimHash over distinct tokens; near-dups = hamming ≤ 3 found by

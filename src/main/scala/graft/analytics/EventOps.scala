@@ -813,6 +813,32 @@ object EventOps {
   private[graft] val userFactsMemo =
     new graft.ops.DerivedZone("events_user_facts", Seq("events.parquet"))
 
+  /** Distinct user×day projection of the event log, published once per
+    * dataset ([[graft.ops.DerivedZone]]) like [[userFactsMemo]]: the
+    * engagement family ([[growth]], [[stickiness]]) all start from this
+    * frame, and each re-deriving it would scan + distinct the fact per
+    * query. |users|×|days| rows of two longs — tiny next to the log. */
+  private[graft] val userDaysMemo =
+    new graft.ops.DerivedZone("events_user_days", Seq("events.parquet"))
+
+  private def userDays(spark: SparkSession, dir: String): DataFrame =
+    userDaysMemo.get(spark, dir) {
+      withSec(Tables.events(spark, dir))
+        .select(col("user_id"), expr("sec div 86400").as("eday"))
+        .distinct()
+    }
+
+  /** Distinct user×type projection, zone-published for the association
+    * reads ([[cooccurrence]]) — ≤ |users|·|types| rows. */
+  private[graft] val userTypesMemo =
+    new graft.ops.DerivedZone("events_user_types", Seq("events.parquet"))
+
+  private def userTypes(spark: SparkSession, dir: String): DataFrame =
+    userTypesMemo.get(spark, dir) {
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+    }
+
   private def userFacts(spark: SparkSession, dir: String): DataFrame =
     userFactsMemo.get(spark, dir) {
       withSec(Tables.events(spark, dir))
@@ -1042,4 +1068,157 @@ object EventOps {
       |SELECT user_id, n_events, max_gap_sec,
       |       CAST((SELECT max(last_sec) FROM u) - last_sec AS BIGINT) AS dormant_sec
       |FROM u ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------ #133 growth accounting
+  /** #133 events_growth: daily growth accounting — every active user-day
+    * classified as NEW (first day ever), RETAINED (also active the
+    * previous calendar day) or RESURRECTED (returning after a gap), so
+    * `n_active = n_new + n_retained + n_resurrected` row by row. The
+    * standard DAU decomposition a product/data team watches; the same
+    * decomposition drives corpus-freshness accounting when `user_id` is
+    * a content feed.
+    *
+    * Scale shape: starts from the [[userDays]] zone (the event log
+    * collapsed ONCE per dataset to the distinct user×day frame, exact
+    * integer epoch-day); the previous-active-day lookup is one `lag`
+    * inside the user partition, and the classified frame re-aggregates
+    * onto the bounded day key — |days| output rows from one shuffle of
+    * the already-collapsed frame. Classification is exact integer day
+    * math; the calendar label is formatted from the epoch-day at emit.
+    */
+  def growth(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("eday")
+    userDays(spark, dir)
+      .withColumn("prev", lag("eday", 1).over(byUser))
+      .withColumn("cls",
+        when(col("prev").isNull, "new")
+          .when(col("prev") === col("eday") - 1, "retained")
+          .otherwise("resurrected"))
+      .groupBy("eday")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+      .select(
+        date_format(timestamp_seconds(col("eday") * 86400), "yyyy-MM-dd").as("day"),
+        col("n_active"), col("n_new"), col("n_retained"), col("n_resurrected"))
+      .orderBy("day")
+  }
+
+  val growthSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts)//1000000000//86400 AS eday FROM events),
+      |cls AS (
+      |  SELECT eday,
+      |         lag(eday) OVER (PARTITION BY user_id ORDER BY eday) AS prev
+      |  FROM ud)
+      |SELECT strftime(make_timestamp(eday*86400*1000000), '%Y-%m-%d') AS day,
+      |       count(*) AS n_active,
+      |       CAST(count(*) FILTER (WHERE prev IS NULL) AS BIGINT) AS n_new,
+      |       CAST(count(*) FILTER (WHERE prev = eday - 1) AS BIGINT) AS n_retained,
+      |       CAST(count(*) FILTER (WHERE prev IS NOT NULL AND prev <> eday - 1) AS BIGINT) AS n_resurrected
+      |FROM cls GROUP BY eday ORDER BY day""".stripMargin
+
+  // --------------------------------------- #135 behavior co-occurrence
+  /** #135 events_cooccurrence: event-type co-occurrence / lift matrix —
+    * for every unordered type pair, how many users did BOTH, and the
+    * lift `P(a∧b) / (P(a)·P(b)) = n_both·N / (n_a·n_b)` that says whether
+    * the behaviors attract or repel (lift > 1 = co-occurring). The
+    * association read behind "users who did A also did B" feature
+    * engineering and event-taxonomy audits.
+    *
+    * Scale shape: starts from the [[userTypes]] zone (the log collapsed
+    * once per dataset to the distinct user×type frame); the pair space per user is
+    * ≤ |types|² (types are a bounded vocabulary, so the self-join inside
+    * each user is constant work); the pair aggregate is map-side
+    * combined onto ≤ |types|² output rows, and the per-type marginals +
+    * user total BROADCAST back onto that bounded frame. Lift is one
+    * double division per output row, identically associated in both
+    * engines, rounded to 6.
+    */
+  def cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val ut = userTypes(spark, dir)
+    val marg = ut.groupBy(col("event_type").as("t"))
+      .agg(count(lit(1)).as("n_t"))
+    val total = ut.select(countDistinct(col("user_id")).as("n_users"))
+    val pairs = ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(marg.withColumnRenamed("t", "type_a")
+        .withColumnRenamed("n_t", "n_a")), "type_a")
+      .join(broadcast(marg.withColumnRenamed("t", "type_b")
+        .withColumnRenamed("n_t", "n_b")), "type_b")
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        round((col("n_both").cast("double") * col("n_users")) /
+          (col("n_a").cast("double") * col("n_b")), 6))
+      .select("type_a", "type_b", "n_both", "n_a", "n_b", "lift")
+      .orderBy("type_a", "type_b")
+  }
+
+  val cooccurrenceSql: String =
+    """WITH ut AS (
+      |  SELECT DISTINCT user_id, event_type FROM events),
+      |marg AS (SELECT event_type AS t, count(*) AS n_t FROM ut GROUP BY 1),
+      |total AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+      |  FROM ut a JOIN ut b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_both, ma.n_t AS n_a, mb.n_t AS n_b,
+      |       round((CAST(n_both AS DOUBLE) * n_users) /
+      |             (CAST(ma.n_t AS DOUBLE) * mb.n_t), 6) AS lift
+      |FROM pairs
+      |JOIN marg ma ON type_a = ma.t
+      |JOIN marg mb ON type_b = mb.t
+      |CROSS JOIN total
+      |ORDER BY type_a, type_b""".stripMargin
+
+  // ------------------------------------------- #136 DAU/MAU stickiness
+  /** #136 events_stickiness: per-day DAU, trailing-30-day MAU, and the
+    * DAU/MAU stickiness ratio in exact ppm — the engagement-density
+    * metric product teams track; over a content corpus it reads as
+    * "fraction of the month's active feeds active today".
+    *
+    * Scale shape: starts from the [[userDays]] zone; each user-day then
+    * fans out to the ≤30 target days whose
+    * trailing window it belongs to — an EQUALITY key (no range join, no
+    * nested-loop broadcast), deduped (user, target) pairs counted per
+    * day. The 30× fan-out multiplies a frame that is already tiny next
+    * to the event log (bounded by |users|×|days|), and every exchange
+    * key is exact integer day math. Days with no events emit nothing
+    * (both engines join back to observed days).
+    */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = userDays(spark, dir)
+    val dau = ud.groupBy("eday").agg(count(lit(1)).as("dau"))
+    val mau = ud
+      .select(col("user_id"),
+        explode(expr("sequence(eday, eday + 29)")).as("d"))
+      .distinct()
+      .groupBy("d").agg(count(lit(1)).as("mau"))
+    dau.join(mau, dau("eday") === mau("d"))
+      .select(
+        date_format(timestamp_seconds(col("eday") * 86400), "yyyy-MM-dd").as("day"),
+        col("dau"), col("mau"))
+      .withColumn("stickiness_ppm", expr("dau * 1000000L div mau"))
+      .orderBy("day")
+  }
+
+  val stickinessSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts)//1000000000//86400 AS eday FROM events),
+      |dau AS (SELECT eday, count(*) AS dau FROM ud GROUP BY 1),
+      |fan AS (
+      |  SELECT DISTINCT user_id, d FROM (
+      |    SELECT user_id, unnest(generate_series(eday, eday + 29)) AS d FROM ud)),
+      |mau AS (SELECT d, count(*) AS mau FROM fan GROUP BY 1)
+      |SELECT strftime(make_timestamp(eday*86400*1000000), '%Y-%m-%d') AS day,
+      |       dau, mau, dau * 1000000 // mau AS stickiness_ppm
+      |FROM dau JOIN mau ON eday = d
+      |ORDER BY day""".stripMargin
 }

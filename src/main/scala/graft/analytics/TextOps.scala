@@ -1352,4 +1352,186 @@ object TextOps {
       |       CAST(count(*) FILTER (WHERE df.df >= $BoilerDf) AS BIGINT) * 1000000 // count(*) AS boiler_ppm
       |FROM sh JOIN df ON sh.s = df.s
       |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ #130 BM25 relevance
+  /** Query terms for [[textBm25]] — shared corpus vocabulary with spread
+    * document frequencies so the idf weights actually differentiate. */
+  private val Bm25Terms = Seq("spark", "join", "vector")
+  private val Bm25K1 = 2.2  // k1 + 1 with k1 = 1.2
+  private val Bm25TopK = 20
+
+  /** #130 text_bm25: BM25-shaped relevance ranking of the corpus for a
+    * fixed disjunctive query — per-term
+    * `idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))` with k1=1.2,
+    * b=0.75, summed over the query terms in fixed order. The idf weight
+    * is the RATIONAL Robertson form `(N − df + 0.5)/(df + 0.5)` with the
+    * usual `ln` dropped: both engines then evaluate only IEEE +,·,/ in
+    * the same association order (round 6 pins the hash), where a `ln`
+    * could differ in the last ulp between libm implementations. Dropping
+    * a per-term monotone transform changes score mixing, not the shape
+    * of the operator — the knob is documented, not hidden.
+    *
+    * Scale shape: pass 1 computes all per-term tfs + doc length in ONE
+    * codegen'd projection and aggregates them to a single stats row
+    * (N, avgdl, per-term df) that BROADCASTs back onto pass 2's identical
+    * projection for scoring; the top-k is TakeOrderedAndProject (no
+    * global sort). Both passes scan only the pruned `text` column; at an
+    * indexed 100 TB the same scoring runs over an inverted-index join
+    * (see [[keywordSearch]]'s note), the scan form is the index-free
+    * baseline.
+    */
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val proj = Tables.documents(spark, dir).select(
+      (col("doc_id") +: size(toks).cast("long").as("dl") +:
+        Bm25Terms.map(t =>
+          size(filter(toks, x => x === t)).cast("long").as(s"tf_$t"))): _*)
+    val stats = proj.agg(
+      count(lit(1)).cast("double").as("n"),
+      ((sum(col("dl")).cast("double")) / count(lit(1))).as("avgdl") +:
+        Bm25Terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+            .cast("double").as(s"df_$t")): _*)
+    val perTerm = Bm25Terms.map { t =>
+      val tf = col(s"tf_$t").cast("double")
+      val idf = (col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5))
+      idf * ((tf * lit(Bm25K1)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+    }
+    proj.crossJoin(broadcast(stats))
+      .filter(Bm25Terms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
+      .withColumn("score", round(perTerm.reduce(_ + _), 6))
+      .select(col("doc_id") +: Bm25Terms.map(t => col(s"tf_$t")) :+ col("score"): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  val textBm25Sql: String = {
+    val tfs = Bm25Terms.map(t =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(",\n      |         ")
+    val dfs = Bm25Terms.map(t =>
+      s"CAST(count(*) FILTER (WHERE tf_$t > 0) AS DOUBLE) AS df_$t")
+      .mkString(",\n      |         ")
+    val scores = Bm25Terms.map(t =>
+      s"((n - df_$t + 0.5::DOUBLE) / (df_$t + 0.5::DOUBLE)) * " +
+        s"((CAST(tf_$t AS DOUBLE) * $Bm25K1::DOUBLE) / " +
+        s"(CAST(tf_$t AS DOUBLE) + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * (CAST(dl AS DOUBLE) / avgdl))))")
+      .mkString("\n      |             + ")
+    s"""WITH proj AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |         $tfs
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+      |         $dfs
+      |  FROM proj)
+      |SELECT doc_id, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")},
+      |       round($scores, 6) AS score
+      |FROM proj CROSS JOIN stats
+      |WHERE ${Bm25Terms.map(t => s"tf_$t > 0").mkString(" OR ")}
+      |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
+  // --------------------------------------- #131 charset composition audit
+  /** #131 text_charset_profile: per-source character-class composition —
+    * exact counts of letter / digit / space / other characters plus each
+    * class's ppm share. The encoding-damage / markup-residue audit a
+    * curation pipeline runs per feed: a source whose `other` share jumps
+    * is emitting markup, mojibake or binary spill, and the ppm columns
+    * make the drift diffable across crawls.
+    *
+    * Scale shape: the class counts are per-row `regexp_replace` lengths
+    * in one codegen'd projection, collapsed map-side by the bounded
+    * `source` key — a 100 TB scan shuffles |sources| rows. The ppm
+    * shares are integer division on exact longs.
+    */
+  def textCharsetProfile(spark: SparkSession, dir: String): DataFrame = {
+    def classLen(re: String): Column =
+      length(regexp_replace(col("text"), re, "")).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        classLen("[^a-z]").as("n_letter"),
+        classLen("[^0-9]").as("n_digit"),
+        classLen("[^ ]").as("n_space"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_letter") - col("n_digit") - col("n_space"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars"),
+        sum("n_letter").as("n_letter"),
+        sum("n_digit").as("n_digit"),
+        sum("n_space").as("n_space"),
+        sum("n_other").as("n_other"))
+      .withColumn("letter_ppm", expr("n_letter * 1000000L div n_chars"))
+      .withColumn("digit_ppm", expr("n_digit * 1000000L div n_chars"))
+      .withColumn("other_ppm", expr("n_other * 1000000L div n_chars"))
+      .orderBy("source")
+  }
+
+  val textCharsetProfileSql: String =
+    """WITH per_doc AS (
+      |  SELECT source,
+      |         CAST(length(text) AS BIGINT) AS n_chars,
+      |         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_letter,
+      |         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+      |         CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_space
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |       CAST(sum(n_letter) AS BIGINT) AS n_letter,
+      |       CAST(sum(n_digit) AS BIGINT) AS n_digit,
+      |       CAST(sum(n_space) AS BIGINT) AS n_space,
+      |       CAST(sum(n_chars - n_letter - n_digit - n_space) AS BIGINT) AS n_other,
+      |       CAST(sum(n_letter) AS BIGINT) * 1000000 // CAST(sum(n_chars) AS BIGINT) AS letter_ppm,
+      |       CAST(sum(n_digit) AS BIGINT) * 1000000 // CAST(sum(n_chars) AS BIGINT) AS digit_ppm,
+      |       CAST(sum(n_chars - n_letter - n_digit - n_space) AS BIGINT) * 1000000 // CAST(sum(n_chars) AS BIGINT) AS other_ppm
+      |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------- #132 tokenizer fertility
+  /** #132 text_fertility: tokenizer fertility per (lang, source) cell —
+    * regex word tokens and characters summed exactly, with
+    * tokens-per-million-chars and milli-chars-per-token as integer-exact
+    * ratios. The "which slices are token-expensive" read that drives
+    * per-language budget and packing decisions before training; fertility
+    * shifts also flag tokenizer damage on a new crawl of a known source.
+    *
+    * Scale shape: per-doc token/char counts come from the same fused
+    * one-pass kernel as [[textTokens]] ([[graft.functions.Sig.tokenStats]],
+    * codegen'd — no split arrays materialize), collapsed map-side onto
+    * the bounded lang×source key space; ratios are integer division on
+    * the summed longs. One scan, one kilobyte-scale shuffle.
+    */
+  def textFertility(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        graft.functions.GraftFunctions.tokenStats(col("text")).as("ts"))
+      .select(col("lang"), col("source"),
+        col("ts.n_words").cast("long").as("n_words"),
+        col("ts.n_chars").cast("long").as("n_chars"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_tokens"),
+        sum("n_chars").as("n_chars"))
+      .withColumn("tokens_per_mchar", expr("n_tokens * 1000000L div n_chars"))
+      .withColumn("mchars_per_token", expr("n_chars * 1000L div n_tokens"))
+      .orderBy("lang", "source")
+  }
+
+  val textFertilitySql: String =
+    s"""WITH per_doc AS (
+      |  SELECT lang, source,
+      |         CAST(len(regexp_extract_all(lower(text), '$WordRe')) AS BIGINT) AS n_words,
+      |         CAST(length(text) AS BIGINT) AS n_chars
+      |  FROM documents)
+      |SELECT lang, source, count(*) AS n_docs,
+      |       CAST(sum(n_words) AS BIGINT) AS n_tokens,
+      |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |       CAST(sum(n_words) AS BIGINT) * 1000000 // CAST(sum(n_chars) AS BIGINT) AS tokens_per_mchar,
+      |       CAST(sum(n_chars) AS BIGINT) * 1000 // CAST(sum(n_words) AS BIGINT) AS mchars_per_token
+      |FROM per_doc GROUP BY lang, source ORDER BY lang, source""".stripMargin
 }

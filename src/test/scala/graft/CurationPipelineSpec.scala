@@ -71,5 +71,21 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(gated == (ungated intersect passing),
       s"gated=$gated ungated=$ungated passing=$passing")
     assert(!gated.contains(4L), "the 3-token gibberish doc fails word-count rule")
+
+    // corpus-health audit: every tile reconciles with the operator frame
+    // it summarizes (the facade must re-aggregate, never re-implement)
+    val tiles = pipe.audit().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiles("total_docs") == 6)
+    assert(tiles("exact_dup_ppm") == 1000000L / 6)
+    assert(tiles("near_dup_ppm") == pipe.nearDupIds().count() * 1000000L / 6)
+    val agree = graft.analytics.TextOps.textLangid(spark, dir)
+      .agg(sum(col("agree"))).first().getLong(0)
+    assert(tiles("langid_agree_ppm") == agree * 1000000L / 6)
+    val cs = graft.analytics.TextOps.textCharsetProfile(spark, dir).collect()
+    assert(tiles("charset_other_ppm") ==
+      cs.map(_.getAs[Long]("n_other")).sum * 1000000L /
+        cs.map(_.getAs[Long]("n_chars")).sum)
+    assert(tiles("tokens_per_mchar") > 0 && tiles("boilerplate_ppm") >= 0)
   }
 }

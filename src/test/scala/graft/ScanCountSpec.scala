@@ -86,6 +86,10 @@ class ScanCountSpec extends AnyFunSuite {
     "text_ngram_stats" -> Map("documents" -> 2),
     "text_perplexity_bucket" -> Map("documents" -> 5),
     "text_boilerplate" -> Map("documents" -> 2),
+    // text_bm25: the one-row stats aggregate (N, avgdl, per-term df) is
+    // its own slim pruned pass beside the scoring scan — the correlated-
+    // scalar shape, same class as q_avg_yearly
+    "text_bm25" -> Map("documents" -> 2),
     "text_repetition" -> Map("documents" -> 2),
     "text_salient_terms" -> Map("documents" -> 2),
     "text_top_term" -> Map("documents" -> 2),
