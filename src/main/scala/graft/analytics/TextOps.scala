@@ -1534,4 +1534,44 @@ object TextOps {
       |       CAST(sum(n_words) AS BIGINT) * 1000000 // CAST(sum(n_chars) AS BIGINT) AS tokens_per_mchar,
       |       CAST(sum(n_chars) AS BIGINT) * 1000 // CAST(sum(n_words) AS BIGINT) AS mchars_per_token
       |FROM per_doc GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // --------------------------------------- #137 hashed featurization
+  private val HashFeatDims = 16
+
+  /** #137 text_hash_features: hashed bag-of-words featurization — each
+    * document projected to a fixed 16-dim integer vector of per-bucket
+    * token counts (bucket = portable polyhash % 16). The cheap
+    * featurize-before-ANN / classifier-input stage of a curation
+    * pipeline (hashing trick, Weinberger et al. 2009), emitted as
+    * exact integer columns so the gate is hash-exact.
+    *
+    * Scale shape: ONE compiled byte pass per document
+    * ([[graft.functions.Sig.hashFeatures]] — the token loop folds the
+    * hash as the scan passes the bytes; no split arrays, no explode, no
+    * shuffle at all). The oracle formulation (explode → polyhash → count
+    * per bucket) is provably identical and stays its gate.
+    */
+  def textHashFeatures(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cols = (0 until HashFeatDims).map(j =>
+      element_at(col("hf"), j + 1).as(s"f$j"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.hashFeatures(col("text"), HashFeatDims).as("hf"))
+      .select(col("doc_id") +: cols: _*)
+      .orderBy("doc_id")
+  }
+
+  val textHashFeaturesSql: String = {
+    val h = graft.functions.Portable.polyHashSql("t")
+    val feats = (0 until HashFeatDims).map(j =>
+      s"CAST(count(*) FILTER (WHERE b = $j) AS BIGINT) AS f$j")
+      .mkString(",\n      |       ")
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |bk AS (SELECT doc_id, $h % $HashFeatDims AS b FROM tok)
+      |SELECT doc_id,
+      |       $feats
+      |FROM bk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

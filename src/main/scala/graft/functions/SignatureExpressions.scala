@@ -236,6 +236,33 @@ object Sig {
   def polyHashStr(s: org.apache.spark.unsafe.types.UTF8String): Long =
     polyHash(s.getBytes)
 
+  /** One-pass hashed bag-of-words featurization, the compiled kernel
+    * behind `text_hash_features`: fold [[polyHash]] over each
+    * whitespace token's bytes as the scan passes them (zero-copy, no
+    * split arrays, no per-bucket rescans) and count tokens per
+    * `hash % nBuckets` cell. Identical to exploding the tokens, hashing
+    * each with `graft_polyhash`, and counting per bucket — the oracle's
+    * formulation — but in one linear byte pass per document. ASCII-exact
+    * like every `Portable` fold.
+    */
+  def hashFeatures(s: org.apache.spark.unsafe.types.UTF8String,
+                   nBuckets: Int): ArrayData = {
+    val b = s.getBytes
+    val counts = new Array[Long](nBuckets)
+    var acc = Seed
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if (c == ' ') {
+        counts((acc % nBuckets).toInt) += 1
+        acc = Portable.Seed
+      } else acc = (acc * 31L + (c & 0xffL)) % P
+      i += 1
+    }
+    counts((acc % nBuckets).toInt) += 1
+    new GenericArrayData(counts)
+  }
+
   /** One-pass per-document token statistics, the fused kernel behind
     * `text_tokens`:
     *  - `n_ws_tokens` = `size(split(text, " "))` = spaces + 1 (trailing
@@ -715,6 +742,18 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): PolyHashExpr = copy(child = c)
 }
 
+/** `graft_hash_features(string, nBuckets) -> array<bigint>` — hashed
+  * bag-of-words bucket counts; see [[Sig.hashFeatures]]. */
+case class HashFeatures(child: Expression, nBuckets: Int) extends UnaryExpression {
+  require(nBuckets > 0, "nBuckets must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Sig.hashFeatures(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], nBuckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sig.hashFeatures($c, $nBuckets)")
+  override protected def withNewChildInternal(c: Expression): HashFeatures = copy(child = c)
+}
+
 /** `graft_token_stats(string) -> struct<n_ws_tokens:int, n_words:int,
   * n_vocab:int, n_chars:int>` — see [[Sig.tokenStats]]. */
 case class TokenStats(child: Expression) extends UnaryExpression {
@@ -845,6 +884,9 @@ object GraftFunctions {
       (args: Seq[Expression]) => NormalizeText(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_token_stats",
       (args: Seq[Expression]) => TokenStats(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_hash_features",
+      (args: Seq[Expression]) => HashFeatures(args(0),
+        args(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_gopher_stats",
       (args: Seq[Expression]) => GopherStats(args.head, Sig.GopherStops), "built-in")
     reg.createOrReplaceTempFunction("graft_scrub",
@@ -878,6 +920,9 @@ object GraftFunctions {
   def polyhash(c: Column): Column = call_function("graft_polyhash", c)
   def normalize(c: Column): Column = call_function("graft_normalize", c)
   def tokenStats(c: Column): Column = call_function("graft_token_stats", c)
+  def hashFeatures(c: Column, nBuckets: Int): Column =
+    call_function("graft_hash_features", c,
+      org.apache.spark.sql.functions.lit(nBuckets))
   def gopherStats(c: Column): Column = call_function("graft_gopher_stats", c)
   def scrub(c: Column): Column = call_function("graft_scrub", c)
   def winnow(grams: Column, w: Int): Column =

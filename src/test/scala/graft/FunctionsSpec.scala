@@ -175,6 +175,28 @@ class SigExpressionsSpec extends AnyFunSuite {
       assert((a1, a2, a3, a4) == (b1, b2, b3, b4)) }
   }
 
+  test("native hash_features equals the declarative explode/polyhash counts") {
+    GraftFunctions.register(spark)
+    // real corpus + ASCII edges (no consecutive/trailing spaces: split and
+    // string_split disagree with the kernel only on EMPTY tokens, which
+    // the corpus contract excludes — same caveat as the polyhash mirrors)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text")).limit(100)
+      .union(Seq("a", "a b a", "42 xyz 42 xyz abc", "zz9 !? token").toDF("text"))
+    val declarative = docs.select(col("text"),
+      transform(sequence(lit(0), lit(15)), j =>
+        size(filter(split(col("text"), " "), t =>
+          pmod(graft.functions.Portable.polyHash(t), lit(16L)) === j.cast("long")))
+          .cast("long")).as("expect"))
+    val got = declarative.select(col("expect"),
+      GraftFunctions.hashFeatures(col("text"), 16).as("got"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"kernel diverged: expect=${r.getSeq[Long](0)} got=${r.getSeq[Long](1)}")
+    }
+  }
+
   test("native gopher_stats equals the interpreted HOF forms (corpus + edges)") {
     GraftFunctions.register(spark)
     // the real corpus plus the edges where split/array_distinct semantics

@@ -144,6 +144,41 @@ class Round13bOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_seasonality: cells bounded, shares exact, counts recount") {
+    import graft.analytics.EventOps
+    val out = EventOps.seasonality(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 168)
+    val total = out.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.events(spark, dir).count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("day_of_week") >= 0 && r.getAs[Long]("day_of_week") <= 6)
+      assert(r.getAs[Long]("hour_of_day") >= 0 && r.getAs[Long]("hour_of_day") <= 23)
+      assert(r.getAs[Long]("share_ppm") == r.getAs[Long]("n") * 1000000L / total)
+    }
+    // 2024-01-01 (the stream head) was a Monday = day 1
+    val direct = Tables.events(spark, dir)
+      .select(expr("(ts div 1000000000 div 86400 + 4) % 7").as("dw"))
+      .groupBy("dw").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDw = out.groupBy(_.getAs[Long]("day_of_week"))
+      .view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    assert(byDw == direct)
+  }
+
+  test("text_hash_features: bucket counts partition the token stream") {
+    import graft.analytics.TextOps
+    val out = TextOps.textHashFeatures(spark, dir).collect()
+    assert(out.length == Tables.documents(spark, dir).count())
+    // per doc, Σ buckets == whitespace token count (every token lands in
+    // exactly one bucket)
+    val wsCounts = TextOps.textTokens(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_ws_tokens").toLong).toMap
+    out.foreach { r =>
+      val sumF = (0 until 16).map(j => r.getAs[Long](s"f$j")).sum
+      assert(sumF == wsCounts(r.getAs[Long]("doc_id")))
+    }
+  }
+
   test("dedup_lsh_quality: bands tile [0.5, 1.0], counts reconcile with the truth frame") {
     import graft.analytics.Dedup
     val out = Dedup.dedupLshQuality(spark, dir).collect()
