@@ -1379,13 +1379,30 @@ object TextOps {
     * indexed 100 TB the same scoring runs over an inverted-index join
     * (see [[keywordSearch]]'s note), the scan form is the index-free
     * baseline.
+    *
+    * The tf/dl projection is COMPILED ([[graft.functions.ProfileScores]]
+    * with one single-term profile per query term + the tokenStats
+    * kernel): the first shape's per-term `size(filter(split(...)))` HOFs
+    * re-split and re-scanned the tokens interpreted, ×2 passes — 32.5 s
+    * at ×1000 where the kernels do one byte pass per scan
+    * (FunctionsSpec pins ProfileScores ≡ the HOF chain; the oracle keeps
+    * the declarative formulation).
     */
   def textBm25(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val proj = Tables.documents(spark, dir).select(
-      (col("doc_id") +: size(toks).cast("long").as("dl") +:
-        Bm25Terms.map(t =>
-          size(filter(toks, x => x === t)).cast("long").as(s"tf_$t"))): _*)
+    graft.functions.GraftFunctions.register(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bm25_tfs",
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.ProfileScores(args.head, Bm25Terms.map(Seq(_))),
+      "built-in")
+    val proj = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.tokenStats(col("text")).as("ts"),
+        call_function("graft_bm25_tfs", col("text")).as("tfs"))
+      .select(
+        (col("doc_id") +: col("ts.n_ws_tokens").cast("long").as("dl") +:
+          Bm25Terms.zipWithIndex.map { case (t, i) =>
+            col("tfs").getItem(i).cast("long").as(s"tf_$t") }): _*)
     val stats = proj.agg(
       count(lit(1)).cast("double").as("n"),
       ((sum(col("dl")).cast("double")) / count(lit(1))).as("avgdl") +:
