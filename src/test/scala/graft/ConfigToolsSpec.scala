@@ -203,6 +203,13 @@ class ConfigToolsSpec extends AnyFunSuite {
       graft.tools.IngestTool.main(Array(f.toString)))
   }
 
+  test("CurateTool validates its CLI contract before touching Spark") {
+    // the pipeline + audit bodies are CurationPipelineSpec's end-to-end
+    // coverage; the tool contract here is the arg gate (IngestTool rule:
+    // fail fast, never build a session on bad usage)
+    intercept[IllegalArgumentException](graft.tools.CurateTool.main(Array.empty))
+  }
+
   test("CompactorTool reports failures per bucket and exits non-zero") {
     val landing = SparkTestSession.tempDir("ctool-fail-landing")
     val staging = SparkTestSession.tempDir("ctool-fail-staging")
