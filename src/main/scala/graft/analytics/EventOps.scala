@@ -1280,4 +1280,65 @@ object EventOps {
       |SELECT day_of_week, hour_of_day, n,
       |       n * 1000000 // CAST(sum(n) OVER () AS BIGINT) AS share_ppm
       |FROM cells ORDER BY day_of_week, hour_of_day""".stripMargin
+
+  // -------------------------------------- #139 activity concentration
+  /** #139 events_concentration: how concentrated the event stream is in
+    * its heaviest users — per RANK DECADE of the activity-ranked user
+    * list (ranks 1–9 / 10–99 / 100–999), user count, event mass, and
+    * share of ALL events in exact ppm. The abuse/bot-concentration read
+    * ("the top decade of feeds produces X% of the stream") that decides
+    * rate caps and dedup priorities; over a crawl corpus it is the
+    * host-concentration diagnostic.
+    *
+    * Scale discipline is [[graft.analytics.TextOps.textZipf]]'s, applied
+    * to users: NO global sort of the user list — per-user counts
+    * collapse to the distinct-FREQUENCY histogram (bounded by the
+    * heaviest user's count, not user cardinality), each frequency maps
+    * to its exact rank interval by a cumulative window over that tiny
+    * frame, and decade membership is integer interval overlap.
+    * Frequency-tied users are interchangeable for every emitted
+    * statistic, so the oracle's naive `row_number` form is provably
+    * equal regardless of tie order. Share denominator is the exact
+    * total event count — re-aggregated from the HISTOGRAM (Σ f·n_users),
+    * not a second fact scan.
+    */
+  def concentration(spark: SparkSession, dir: String): DataFrame = {
+    val uf = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("f"))
+    val hist = uf.groupBy("f").agg(count(lit(1)).as("nu"))
+    val w = Window.orderBy(col("f").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spanned = hist
+      .withColumn("lo", lit(1L) + coalesce(sum("nu").over(w), lit(0L)))
+      .withColumn("hi", col("lo") + col("nu") - 1)
+    val total = hist.agg(sum(col("f") * col("nu")).as("total"))
+    spanned
+      .select(col("f"), col("lo"), col("hi"),
+        explode(array(lit(1), lit(2), lit(3))).as("decade"))
+      .withColumn("dlo", pow(lit(10.0), col("decade") - 1).cast("long"))
+      .withColumn("dhi", least(pow(lit(10.0), col("decade")).cast("long") - 1, lit(999L)))
+      .withColumn("overlap",
+        greatest(lit(0L), least(col("hi"), col("dhi")) - greatest(col("lo"), col("dlo")) + 1))
+      .filter(col("overlap") > 0)
+      .groupBy("decade")
+      .agg(sum("overlap").as("n_users"),
+        sum(col("f") * col("overlap")).as("n_events"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("n_events * 1000000L div total"))
+      .select("decade", "n_users", "n_events", "share_ppm")
+      .orderBy("decade")
+  }
+
+  val concentrationSql: String =
+    """WITH uf AS (
+      |  SELECT user_id, count(*) AS f FROM events GROUP BY 1),
+      |ranked AS (
+      |  SELECT f, row_number() OVER (ORDER BY f DESC, user_id) AS r FROM uf),
+      |total AS (SELECT count(*) AS total FROM events)
+      |SELECT length(CAST(r AS VARCHAR)) AS decade,
+      |       count(*) AS n_users,
+      |       CAST(sum(f) AS BIGINT) AS n_events,
+      |       CAST(sum(f) AS BIGINT) * 1000000 // total AS share_ppm
+      |FROM ranked CROSS JOIN total
+      |WHERE r <= 999 GROUP BY decade, total ORDER BY decade""".stripMargin
 }

@@ -179,6 +179,27 @@ class Round13bOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_concentration: decades reconcile with a naive sorted recount") {
+    import graft.analytics.EventOps
+    val out = EventOps.concentration(spark, dir).collect()
+    assert(out.nonEmpty)
+    // naive recount: sort user counts desc, take ranks 1..999, bucket by
+    // rank length — ties interchangeable for every emitted statistic
+    val counts = Tables.events(spark, dir)
+      .groupBy("user_id").count().collect().map(_.getLong(1)).sortBy(-_)
+    val total = counts.sum
+    val byDecade = counts.take(999).zipWithIndex
+      .groupBy { case (_, i) => (i + 1).toString.length }
+      .view.mapValues(v => (v.length.toLong, v.map(_._1).sum)).toMap
+    assert(out.length == byDecade.size)
+    out.foreach { r =>
+      val (nu, ne) = byDecade(r.getAs[Int]("decade"))
+      assert(r.getAs[Long]("n_users") == nu)
+      assert(r.getAs[Long]("n_events") == ne)
+      assert(r.getAs[Long]("share_ppm") == ne * 1000000L / total)
+    }
+  }
+
   test("dedup_lsh_quality: bands tile [0.5, 1.0], counts reconcile with the truth frame") {
     import graft.analytics.Dedup
     val out = Dedup.dedupLshQuality(spark, dir).collect()
