@@ -91,19 +91,26 @@ class CurationPipeline(spark: SparkSession, corpusDir: String) {
   def audit(): DataFrame = {
     import spark.implicits._
     val total = Tables.documents(spark, corpusDir).count()
+    require(total > 0,
+      s"empty corpus: no documents under '$corpusDir' — nothing to audit")
+    // sums over zero rows come back null; a doc corpus can legitimately
+    // produce empty operator frames (e.g. zero shingles on tiny docs), so
+    // read them null-safely instead of throwing an opaque NPE
+    def ratioPpm(df: DataFrame): Long =
+      Option(df.first().getAs[java.lang.Long](0)).map(_.longValue).getOrElse(0L)
     val exact = exactDupIds().count()
     val near = nearDupIds().count()
-    val langAgree = TextOps.textLangid(spark, corpusDir)
-      .agg(sum(col("agree"))).first().getLong(0)
-    val boiler = TextOps.textBoilerplate(spark, corpusDir)
+    val langAgree = ratioPpm(TextOps.textLangid(spark, corpusDir)
+      .agg(sum(col("agree"))))
+    val boiler = ratioPpm(TextOps.textBoilerplate(spark, corpusDir)
       .agg(sum(col("n_common")).as("c"), sum(col("n_shingles")).as("s"))
-      .select(expr("c * 1000000L div s")).first().getLong(0)
-    val charset = TextOps.textCharsetProfile(spark, corpusDir)
+      .select(expr("c * 1000000L div s")))
+    val charset = ratioPpm(TextOps.textCharsetProfile(spark, corpusDir)
       .agg(sum(col("n_other")).as("o"), sum(col("n_chars")).as("c"))
-      .select(expr("o * 1000000L div c")).first().getLong(0)
-    val fertility = TextOps.textFertility(spark, corpusDir)
+      .select(expr("o * 1000000L div c")))
+    val fertility = ratioPpm(TextOps.textFertility(spark, corpusDir)
       .agg(sum(col("n_tokens")).as("t"), sum(col("n_chars")).as("c"))
-      .select(expr("t * 1000000L div c")).first().getLong(0)
+      .select(expr("t * 1000000L div c")))
     Seq(
       "total_docs" -> total,
       "exact_dup_ppm" -> exact * 1000000L / total,

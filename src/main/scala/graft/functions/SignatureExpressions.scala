@@ -852,6 +852,35 @@ case class WinnowFingerprint(child: Expression, w: Int) extends UnaryExpression 
   * it unconditionally.
   */
 object GraftFunctions {
+
+  /** Resolve a registration-time scalar argument that must be a foldable
+    * integer literal (e.g. `graft_hash_features(toks, 64)`). SQL callers
+    * can pass INT or BIGINT literals (or any foldable integral
+    * expression); anything non-foldable or non-integral gets a clear
+    * AnalysisException instead of a ClassCastException/NPE out of the
+    * resolver.
+    */
+  private def intLiteral(fn: String, arg: String, e: Expression): Int = {
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal ($why)")
+    if (!e.foldable) fail(s"got non-foldable expression ${e.sql}")
+    e.eval() match {
+      case null => fail("got NULL")
+      case n: java.lang.Number =>
+        val v = n.longValue
+        if (v < Int.MinValue || v > Int.MaxValue) fail(s"$v out of int range")
+        v.toInt
+      case other => fail(s"got ${other.getClass.getSimpleName} literal")
+    }
+  }
+
+  private def boolLiteral(fn: String, arg: String, e: Expression): Boolean =
+    (e.foldable, e.eval()) match {
+      case (true, b: java.lang.Boolean) => b.booleanValue
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $arg must be a boolean literal")
+    }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_minhash32",
@@ -862,8 +891,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => HyperplaneBucket8(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_hyperplane_code",
       (args: Seq[Expression]) => HyperplaneCode(args(0),
-        args(1).eval().asInstanceOf[Int],
-        args(2).eval().asInstanceOf[Int]), "built-in")
+        intLiteral("graft_hyperplane_code", "start", args(1)),
+        intLiteral("graft_hyperplane_code", "planes", args(2))), "built-in")
     reg.createOrReplaceTempFunction("graft_dot",
       (args: Seq[Expression]) => DotProduct(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_dotf",
@@ -872,12 +901,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => L2Sq(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_ngrams",
       (args: Seq[Expression]) => NGrams(args(0),
-        args(1).eval().asInstanceOf[Int],
-        args(2).eval().asInstanceOf[Boolean]), "built-in")
+        intLiteral("graft_ngrams", "n", args(1)),
+        boolLiteral("graft_ngrams", "distinct", args(2))), "built-in")
     reg.createOrReplaceTempFunction("graft_topk",
       (args: Seq[Expression]) => TopKByScore(args(0),
-        args(1).eval().asInstanceOf[Int],
-        args.length > 2 && args(2).eval().asInstanceOf[Boolean]), "built-in")
+        intLiteral("graft_topk", "k", args(1)),
+        args.length > 2 && boolLiteral("graft_topk", "ascending", args(2))), "built-in")
     reg.createOrReplaceTempFunction("graft_polyhash",
       (args: Seq[Expression]) => PolyHashExpr(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_normalize",
@@ -886,14 +915,14 @@ object GraftFunctions {
       (args: Seq[Expression]) => TokenStats(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_hash_features",
       (args: Seq[Expression]) => HashFeatures(args(0),
-        args(1).eval().asInstanceOf[Int]), "built-in")
+        intLiteral("graft_hash_features", "nBuckets", args(1))), "built-in")
     reg.createOrReplaceTempFunction("graft_gopher_stats",
       (args: Seq[Expression]) => GopherStats(args.head, Sig.GopherStops), "built-in")
     reg.createOrReplaceTempFunction("graft_scrub",
       (args: Seq[Expression]) => ScrubPii(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_winnow",
       (args: Seq[Expression]) => WinnowFingerprint(args(0),
-        args(1).eval().asInstanceOf[Int]), "built-in")
+        intLiteral("graft_winnow", "window", args(1))), "built-in")
   }
 
   def minhash32(c: Column): Column = call_function("graft_minhash32", c)

@@ -228,4 +228,71 @@ class ConfigToolsSpec extends AnyFunSuite {
     // usage errors exit 2 without touching Spark
     assert(CompactorTool.run(Array.empty) == 2)
   }
+
+  test("metrics.properties.example names real Spark sinks and parses cleanly") {
+    // the example ships all sinks commented out (a deployment keeps one);
+    // uncomment every sink line and the result must be a valid Spark
+    // metrics config whose sink classes all resolve on this classpath
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("conf/metrics.properties.example"))
+    val uncommented = new java.util.Properties()
+    val text = new StringBuilder
+    lines.forEach { l =>
+      text.append(if (l.startsWith("#*.")) l.substring(1) else l).append('\n')
+    }
+    uncommented.load(new java.io.StringReader(text.toString))
+    val sinkClasses = uncommented.stringPropertyNames().toArray(Array.empty[String])
+      .filter(_.endsWith(".class")).map(uncommented.getProperty)
+    assert(sinkClasses.toSet == Set(
+      "org.apache.spark.metrics.sink.GraphiteSink",
+      "org.apache.spark.metrics.sink.PrometheusServlet",
+      "org.apache.spark.metrics.sink.CsvSink",
+      "org.apache.spark.metrics.sink.JmxSink"),
+      s"example must document the four stock sinks, got ${sinkClasses.toSet}")
+    sinkClasses.foreach(Class.forName(_)) // resolves or throws
+    // the graphite example filters to the graft source: regex must compile
+    // and match the metric names the MetricsSystem composes for it
+    val re = uncommented.getProperty("*.sink.graphite.regex").r
+    assert(re.findFirstIn("app-1.driver.graft.search.searchCount").isDefined)
+    assert(re.findFirstIn("app-1.driver.jvm.heap.used").isEmpty)
+  }
+
+  test("graft.search counters export through a configured Spark sink") {
+    // end-to-end metrics egress: the registered source's registry, a REAL
+    // org.apache.spark.metrics.sink.CsvSink configured from properties
+    // (exactly what metrics.properties wires at deployment), one metered
+    // search, one report() -> counter CSVs on disk with the counted value
+    val src = org.apache.spark.graft.metrics.SearchMetricsSource.getOrRegister()
+    val before = src.searchCount.getCount
+    val landing = SparkTestSession.tempDir("msink-landing")
+    val staging = SparkTestSession.tempDir("msink-staging")
+    Populator.populateLanding(spark, landing, "msinkb", 20, groupInterval = 10L)
+    val search = new graft.search.MetadataSearch(spark, landing, staging)
+    assert(search.searchJson(graft.search.SearchQuery("msinkb", limit = 5)).length == 5)
+
+    val outDir = SparkTestSession.tempDir("msink-csv")
+    val props = new java.util.Properties()
+    props.setProperty("directory", outDir)
+    props.setProperty("period", "600") // report() drives the flush, not the timer
+    // CsvSink is private[spark] at the Scala level (public bytecode), so
+    // construct the real sink reflectively — same instantiation path
+    // MetricsSystem itself uses on the `.class` property
+    val cls = Class.forName("org.apache.spark.metrics.sink.CsvSink")
+    val sink = cls.getConstructor(classOf[java.util.Properties],
+        classOf[com.codahale.metrics.MetricRegistry])
+      .newInstance(props, src.metricRegistry)
+    cls.getMethod("start").invoke(sink)
+    cls.getMethod("report").invoke(sink)
+    cls.getMethod("stop").invoke(sink)
+
+    val counterCsv = new java.io.File(outDir, "searchCount.csv")
+    assert(counterCsv.exists(), s"CsvSink must write searchCount.csv to $outDir")
+    val last = java.nio.file.Files.readAllLines(counterCsv.toPath)
+    assert(last.size >= 2, "header + at least one sample")
+    val exported = last.get(last.size - 1).split(",")(1).trim.toLong
+    assert(exported >= before + 1,
+      s"exported counter $exported must include the metered search (pre-count $before)")
+    assert(new java.io.File(outDir, "latencyMs.csv").exists(),
+      "the latency histogram must export too")
+  }
 }

@@ -88,4 +88,17 @@ class CurationPipelineSpec extends AnyFunSuite {
         cs.map(_.getAs[Long]("n_chars")).sum)
     assert(tiles("tokens_per_mchar") > 0 && tiles("boilerplate_ppm") >= 0)
   }
+
+  test("audit on an empty corpus fails with a clear message, not a div-by-zero") {
+    val dir = SparkTestSession.tempDir("curation-empty")
+    Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      new CurationPipeline(spark, dir).audit()
+    }
+    assert(e.getMessage.contains("empty corpus"),
+      s"expected an 'empty corpus' message, got: ${e.getMessage}")
+  }
 }

@@ -197,6 +197,33 @@ class SigExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("registration-time literal args accept BIGINT and reject non-literals loudly") {
+    GraftFunctions.register(spark)
+    // BIGINT literal (what a SQL caller naturally writes) must coerce
+    val viaBigint = spark.sql(
+      "SELECT graft_hash_features('a b a', CAST(16 AS BIGINT)) AS f").head.getSeq[Long](0)
+    val viaInt = spark.sql(
+      "SELECT graft_hash_features('a b a', 16) AS f").head.getSeq[Long](0)
+    assert(viaBigint == viaInt)
+    // a non-foldable second argument must produce the explicit contract
+    // error, not a ClassCastException out of the resolver
+    val nonLit = intercept[Exception] {
+      spark.sql("SELECT graft_hash_features(text, n_chars) FROM " +
+        "parquet.`/root/testdata/sf0.001/documents.parquet`").head
+    }
+    def rootChain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(rootChain(nonLit).exists(c =>
+      Option(c.getMessage).exists(_.contains("nBuckets must be an integer literal"))),
+      s"expected the explicit literal-contract error, got: $nonLit")
+    // NULL and fractional literals fail the same way
+    val nullLit = intercept[Exception] {
+      spark.sql("SELECT graft_hash_features('a', CAST(NULL AS INT))").head
+    }
+    assert(rootChain(nullLit).exists(c =>
+      Option(c.getMessage).exists(_.contains("integer literal"))))
+  }
+
   test("native gopher_stats equals the interpreted HOF forms (corpus + edges)") {
     GraftFunctions.register(spark)
     // the real corpus plus the edges where split/array_distinct semantics

@@ -124,6 +124,39 @@ class ScanCountSpec extends AnyFunSuite {
         s"(the events_rfm defect class):\n${over.mkString("\n")}")
   }
 
+  test("cache-build scans charge on the cold->loaded transition, not the pre-execution snapshot") {
+    // Pins the never-materialized-branch semantics of factScanCounts'
+    // cache attribution: a cold cache is charged if and ONLY if the
+    // audited execution actually materialized it. (An IMTS that sits in
+    // the executed plan but never runs is not deterministically
+    // constructible here — AQE wraps cache reads in eagerly-materialized
+    // leaf TableCacheQueryStages — so the transition is pinned through a
+    // three-step sequence instead.)
+    import org.apache.spark.sql.functions.{count, lit}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dim = docs.groupBy("lang").agg(count(lit(1)).as("n_docs")).cache()
+    try {
+      // 1. statically-pruned consumer: optimizer removes the cached
+      // branch entirely; nothing runs, nothing may be charged
+      val pruned = docs.filter(lit(false)).select("lang").join(dim, "lang")
+      val c1 = PlanGuard.factScanCounts(pruned, bigTables)
+      assert(c1("documents") == 0,
+        s"pruned consumer must charge no scans, got $c1")
+      // 2. first real consumer: the cache transitions cold->loaded HERE,
+      // so its one build scan is charged to this execution — exactly
+      // once, however many consumers the plan has. If step 1 had
+      // (wrongly) materialized or charged the cache, this would read 0.
+      val twoConsumers = dim.join(dim.select("lang"), "lang")
+      val c2 = PlanGuard.factScanCounts(twoConsumers, bigTables)
+      assert(c2("documents") == 1,
+        s"cache build must charge its base scan exactly once, got $c2")
+      // 3. loaded cache: later executions read column buffers, charge 0
+      val c3 = PlanGuard.factScanCounts(dim.toDF(), bigTables)
+      assert(c3("documents") == 0,
+        s"a loaded cache must charge nothing, got $c3")
+    } finally dim.unpersist(blocking = true)
+  }
+
   test("events_rfm's fact aggregate is materialized once: zero events scans in the query plan") {
     // the round-10 defect, pinned at its fixed value: the per-user
     // aggregate is a DerivedZone artifact (ONE events scan at zone build,

@@ -41,4 +41,13 @@ class SurveyContractSpec extends AnyFunSuite {
     assert(section2.contains(s"**Counts: $n oracle-gated query rows**"),
       s"§2 preamble count must say $n")
   }
+
+  test("§2 spec-only (dash) row count matches the preamble") {
+    // round 13 added three dash rows without bumping the literal; pin it
+    // the same way the numbered count is pinned so spec rows can't drift
+    val dashRow = """(?m)^\| — \|""".r
+    val n = dashRow.findAllMatchIn(section2).size
+    assert(section2.contains(s"**+ $n spec-only rows**"),
+      s"§2 preamble must say '+ $n spec-only rows'")
+  }
 }
