@@ -48,24 +48,40 @@ object TextOps {
     * (and its association order) is written identically in both engines so
     * the rounded score is bit-stable.
     */
-  def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val nTok = size(toks)
-    val stopCnt = size(filter(toks, t =>
-      Stopwords.map(s => t === s).reduce(_ || _)))
-    val alphaLen = length(regexp_replace(col("text"), "[^a-z]", ""))
-    val stopRatio = stopCnt / nTok
-    val alphaRatio = alphaLen / length(col("text"))
-    val lenCap = least(nTok / lit(100), lit(1.0))
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      nTok.as("n_tokens"),
-      round(stopRatio, 6).as("stop_ratio"),
-      round(alphaRatio, 6).as("alpha_ratio"),
-      round((lit(0.4) * stopRatio + lit(0.3) * alphaRatio) + lit(0.3) * lenCap, 6)
-        .as("quality"))
-      .orderBy("doc_id")
-  }
+  /** Per-document quality profile, published once per corpus
+    * ([[graft.ops.DerivedZone]] `doc_quality`). The projection itself is
+    * one map-side pass, but FOUR consumers otherwise re-run it over the
+    * full corpus — `text_quality`, [[Dedup.dedupKeepBest]]'s per-cluster
+    * argmax, and [[graft.CurationPipeline]]'s quality floor and audit.
+    * At ×1000 each pass costs ~18 s of scan+kernel (measured round 14,
+    * `bench_keepbest_x1000_isolated_r14.json`), so the second consumer
+    * already pays the build back; the zone row is 5 narrow columns —
+    * ~1/400th of the text it summarizes.
+    */
+  private[graft] val qualityMemo =
+    new graft.ops.DerivedZone("doc_quality", Seq("documents.parquet"))
+
+  private def qualityFrame(spark: SparkSession, dir: String): DataFrame =
+    qualityMemo.get(spark, dir) {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val stopCnt = size(filter(toks, t =>
+        Stopwords.map(s => t === s).reduce(_ || _)))
+      val alphaLen = length(regexp_replace(col("text"), "[^a-z]", ""))
+      val stopRatio = stopCnt / nTok
+      val alphaRatio = alphaLen / length(col("text"))
+      val lenCap = least(nTok / lit(100), lit(1.0))
+      Tables.documents(spark, dir).select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(alphaRatio, 6).as("alpha_ratio"),
+        round((lit(0.4) * stopRatio + lit(0.3) * alphaRatio) + lit(0.3) * lenCap, 6)
+          .as("quality"))
+    }
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    qualityFrame(spark, dir).orderBy("doc_id")
 
   val textQualitySql: String = {
     val inList = Stopwords.map(s => s"'$s'").mkString(", ")
