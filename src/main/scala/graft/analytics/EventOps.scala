@@ -1341,4 +1341,70 @@ object EventOps {
       |       CAST(sum(f) AS BIGINT) * 1000000 // total AS share_ppm
       |FROM ranked CROSS JOIN total
       |WHERE r <= 999 GROUP BY decade, total ORDER BY decade""".stripMargin
+
+  // ----------------------------------------------- #141 bot screening
+  /** Bot/automation screening: the 20 hottest users by sustained event
+    * rate, with the activity-shape columns an abuse review reads — event
+    * count, active span, events per ksec of span, distinct active hours,
+    * and events per active hour (a human's rate collapses when idle
+    * hours are excluded; a bot's doesn't). All columns are exact integer
+    * math (integer division), so the gate is hash-exact.
+    *
+    * Scale shape: the per-user frame is built by TWO-LEVEL aggregation —
+    * events collapse onto (user, hour) cells map-side first, so the
+    * distinct-hour count never holds per-event state and the one shuffle
+    * carries at most users × active-hours rows; the top-20 plans as
+    * TakeOrdered (each partition keeps 20 candidates — no global sort).
+    */
+  def botDetect(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000000000L").as("sec"))
+    val perHour = ev
+      .select(col("user_id"), expr("sec div 3600L").as("hour"), col("sec"))
+      .groupBy("user_id", "hour")
+      .agg(count(lit(1)).as("n"), min("sec").as("mn"), max("sec").as("mx"))
+    val perUser = perHour.groupBy("user_id")
+      .agg(sum("n").as("n_events"),
+        count(lit(1)).as("n_active_hours"),
+        (max("mx") - min("mn")).as("active_sec"))
+      .withColumn("rate_per_ksec",
+        expr("n_events * 1000L div greatest(active_sec, 1L)"))
+      .withColumn("events_per_hour", expr("n_events div n_active_hours"))
+    val top = perUser
+      .orderBy(col("rate_per_ksec").desc, col("n_events").desc, col("user_id").asc)
+      .limit(20)
+    top.select(
+        row_number().over(Window
+          .orderBy(col("rate_per_ksec").desc, col("n_events").desc, col("user_id").asc))
+          .cast("long").as("rank"),
+        col("user_id"), col("n_events"), col("n_active_hours"),
+        col("active_sec"), col("rate_per_ksec"), col("events_per_hour"))
+      .orderBy("rank")
+  }
+
+  val botDetectSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000000000 AS sec FROM events),
+      |h AS (
+      |  SELECT user_id, sec // 3600 AS hour, count(*) AS n,
+      |         min(sec) AS mn, max(sec) AS mx
+      |  FROM e GROUP BY 1, 2),
+      |u AS (
+      |  SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+      |         count(*) AS n_active_hours,
+      |         max(mx) - min(mn) AS active_sec
+      |  FROM h GROUP BY 1),
+      |s AS (
+      |  SELECT user_id, n_events, n_active_hours, active_sec,
+      |         n_events * 1000 // greatest(active_sec, 1) AS rate_per_ksec,
+      |         n_events // n_active_hours AS events_per_hour
+      |  FROM u)
+      |SELECT rank, user_id, n_events, n_active_hours, active_sec,
+      |       rate_per_ksec, events_per_hour FROM (
+      |  SELECT row_number() OVER (
+      |           ORDER BY rate_per_ksec DESC, n_events DESC, user_id ASC) AS rank,
+      |         user_id, n_events, n_active_hours, active_sec,
+      |         rate_per_ksec, events_per_hour
+      |  FROM s) t
+      |WHERE rank <= 20 ORDER BY rank""".stripMargin
 }

@@ -1607,4 +1607,105 @@ object TextOps {
       |       $feats
       |FROM bk GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------- #140 lexical diversity
+  /** Per-document lexical-diversity profile: type-token ratio, Simpson
+    * repeat probability (the chance two random token draws collide —
+    * the exact-count cousin of the entropy quality signal), and hapax
+    * share — the MTLD/TTR-style diversity gate of an LLM-data curation
+    * pipeline (low diversity ⇒ boilerplate/spam, high hapax ⇒ OCR noise
+    * or codebooks).
+    *
+    * Scale shape: ONE compiled byte pass per document
+    * ([[graft.functions.Sig.diversityStats]] — a token-count hash map
+    * folded as the scan passes; no split arrays, no explode, NO shuffle
+    * at all — the whole operator is a narrow projection). Every ratio
+    * divides two exact integers from that struct, so both engines round
+    * the same double and the gate is hash-exact.
+    */
+  def textDiversity(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.diversityStats(col("text")).as("ds"))
+      .select(col("doc_id"),
+        col("ds.n_tokens").cast("long").as("n_tokens"),
+        col("ds.n_types").cast("long").as("n_types"),
+        round(col("ds.n_types").cast("long") / col("ds.n_tokens"), 6).as("ttr"),
+        when(col("ds.n_tokens") > 1,
+          round(col("ds.sum_cc") /
+            (col("ds.n_tokens").cast("long") * (col("ds.n_tokens").cast("long") - 1)), 6))
+          .otherwise(lit(0.0)).as("simpson"),
+        round(col("ds.n_hapax").cast("long") / col("ds.n_types"), 6).as("hapax_share"))
+      .orderBy("doc_id")
+  }
+
+  val textDiversitySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      |a AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |         count(*) AS n_types,
+      |         CAST(sum(c * (c - 1)) AS BIGINT) AS sum_cc,
+      |         CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax
+      |  FROM c GROUP BY 1)
+      |SELECT doc_id, n_tokens, n_types,
+      |       round(n_types / n_tokens, 6) AS ttr,
+      |       CASE WHEN n_tokens > 1
+      |            THEN round(sum_cc / (n_tokens * (n_tokens - 1)), 6)
+      |            ELSE 0.0 END AS simpson,
+      |       round(n_hapax / n_types, 6) AS hapax_share
+      |FROM a ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- #142 priority sampling
+  private val PriorityK = 100
+
+  /** Deterministic weighted sample without replacement (priority
+    * sampling, Duffield–Lund–Thorup 2007): each document draws a
+    * pseudo-uniform u = polyhash(text)/P and gets priority w/u with
+    * w = n_chars; the k largest priorities win, so inclusion probability
+    * grows with document weight while staying reproducible run-to-run
+    * (the "random" is the portable content hash both engines share).
+    * The priority is kept in EXACT integer form w·P div h — monotone in
+    * w/u, so the selected set and its ordering are engine-exact with no
+    * float comparison anywhere.
+    *
+    * Scale shape: a narrow per-row projection (hash + one integer
+    * division), then a global top-k that plans as TakeOrdered — each
+    * partition keeps k candidates and only k·partitions rows ever move;
+    * no global sort, no full shuffle.
+    */
+  def samplePriority(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.GraftFunctions.polyhash(col("text")).as("h"))
+      .withColumn("priority",
+        expr(s"n_chars * ${graft.functions.Portable.P}L div greatest(h, 1L)"))
+    val top = scored
+      .orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(PriorityK)
+    top.select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("priority").desc, col("doc_id").asc))
+          .cast("long").as("rank"),
+        col("doc_id"), col("n_chars"), col("h"), col("priority"))
+      .orderBy("rank")
+  }
+
+  val samplePrioritySql: String =
+    s"""WITH s AS (
+      |  SELECT doc_id, n_chars,
+      |         ${graft.functions.Portable.polyHashSql("text")} AS h
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, n_chars, h,
+      |         n_chars * ${graft.functions.Portable.P} // greatest(h, 1) AS priority
+      |  FROM s)
+      |SELECT rank, doc_id, n_chars, h, priority FROM (
+      |  SELECT row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rank,
+      |         doc_id, n_chars, h, priority
+      |  FROM p) t
+      |WHERE rank <= $PriorityK ORDER BY rank""".stripMargin
 }

@@ -396,6 +396,47 @@ object Sig {
       Array[Any](spaces + 1, chars - spaces, counts.size, maxTf, nStops))
   }
 
+  /** One-pass per-document lexical-diversity statistics — the compiled
+    * kernel behind `text_diversity`. Tokens are the ' '-separated byte
+    * slices of the input (consecutive/trailing-space empties kept, the
+    * `string_split` contract shared with [[gopherStats]]); counting uses
+    * the same zero-copy token hash map. All four outputs are exact
+    * integers, so every downstream ratio is ONE double division of two
+    * identical integers in both engines — no cross-engine float drift:
+    *  - `n_tokens` = spaces + 1;
+    *  - `n_types`  = exact distinct token count (byte equality);
+    *  - `sum_cc`   = Σ_types c·(c−1) — the unnormalized collision count
+    *    behind the Simpson repeat probability, maintained incrementally
+    *    (a token's count moving c−1 → c adds 2·(c−1));
+    *  - `n_hapax`  = tokens occurring exactly once (+1 at first sight,
+    *    −1 when a second occurrence arrives). */
+  def diversityStats(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val b = s.getBytes
+    val counts =
+      new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
+    val one = Integer.valueOf(1)
+    var spaces = 0
+    var sumCC = 0L
+    var hapax = 0
+    var tokStart = 0
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == ' ') {
+        if (i < b.length) spaces += 1
+        val tok = org.apache.spark.unsafe.types.UTF8String
+          .fromBytes(b, tokStart, i - tokStart)
+        val cnt = counts.merge(tok, one, SumInts).intValue()
+        sumCC += 2L * (cnt - 1)
+        if (cnt == 1) hapax += 1 else if (cnt == 2) hapax -= 1
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](spaces + 1, counts.size, sumCC, hapax))
+  }
+
   /** Single-pass text canonicalization: ASCII lowercase, every byte
     * outside `[a-z0-9]` becomes a space, runs of spaces collapse to one,
     * leading/trailing spaces dropped. Byte-for-byte equal to
@@ -769,6 +810,22 @@ case class TokenStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): TokenStats = copy(child = c)
 }
 
+/** `graft_diversity_stats(string) -> struct<n_tokens:int, n_types:int,
+  * sum_cc:bigint, n_hapax:int>` — see [[Sig.diversityStats]]. */
+case class DiversityStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_types", IntegerType, nullable = false),
+    StructField("sum_cc", LongType, nullable = false),
+    StructField("n_hapax", IntegerType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    Sig.diversityStats(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sig.diversityStats($c)")
+  override protected def withNewChildInternal(c: Expression): DiversityStats =
+    copy(child = c)
+}
+
 /** `graft_gopher_stats(string) -> struct<n_tokens:int, sum_len:int,
   * n_vocab:int, max_tf:int, n_stops:int>` — see [[Sig.gopherStats]]. The
   * stopword inventory is fixed at expression construction and shipped to
@@ -918,6 +975,8 @@ object GraftFunctions {
         intLiteral("graft_hash_features", "nBuckets", args(1))), "built-in")
     reg.createOrReplaceTempFunction("graft_gopher_stats",
       (args: Seq[Expression]) => GopherStats(args.head, Sig.GopherStops), "built-in")
+    reg.createOrReplaceTempFunction("graft_diversity_stats",
+      (args: Seq[Expression]) => DiversityStats(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_scrub",
       (args: Seq[Expression]) => ScrubPii(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_winnow",
@@ -953,6 +1012,7 @@ object GraftFunctions {
     call_function("graft_hash_features", c,
       org.apache.spark.sql.functions.lit(nBuckets))
   def gopherStats(c: Column): Column = call_function("graft_gopher_stats", c)
+  def diversityStats(c: Column): Column = call_function("graft_diversity_stats", c)
   def scrub(c: Column): Column = call_function("graft_scrub", c)
   def winnow(grams: Column, w: Int): Column =
     call_function("graft_winnow", grams, org.apache.spark.sql.functions.lit(w))
