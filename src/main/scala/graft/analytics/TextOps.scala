@@ -1678,8 +1678,11 @@ object TextOps {
     */
   def samplePriority(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // n_chars pinned to long: the physical column is int64 in the source
+    // testdata but int32 in ScaleData-derived corpora, and the weight·P
+    // product overflows 32 bits (caught by the x10 oracle, round 14)
     val scored = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"),
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
         graft.functions.GraftFunctions.polyhash(col("text")).as("h"))
       .withColumn("priority",
         expr(s"n_chars * ${graft.functions.Portable.P}L div greatest(h, 1L)"))
@@ -1696,7 +1699,7 @@ object TextOps {
 
   val samplePrioritySql: String =
     s"""WITH s AS (
-      |  SELECT doc_id, n_chars,
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
       |         ${graft.functions.Portable.polyHashSql("text")} AS h
       |  FROM documents),
       |p AS (
