@@ -26,6 +26,19 @@ package graft
   *                        [[graft.ops.Tuning.pairShardPasses]]); 0 (the
   *                        default) means scratch is a cluster-aggregate
   *                        resource and builds run single-pass
+  * @param refineRounds    NN-descent rounds for the kNN-graph family
+  *                        ([[graft.analytics.Similarity]], published as
+  *                        `spark.graft.refine.rounds`). Deployment
+  *                        default 2: the measured ×1000 recall curve
+  *                        (`CLUSTERED_RECALL_X1000.json`, 2M vectors /
+  *                        20k planted clusters) shows bounded-LSH recall
+  *                        degrading 68% → 42% as cluster density grows
+  *                        10×, while refine round 2 recovers 82.7% —
+  *                        ABOVE the 79.3% unbounded-LSH ceiling — for
+  *                        one more linear candidate pass (127 s at
+  *                        ×1000). The library-level default stays 1 (the
+  *                        oracle-gated shape); this is the shipped
+  *                        deployment recommendation.
   * @param s3Endpoint      S3-compatible object-store endpoint for `s3a://`
   *                        zone paths (the reference's entire deployment
   *                        premise — SparkUtils.scala:26-70 wires endpoint/
@@ -52,6 +65,7 @@ case class GraftConfig(landingDir: String, stagingDir: String,
                        kafkaTopic: String = "",
                        maxSearchScanBytes: Long = 0L,
                        scratchBytes: Long = 0L,
+                       refineRounds: Int = 2,
                        s3Endpoint: String = "",
                        s3AccessKey: String = "",
                        s3SecretKey: String = "",
@@ -61,6 +75,7 @@ case class GraftConfig(landingDir: String, stagingDir: String,
   require(purgeToleranceMs >= 0, "purgeToleranceMs must be non-negative")
   require(maxSearchScanBytes >= 0, "maxSearchScanBytes must be non-negative")
   require(scratchBytes >= 0, "scratchBytes must be non-negative")
+  require(refineRounds >= 1, "refineRounds must be >= 1")
 
   /** Publish the session-scoped knobs onto `spark.conf` so engine code
     * that takes only a session (the analytics families) sees the
@@ -81,6 +96,10 @@ case class GraftConfig(landingDir: String, stagingDir: String,
   def applySessionConfs(spark: org.apache.spark.sql.SparkSession): Unit = {
     if (scratchBytes > 0L)
       spark.conf.set(GraftConfig.ScratchBytesConf, scratchBytes.toString)
+    // deployment default 2 (measured recall, see the field doc) — always
+    // published, so a config-driven session gets the recommended shape
+    // without a separate --conf flag
+    spark.conf.set(GraftConfig.RefineRoundsConf, refineRounds.toString)
     // fs.s3a.* must land on the CONTEXT Hadoop configuration: session
     // `spark.hadoop.*` confs are only folded in at session build, and
     // every FileSystem.get in the engine (zones, compactor, journal)
@@ -106,6 +125,10 @@ object GraftConfig {
     * settable directly — `spark.conf.set` or `--conf` — for processes
     * that never build a GraftConfig, e.g. the scaling benches). */
   val ScratchBytesConf = "spark.graft.scratch.bytes"
+
+  /** Session-conf key carrying [[GraftConfig.refineRounds]] — read by
+    * [[graft.analytics.Similarity]]'s NN-descent refine. */
+  val RefineRoundsConf = "spark.graft.refine.rounds"
 
   /** The session's per-host scratch budget: the session conf if set,
     * else the `SPARK_GRAFT_SCRATCH_BYTES` env (so bench/CLI runs can
@@ -240,6 +263,7 @@ object GraftConfig {
       kafkaTopic = props.getProperty("graft.kafka.topic", ""),
       maxSearchScanBytes = props.getProperty("graft.search.max.scan.bytes", "0").toLong,
       scratchBytes = props.getProperty("graft.scratch.bytes", "0").toLong,
+      refineRounds = props.getProperty("graft.refine.rounds", "2").toInt,
       // credentials fall back to the standard AWS env vars (the
       // reference's envOrElseConfig order: environment wins over file —
       // keeps secrets out of checked-in conf files)

@@ -17,7 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
-  /** Nanosecond-long ts → epoch seconds (floor). */
+  /** Nanosecond-long ts → epoch seconds.
+    *
+    * POST-EPOCH ASSUMPTION (shared by every event-time `div` in this
+    * file and its oracles): Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors, so the two agree only for non-negative
+    * operands. `events.ts` is generated post-epoch (testdata and
+    * ScaleData alike) and a metadata journal's event time can never
+    * predate its store, so the engine standardizes on `div`; a corpus
+    * with pre-1970 timestamps would need a shared floor-div helper on
+    * BOTH faces before any bucketing math here is trusted. */
   private def withSec(df: DataFrame): DataFrame =
     df.withColumn("sec", expr("ts div 1000000000"))
 

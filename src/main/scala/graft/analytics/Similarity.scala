@@ -592,7 +592,15 @@ object Similarity {
     * planted-cluster corpus is 68% → 78% (round 1) → 82% (round 2)
     * against the 84.7% LSH-candidate ceiling (`CLUSTERED_RECALL.json`,
     * `tools/ClusteredRecallBench`), so round 2 buys half the remaining
-    * headroom for one more linear 4k²N candidate pass. */
+    * headroom for one more linear 4k²N candidate pass.
+    *
+    * THE DEPLOYMENT DEFAULT IS 2 ([[graft.GraftConfig.refineRounds]] —
+    * any config-driven session gets it via `applySessionConfs`): at
+    * ×1000 density (`CLUSTERED_RECALL_X1000.json`) capped LSH degrades
+    * 68% → 42% while round 2 recovers 82.7%, above the 79.3%
+    * unbounded-LSH ceiling — the cap is the scale-survival mechanism
+    * and round 2 is what buys the recall back. 1 here is only the
+    * bare-library shape the oracle pins. */
   private[graft] def refineRounds(spark: SparkSession): Int = {
     val r = spark.conf.getOption("spark.graft.refine.rounds")
       .orElse(sys.env.get("SPARK_GRAFT_REFINE_ROUNDS"))

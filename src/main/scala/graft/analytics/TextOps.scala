@@ -387,21 +387,42 @@ object TextOps {
   }
 
   // ----------------------------------------------- #41 top distinctive term
+  /** The `(doc_id, term, tf, df)` term-frequency/document-frequency
+    * frame, published once per corpus ([[graft.ops.DerivedZone]]
+    * `text_tf_df`): the shared heavy stage of the keyword family —
+    * [[textTopTerm]] (the #2 ×1000 query at 141 s, round 14) and
+    * [[textSalientTerms]] (67.8 s) each rebuilt the identical
+    * explode → (doc,term) count → df aggregate → tf⋈df join per run.
+    * The BUILD shuffles twice (composite (doc,term) key with map-side
+    * combine, then term) and joins term-partitioned sides; consumers
+    * read the zone and pay only their own per-doc window (doc_id
+    * shuffle, WindowGroupLimit-prefiltered). All-exact longs — the
+    * parquet round trip is bit-safe. ~|distinct (doc,term)| rows,
+    * i.e. a fraction of the text it summarizes. */
+  private[graft] val tfDfMemo =
+    new graft.ops.DerivedZone("text_tf_df", Seq("documents.parquet"))
+
+  private def tfDfFrame(spark: SparkSession, dir: String): DataFrame =
+    tfDfMemo.get(spark, dir) {
+      val terms = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(dfreq, "term").select(col("doc_id"), col("term"), col("tf"), col("df"))
+    }
+
   /** Per-document keyword extraction: the term maximizing
     * (tf DESC, df ASC, term ASC) — "most frequent in the doc, rarest in
     * the corpus". The tf-idf idea in pure integer ordering: no float idf
-    * logs, so both engines rank bit-identically. One explode + two aggs +
-    * an equi-join of the corpus df stats; the final per-doc argmax windows
-    * over doc_id (millions of tiny groups — spreads, never funnels).
+    * logs, so both engines rank bit-identically. Reads the shared
+    * [[tfDfFrame]] zone; the only per-run work is the per-doc argmax
+    * window over doc_id (millions of tiny groups — spreads, never
+    * funnels).
     */
   def textTopTerm(spark: SparkSession, dir: String): DataFrame = {
-    val terms = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.join(dfreq, "term")
+    tfDfFrame(spark, dir)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("term").as("top_term"), col("tf"), col("df"))
@@ -803,25 +824,25 @@ object TextOps {
   // ----------------------------------- #93 LM-table fluency score
   private val LmVocabSize = 1000
 
-  /** #93 text_lm_score: n-gram-LM-style fluency filter without floats —
-    * the corpus's top-1000 bigram table stands in for the language model,
-    * and each document scores the FRACTION of its bigram occurrences
-    * found in the table (the KenLM-perplexity-filter shape, but as an
-    * exact integer ratio instead of engine-dependent log-prob sums).
-    *
-    * Scale shape: the vocab is built once (bigram histogram shuffle,
-    * map-side combined; deterministic count-desc/gram-asc top-k) and
-    * BROADCASTS into the per-doc membership join, so the corpus-side scan
-    * shuffles only (doc_id → partial counts). Docs shorter than 2 tokens
-    * score 0 explicitly — no 0/0 division reaches either engine.
-    */
-  def textLmScore(spark: SparkSession, dir: String): DataFrame =
-    textLmScore(spark, dir, LmVocabSize)
+  /** Per-document LM-table counts `(doc_id, n_bigrams, n_in_vocab)` at
+    * the default vocabulary size, published once per corpus
+    * ([[graft.ops.DerivedZone]] `lm_doc_score` — the `doc_quality`
+    * move). The build is the expensive part of the whole LM family: TWO
+    * bigram-explode passes over the corpus (vocab histogram + scoring
+    * join), and THREE consumers otherwise re-run both per session —
+    * `text_lm_score`, [[textPerplexityBucket]]'s ppm scores, and
+    * [[graft.CurationPipeline]]'s fluency floor. Measured ×1000 the
+    * rebuild cost ~40-66 s/run (round-14 flag); the zone row is 3 exact
+    * longs per doc, so warm runs are a narrow parquet read. Exact
+    * integers only — the parquet round trip is bit-safe. */
+  private[graft] val lmScoreMemo =
+    new graft.ops.DerivedZone("lm_doc_score", Seq("documents.parquet"))
 
-  /** [[textLmScore]] with a caller-chosen vocabulary size (a corpus-
-    * relative filter needs |vocab| ≪ |distinct bigrams| to discriminate —
-    * the default 1000 suits real corpora, tests shrink it). */
-  def textLmScore(spark: SparkSession, dir: String, vocabSize: Int): DataFrame = {
+  /** The zone's build: bigram-explode → vocab top-k (count-desc/gram-asc,
+    * deterministic) → broadcast membership join → per-doc counts, left-
+    * joined back onto the doc spine so zero-bigram docs keep a row. */
+  private def lmScoreCounts(spark: SparkSession, dir: String,
+                            vocabSize: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val toks = split(col("text"), " ")
     val grams = Tables.documents(spark, dir)
@@ -839,8 +860,38 @@ object TextOps {
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("n_in_vocab"), lit(0L)).as("n_in_vocab"),
-        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+        coalesce(col("n_in_vocab"), lit(0L)).as("n_in_vocab"))
+  }
+
+  /** #93 text_lm_score: n-gram-LM-style fluency filter without floats —
+    * the corpus's top-1000 bigram table stands in for the language model,
+    * and each document scores the FRACTION of its bigram occurrences
+    * found in the table (the KenLM-perplexity-filter shape, but as an
+    * exact integer ratio instead of engine-dependent log-prob sums).
+    *
+    * Scale shape: the per-doc counts are a [[lmScoreMemo]] zone artifact
+    * (build: vocab histogram shuffle, map-side combined; deterministic
+    * count-desc/gram-asc top-k BROADCAST into the membership join), so a
+    * warm query is one narrow zone scan plus the score projection. Docs
+    * shorter than 2 tokens score 0 explicitly — no 0/0 division reaches
+    * either engine.
+    */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame =
+    textLmScore(spark, dir, LmVocabSize)
+
+  /** [[textLmScore]] with a caller-chosen vocabulary size (a corpus-
+    * relative filter needs |vocab| ≪ |distinct bigrams| to discriminate —
+    * the default 1000 suits real corpora, tests shrink it). Only the
+    * default size serves from the published zone; a custom size is a
+    * different artifact and builds live. */
+  def textLmScore(spark: SparkSession, dir: String, vocabSize: Int): DataFrame = {
+    val counts =
+      if (vocabSize == LmVocabSize)
+        lmScoreMemo.get(spark, dir)(lmScoreCounts(spark, dir, vocabSize))
+      else lmScoreCounts(spark, dir, vocabSize)
+    counts
+      .select(col("doc_id"), col("n_bigrams"), col("n_in_vocab"),
+        when(col("n_bigrams") > 0,
           round(col("n_in_vocab") / col("n_bigrams"), 6)).otherwise(0.0)
           .as("lm_score"))
       .orderBy("doc_id")
@@ -1048,22 +1099,49 @@ object TextOps {
     * above-mean threshold (mean = one scalar aggregate), the
     * deterministic stand-in for DSIR's weight-proportional sampling.
     *
-    * Scale shape: the corpus is scanned (and re-tokenized) once per
-    * pass — once for the term histogram (map-side combined; the top-V
-    * cut is a bounded sort), once for the scoring pass, and once more
-    * for the slim raw `doc_id` spine — with each explode shuffle-free
-    * inside its own pass; the ≤V-row κ table BROADCASTS into the
-    * occurrence stream, so the corpus never shuffles except the per-doc
-    * score aggregation on `doc_id`. Collapsing to a literal single scan
-    * would require caching/checkpointing the exploded tokens, which at
-    * 100 TB costs more than the extra columnar scans it saves (the
-    * token stream is ~the corpus itself; the scans prune to 2-3
-    * columns). The mean threshold is a 1-row aggregate broadcast back;
-    * no global sort, no quantile job. At true
-    * 100 TB the long products here move to decimal(38,0) — at any SF the
-    * bench reaches, (t_cnt+1)·1e6 ≤ ~1e14 stays well inside int64.
+    * Scale shape: the per-doc raw-side scores are a [[dsirScoreMemo]]
+    * zone artifact. The BUILD scans (and re-tokenizes) the corpus once
+    * per pass — once for the term histogram (map-side combined; the
+    * top-V cut is a bounded sort), once for the scoring pass, and once
+    * more for the slim raw `doc_id` spine — with each explode
+    * shuffle-free inside its own pass; the ≤V-row κ table BROADCASTS
+    * into the occurrence stream, so the corpus never shuffles except the
+    * per-doc score aggregation on `doc_id`. Collapsing to a literal
+    * single scan would require caching/checkpointing the exploded
+    * tokens, which at 100 TB costs more than the extra columnar scans it
+    * saves (the token stream is ~the corpus itself; the scans prune to
+    * 2-3 columns) — instead the multi-scan build now runs ONCE PER
+    * DATASET and every later run reads the 2-long-column zone. The mean
+    * threshold is a 1-row aggregate over the zone, broadcast back; no
+    * global sort, no quantile job. At true 100 TB the long products here
+    * move to decimal(38,0) — at any SF the bench reaches,
+    * (t_cnt+1)·1e6 ≤ ~1e14 stays well inside int64.
     */
   def corpusDsir(spark: SparkSession, dir: String): DataFrame = {
+    val raw = dsirScoreMemo.get(spark, dir)(dsirScores(spark, dir))
+    // greatest(count,1): with zero raw docs Spark's non-ANSI `div 0`
+    // yields NULL (kept=0 everywhere) while DuckDB's `// 0` raises — the
+    // guard pins both engines to the same (vacuous) empty-corpus answer.
+    val mean = raw.agg(expr("sum(score) div greatest(count(1), 1L)").as("mean_score"))
+    raw.join(broadcast(mean))
+      .select(col("doc_id"), col("score"),
+        when(col("score") > col("mean_score"), 1).otherwise(0).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc DSIR scores `(doc_id, score)` for every raw-side (non-
+    * target) document, published once per corpus
+    * ([[graft.ops.DerivedZone]] `dsir_doc_score`): the κ-table build and
+    * both token passes were rebuilt per run (round-14 ×1000 flag,
+    * 26.5 → 43.8 s); the artifact is 2 exact longs per raw doc. The
+    * above-mean `kept` flag stays OUT of the zone — it is derived from
+    * the zone in one scalar aggregate, so the artifact never goes stale
+    * against a mean that shifts with the corpus (the fingerprint already
+    * covers that, but 2 columns also read faster than 3). */
+  private[graft] val dsirScoreMemo =
+    new graft.ops.DerivedZone("dsir_doc_score", Seq("documents.parquet"))
+
+  private def dsirScores(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"), col("source"),
       explode(split(col("text"), " ")).as("term"))
@@ -1084,17 +1162,9 @@ object TextOps {
     val scored = toks.filter(!isTarget)
       .join(broadcast(weights), Seq("term"))
       .groupBy("doc_id").agg(sum(col("kappa")).as("score"))
-    val raw = docs.filter(!isTarget).select(col("doc_id"))
+    docs.filter(!isTarget).select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("score"), lit(0L)).as("score"))
-    // greatest(count,1): with zero raw docs Spark's non-ANSI `div 0`
-    // yields NULL (kept=0 everywhere) while DuckDB's `// 0` raises — the
-    // guard pins both engines to the same (vacuous) empty-corpus answer.
-    val mean = raw.agg(expr("sum(score) div greatest(count(1), 1L)").as("mean_score"))
-    raw.join(broadcast(mean))
-      .select(col("doc_id"), col("score"),
-        when(col("score") > col("mean_score"), 1).otherwise(0).as("kept"))
-      .orderBy("doc_id")
   }
 
   val corpusDsirSql: String =
@@ -1219,22 +1289,19 @@ object TextOps {
     * for the engines to disagree on in the last ulp). The classic
     * keyword-extraction stage of a curation/indexing pipeline.
     *
-    * Scale shape: explode → (doc, term) count (shuffle on the composite
-    * key with map-side combine) → global df aggregate (shuffle on term)
-    * → tf⋈df equi-join on term (both sides arrive term-partitioned) →
-    * per-doc window top-3 (shuffle on doc_id; WindowGroupLimit prefilters
-    * partial top-3 BEFORE the exchange in Spark 4). Every stage is
-    * linear in the token stream; no driver-side state.
+    * Scale shape: reads the shared [[tfDfFrame]] zone (its once-per-
+    * dataset build is the explode → (doc, term) count → df aggregate →
+    * tf⋈df join chain this op used to rebuild per run); the per-run work
+    * is only the per-doc window top-3 (shuffle on doc_id;
+    * WindowGroupLimit prefilters partial top-3 BEFORE the exchange in
+    * Spark 4). Every stage is linear in the token stream; no driver-side
+    * state.
     */
   def textSalientTerms(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.join(dfreq, "term")
+    tfDfFrame(spark, dir)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
@@ -1669,7 +1736,12 @@ object TextOps {
     * (the "random" is the portable content hash both engines share).
     * The priority is kept in EXACT integer form w·P div h — monotone in
     * w/u, so the selected set and its ordering are engine-exact with no
-    * float comparison anywhere.
+    * float comparison anywhere. Integer flooring lands many distinct
+    * real priorities w/u on equal values, so ties at the k-boundary are
+    * broken by the content hash h DESC before doc_id — tie resolution is
+    * content-pseudorandom, not id-ordered (an id-asc break would
+    * deterministically bias selection toward low doc_ids among
+    * equal-weight docs).
     *
     * Scale shape: a narrow per-row projection (hash + one integer
     * division), then a global top-k that plans as TakeOrdered — each
@@ -1687,11 +1759,11 @@ object TextOps {
       .withColumn("priority",
         expr(s"n_chars * ${graft.functions.Portable.P}L div greatest(h, 1L)"))
     val top = scored
-      .orderBy(col("priority").desc, col("doc_id").asc)
+      .orderBy(col("priority").desc, col("h").desc, col("doc_id").asc)
       .limit(PriorityK)
     top.select(
         row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("priority").desc, col("doc_id").asc))
+          .orderBy(col("priority").desc, col("h").desc, col("doc_id").asc))
           .cast("long").as("rank"),
         col("doc_id"), col("n_chars"), col("h"), col("priority"))
       .orderBy("rank")
@@ -1707,7 +1779,7 @@ object TextOps {
       |         n_chars * ${graft.functions.Portable.P} // greatest(h, 1) AS priority
       |  FROM s)
       |SELECT rank, doc_id, n_chars, h, priority FROM (
-      |  SELECT row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rank,
+      |  SELECT row_number() OVER (ORDER BY priority DESC, h DESC, doc_id ASC) AS rank,
       |         doc_id, n_chars, h, priority
       |  FROM p) t
       |WHERE rank <= $PriorityK ORDER BY rank""".stripMargin

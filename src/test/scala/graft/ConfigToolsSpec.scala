@@ -126,6 +126,11 @@ class ConfigToolsSpec extends AnyFunSuite {
         graft.ops.DerivedZone.root(spark), "x").toUri.getScheme == "s3a")
     } finally {
       spark.conf.unset("spark.graft.derived.dir")
+      // applySessionConfs publishes the deployment refine-rounds default;
+      // the suites share one session, and a leaked 2 would change the ANN
+      // plans (and scan budgets) other specs pin against the library
+      // default of 1
+      spark.conf.unset(GraftConfig.RefineRoundsConf)
       Seq("fs.s3a.endpoint", "fs.s3a.path.style.access",
         "fs.s3a.connection.ssl.enabled", "fs.s3a.access.key",
         "fs.s3a.secret.key").foreach { k =>
@@ -133,6 +138,20 @@ class ConfigToolsSpec extends AnyFunSuite {
         spark.conf.unset(s"spark.hadoop.$k")
       }
     }
+  }
+
+  test("the deployment refine-rounds default is 2 and publishes onto the session") {
+    val conf = GraftConfig.fromFile("conf/graft.conf.example")
+    assert(conf.refineRounds == 2,
+      "shipped deployment default must be the measured recall recommendation")
+    conf.applySessionConfs(spark)
+    try assert(spark.conf.get(GraftConfig.RefineRoundsConf) == "2")
+    finally spark.conf.unset(GraftConfig.RefineRoundsConf)
+    // the library-level default (no config) stays the oracle-gated 1
+    assert(graft.analytics.Similarity.refineRounds(spark) == 1)
+    intercept[IllegalArgumentException](GraftConfig(
+      landingDir = "/l", stagingDir = "/s", checkpointDir = "/c",
+      refineRounds = 0))
   }
 
   test("the example config's s3 block is parseable when uncommented") {

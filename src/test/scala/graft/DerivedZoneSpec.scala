@@ -268,6 +268,57 @@ class DerivedZoneSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.derived.dir")
   }
 
+  test("round-15 text zones: one tf/df build serves both keyword ops; fresh sessions rebuild nothing") {
+    import graft.analytics.TextOps
+    val root = SparkTestSession.tempDir("zone-root-text")
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.graft.derived.dir", root)
+    try {
+      TextOps.lmScoreMemo.clear(); TextOps.dsirScoreMemo.clear()
+      TextOps.tfDfMemo.clear()
+      val lm0 = TextOps.lmScoreMemo.builds.get
+      val ds0 = TextOps.dsirScoreMemo.builds.get
+      val td0 = TextOps.tfDfMemo.builds.get
+
+      // session 1 pays one build per artifact — top_term and
+      // salient_terms must SHARE the tf/df build (the round-14 finding:
+      // each rebuilt the identical explode+agg chain per run)
+      val lm1 = TextOps.textLmScore(spark, dir).collect()
+      val ds1 = TextOps.corpusDsir(spark, dir).collect()
+      val tt1 = TextOps.textTopTerm(spark, dir).collect()
+      val st1 = TextOps.textSalientTerms(spark, dir).collect()
+      assert(TextOps.lmScoreMemo.builds.get == lm0 + 1)
+      assert(TextOps.dsirScoreMemo.builds.get == ds0 + 1)
+      assert(TextOps.tfDfMemo.builds.get == td0 + 1,
+        "textTopTerm and textSalientTerms must share ONE tf/df artifact")
+
+      // a custom LM vocab size is a different computation — it must
+      // build live and leave the published default-size zone alone
+      TextOps.textLmScore(spark, dir, 7).collect()
+      assert(TextOps.lmScoreMemo.builds.get == lm0 + 1,
+        "custom vocab size must not touch the default-size zone")
+
+      // "session 2": fresh in-memory state, same zone root — all four
+      // queries serve from the published artifacts with zero builds
+      TextOps.lmScoreMemo.clear(); TextOps.dsirScoreMemo.clear()
+      TextOps.tfDfMemo.clear()
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.derived.dir", root)
+      assert(TextOps.textLmScore(s2, dir).collect().toSeq == lm1.toSeq)
+      assert(TextOps.corpusDsir(s2, dir).collect().toSeq == ds1.toSeq)
+      assert(TextOps.textTopTerm(s2, dir).collect().toSeq == tt1.toSeq)
+      assert(TextOps.textSalientTerms(s2, dir).collect().toSeq == st1.toSeq)
+      assert(TextOps.lmScoreMemo.builds.get == lm0 + 1 &&
+        TextOps.dsirScoreMemo.builds.get == ds0 + 1 &&
+        TextOps.tfDfMemo.builds.get == td0 + 1,
+        "fresh session must serve all three text zones without rebuilding")
+    } finally {
+      spark.conf.unset("spark.graft.derived.dir")
+      TextOps.lmScoreMemo.clear(); TextOps.dsirScoreMemo.clear()
+      TextOps.tfDfMemo.clear()
+    }
+  }
+
   test("fresh session serves dedup_clusters/dedup_keep_best with zero rebuild jobs") {
     val root = SparkTestSession.tempDir("zone-root-dedup")
     val dir = "/root/testdata/sf0.001"

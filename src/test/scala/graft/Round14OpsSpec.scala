@@ -70,14 +70,15 @@ class Round14OpsSpec extends AnyFunSuite {
       .select("user_id").distinct().count()
     assert(out.length == math.min(20L, nUsers))
     assert(out.map(_.getAs[Long]("rank")).toSeq == (1L to out.length))
-    // ordering: rate desc, events desc, user asc
-    out.sliding(2).foreach { case Array(a, b) =>
+    // ordering: rate desc, events desc, user asc (collect avoids the
+    // one-user corpus edge where sliding(2) yields a length-1 window)
+    out.toSeq.sliding(2).collect { case Seq(a, b) =>
       val ka = (a.getAs[Long]("rate_per_ksec"), a.getAs[Long]("n_events"))
       val kb = (b.getAs[Long]("rate_per_ksec"), b.getAs[Long]("n_events"))
       assert(ka._1 > kb._1 || (ka._1 == kb._1 &&
         (ka._2 > kb._2 || (ka._2 == kb._2 &&
           a.getAs[Long]("user_id") < b.getAs[Long]("user_id")))))
-    }
+    }.toList
     // recount the #1 user's columns from the raw log
     val top = out.head
     val uid = top.getAs[Long]("user_id")
@@ -106,7 +107,7 @@ class Round14OpsSpec extends AnyFunSuite {
     val expect = all
       .map { case (id, w, h) =>
         (id, w, h, w * graft.functions.Portable.P / math.max(h, 1L)) }
-      .sortBy { case (id, _, _, p) => (-p, id) }
+      .sortBy { case (id, _, h, p) => (-p, -h, id) }
       .take(out.length)
     out.zip(expect).zipWithIndex.foreach { case ((r, (id, w, h, p)), i) =>
       assert(r.getAs[Long]("rank") == i + 1)
@@ -115,10 +116,13 @@ class Round14OpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("h") == h)
       assert(r.getAs[Long]("priority") == p)
     }
-    // weighting sanity: the sampled docs skew long (mean weight above
-    // corpus mean) — the point of weighted over uniform sampling
+    // weighting sanity: the sampled docs skew STRICTLY long (mean weight
+    // above corpus mean) — the point of weighted over uniform sampling;
+    // a regression to uniform selection would leave meanSel ≈ meanAll
+    // and fail here
     val meanAll = all.map(_._2).sum.toDouble / all.length
     val meanSel = out.map(_.getAs[Long]("n_chars")).sum.toDouble / out.length
-    assert(meanSel > meanAll * 0.9)
+    assert(meanSel > meanAll,
+      s"selected mean $meanSel must exceed corpus mean $meanAll")
   }
 }

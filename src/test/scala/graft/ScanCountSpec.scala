@@ -42,13 +42,18 @@ class ScanCountSpec extends AnyFunSuite {
     *    into one aggregation chain), dedup_exact /
     *    dedup_normalized / dedup_chunks (dup-group build ⋈ member list),
     *    corpus_overlap-family text ops with a tf branch and a df branch
-    *    (text_top_term, text_salient_terms, text_boilerplate, text_cms,
-    *    text_repetition, text_decontaminate, corpus_mixture);
+    *    (text_boilerplate, text_cms, text_repetition,
+    *    text_decontaminate, corpus_mixture; text_top_term and
+    *    text_salient_terms moved to the shared `text_tf_df` zone in
+    *    round 15 — 0 documents scans in the query plan, like
+    *    text_lm_score and corpus_dsir whose per-doc scores are now the
+    *    `lm_doc_score` / `dsir_doc_score` zones);
     *  - histogram-domain derivations (cutoffs derived on a quantized
     *    domain, then applied to the full rows — each branch is a slim
     *    pruned scan, documented in the operators' Scaladoc):
-    *    text_perplexity_bucket (5), corpus_temperature (4),
-    *    corpus_dsir (3), text_lm_score (3);
+    *    text_perplexity_bucket (2 — the (doc_id, lang) spine joins the
+    *    lm zone under both the histogram branch and the output branch),
+    *    corpus_temperature (4);
     *  - ANN family (codebook training sample + assignment + scoring
     *    branches over the embeddings table; the recall harnesses
     *    additionally scan a broadcast ≤30-row sample branch and an exact
@@ -74,7 +79,6 @@ class ScanCountSpec extends AnyFunSuite {
     // (warm steady state is 1 — budget covers the cold path the suite
     // may execute first, since the key sorts before dedup_clusters)
     "corpus_dup_by_source" -> Map("documents" -> 2),
-    "corpus_dsir" -> Map("documents" -> 3),
     "corpus_mixture" -> Map("documents" -> 2),
     "corpus_temperature" -> Map("documents" -> 4),
     "dedup_chunks" -> Map("documents" -> 2),
@@ -82,17 +86,14 @@ class ScanCountSpec extends AnyFunSuite {
     "dedup_normalized" -> Map("documents" -> 2),
     "text_cms" -> Map("documents" -> 2),
     "text_decontaminate" -> Map("documents" -> 2),
-    "text_lm_score" -> Map("documents" -> 3),
     "text_ngram_stats" -> Map("documents" -> 2),
-    "text_perplexity_bucket" -> Map("documents" -> 5),
+    "text_perplexity_bucket" -> Map("documents" -> 2),
     "text_boilerplate" -> Map("documents" -> 2),
     // text_bm25: the one-row stats aggregate (N, avgdl, per-term df) is
     // its own slim pruned pass beside the scoring scan — the correlated-
     // scalar shape, same class as q_avg_yearly
     "text_bm25" -> Map("documents" -> 2),
     "text_repetition" -> Map("documents" -> 2),
-    "text_salient_terms" -> Map("documents" -> 2),
-    "text_top_term" -> Map("documents" -> 2),
     "centroid_ivf" -> Map("embeddings" -> 4),
     "dedup_embedding" -> Map("embeddings" -> 3),
     // dedup_threshold_sweep wraps dedup_embedding's pair frame verbatim
