@@ -18,12 +18,15 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanAudit {
 
-  /** The queries whose static plans PLANS.md documents (the headline
-    * shapes per family plus every query whose plan a round materially
-    * changed). `PlansDriftSpec` recomputes each one's [[planHash]] and
-    * compares against the manifest embedded in PLANS.md, so a code
-    * change that alters a covered plan fails the suite until the
-    * artifact is regenerated (`runMain graft.tools.PlanAudit --md`). */
+  /** The queries whose static plans PLANS.md renders IN FULL (the
+    * headline shapes per family plus every query whose plan a round
+    * materially changed). The fingerprint MANIFEST is wider: it covers
+    * every registered query (round-15 change — the 24-section body
+    * stays readable, but drift-gating a sixth of the surface left the
+    * rest free to regress silently). `PlansDriftSpec` recomputes every
+    * registered query's [[planHash]] against the manifest, so ANY plan
+    * change fails the suite until the artifact is regenerated
+    * (`runMain graft.tools.PlanAudit --md`). */
   val PlansMdQueries: Seq[String] = Seq(
     "compaction_merge", "dedup_embedding", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "events_range_join", "events_rfm",
@@ -54,6 +57,10 @@ object PlanAudit {
     // at Similarity.scala:1015") move whenever UNRELATED code is added
     // above the call — source position, not plan content
     .replaceAll("at [A-Za-z0-9_]+\\.scala:\\d+", "at <site>")
+    // typed-operator closures render as the JVM's synthetic lambda class
+    // plus an identity hash ("MediaPipeline$$$Lambda$2090/0x00007f..@24.."),
+    // all per-process allocation artifacts
+    .replaceAll("\\$\\$Lambda[^,\\s)\\]]*", "\\$\\$Lambda<N>")
     // zone paths embed the input fingerprint (mtime included), so they
     // churn whenever the dataset is re-materialized even byte-identical;
     // plain data paths churn across hosts — neither is plan content
@@ -84,17 +91,20 @@ object PlanAudit {
         (old.substring(0, old.indexOf(GenBegin)),
           old.substring(old.indexOf(GenEnd) + GenEnd.length))
       else (old, "")
-    val sections = PlansMdQueries.sorted.map { name =>
+    // fingerprint the WHOLE registered surface; render full plan text
+    // only for the curated headline set
+    val all = graft.SparkEntry.queries.keySet.toSeq.sorted.map { name =>
       val text = explainText(spark, dir, name)
       (name, text, md5(normalizePlan(text)))
     }
-    val manifest = sections.map { case (n, _, h) => s""""$n":"$h"""" }
+    val manifest = all.map { case (n, _, h) => s""""$n":"$h"""" }
       .mkString(FpPrefix + "{", ",", "} -->")
-    val body = sections.map { case (n, t, _) =>
+    val body = all.collect { case (n, t, _) if PlansMdQueries.contains(n) =>
       s"## $n\n\n```\n${t.trim}\n```\n" }.mkString("\n")
     val gen = s"$GenBegin\n$manifest\n\n$body\n$GenEnd"
     java.nio.file.Files.writeString(file, pre + gen + post)
-    println(s"[plans] wrote ${sections.size} sections to $path")
+    println(s"[plans] wrote ${all.size} fingerprints, " +
+      s"${PlansMdQueries.size} full sections to $path")
   }
 
   /** The manifest embedded in a PLANS.md: query -> normalized plan hash. */

@@ -15,9 +15,12 @@ class PlansDriftSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.01"
 
-  test("PLANS.md covers exactly PlansMdQueries and they are registered queries") {
+  test("PLANS.md fingerprints the FULL registry; full sections are registered queries") {
     val manifest = PlanAudit.readManifest("PLANS.md")
-    assert(manifest.keySet == PlanAudit.PlansMdQueries.toSet)
+    assert(manifest.keySet == SparkEntry.queries.keySet,
+      "the fingerprint manifest must cover every registered query — " +
+        s"missing ${SparkEntry.queries.keySet -- manifest.keySet}, " +
+        s"stale ${manifest.keySet -- SparkEntry.queries.keySet}")
     assert(PlanAudit.PlansMdQueries.toSet.subsetOf(SparkEntry.queries.keySet))
   }
 
@@ -27,7 +30,7 @@ class PlansDriftSpec extends AnyFunSuite {
     // InMemoryRelation and fail the comparison spuriously
     spark.catalog.clearCache()
     val manifest = PlanAudit.readManifest("PLANS.md")
-    val drifted = PlanAudit.PlansMdQueries.flatMap { name =>
+    val drifted = manifest.keySet.toSeq.sorted.flatMap { name =>
       val live = PlanAudit.planHash(spark, dir, name)
       if (manifest.get(name).contains(live)) None
       else Some(s"$name (manifest ${manifest.get(name).getOrElse("?")} vs live $live)")
