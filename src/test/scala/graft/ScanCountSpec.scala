@@ -74,6 +74,10 @@ class ScanCountSpec extends AnyFunSuite {
     "events_retention" -> Map("events" -> 2),
     "q_avg_yearly" -> Map("lineitem" -> 2),
     "q_top_supplier" -> Map("lineitem" -> 2),
+    // q_distinct_agg: three 2-column branch scans REPLACE the Expand
+    // multi-distinct plan — measured 86.8 vs 140.3 s at x1000
+    // (tools/DistinctProbe, round 15)
+    "q_distinct_agg" -> Map("lineitem" -> 3),
     // corpus_dup_by_source: one direct pruned (doc_id, source) scan +
     // the labels zone's build pass when the zone is first-touch cold
     // (warm steady state is 1 — budget covers the cold path the suite
