@@ -1141,7 +1141,7 @@ object TextOps {
   private[graft] val dsirScoreMemo =
     new graft.ops.DerivedZone("dsir_doc_score", Seq("documents.parquet"))
 
-  private def dsirScores(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def dsirScores(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"), col("source"),
       explode(split(col("text"), " ")).as("term"))

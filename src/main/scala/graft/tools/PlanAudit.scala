@@ -61,6 +61,11 @@ object PlanAudit {
     // plus an identity hash ("MediaPipeline$$$Lambda$2090/0x00007f..@24.."),
     // all per-process allocation artifacts
     .replaceAll("\\$\\$Lambda[^,\\s)\\]]*", "\\$\\$Lambda<N>")
+    // higher-order-function lambda variables are named from a JVM-GLOBAL
+    // fresh-name counter ("lambda x_847#N") — the suffix depends on how
+    // many lambdas the process analyzed before this plan, so a hash that
+    // kept it would differ between a fresh --md JVM and a mid-suite spec
+    .replaceAll("\\blambda [A-Za-z]+_\\d+", "lambda v")
     // zone paths embed the input fingerprint (mtime included), so they
     // churn whenever the dataset is re-materialized even byte-identical;
     // plain data paths churn across hosts — neither is plan content

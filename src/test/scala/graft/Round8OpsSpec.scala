@@ -103,11 +103,20 @@ class Round8OpsSpec extends AnyFunSuite {
     rows.foreach(r => assert((r.getInt(2) == 1) == (r.getLong(1) > mean)))
   }
 
-  test("corpus_dsir broadcasts the weight table; corpus shuffles only the doc agg") {
-    val plan = graft.analytics.TextOps.corpusDsir(spark, sf)
+  test("corpus_dsir: kappa broadcasts in the zone BUILD; the query serves the zone") {
+    // the once-per-dataset build is where the occurrence stream lives —
+    // the bounded kappa table must broadcast into it
+    val build = graft.analytics.TextOps.dsirScores(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"the bounded kappa table must broadcast into the occurrence stream:\n$plan")
-    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(build.contains("BroadcastHashJoin"),
+      s"the bounded kappa table must broadcast into the occurrence stream:\n$build")
+    assert(!build.contains("CartesianProduct"), s"no cartesian:\n$build")
+    // the registered query reads the published per-doc zone (r15) and
+    // joins only the broadcast 1-row mean — never a corpus-wide rebuild
+    val served = graft.analytics.TextOps.corpusDsir(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(served.contains("dsir_doc_score"),
+      s"query must serve the published dsir_doc_score zone:\n$served")
+    assert(!served.contains("CartesianProduct"), s"no cartesian:\n$served")
   }
 }
