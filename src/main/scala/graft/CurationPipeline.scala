@@ -134,7 +134,11 @@ class CurationPipeline(spark: SparkSession, corpusDir: String) {
     val near = nearDupIds().join(exactIds, Seq("doc_id"), "left_anti").count()
     val out = curated(minQuality)
     out.write.mode("overwrite").partitionBy("lang").parquet(outDir)
-    val kept = spark.read.parquet(outDir).count()
+    // explicit schema on the read-back: a floor aggressive enough to drop
+    // EVERYTHING writes a data-file-less output dir, and schema inference
+    // would then fail with UNABLE_TO_INFER_SCHEMA — a user's miscalibrated
+    // threshold must surface as kept=0, not as an analysis error
+    val kept = spark.read.schema(out.schema).parquet(outDir).count()
     Map(
       "total_docs" -> total,
       "exact_dups_removed" -> exact,

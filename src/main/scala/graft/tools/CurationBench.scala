@@ -21,7 +21,12 @@ import org.apache.spark.sql.SparkSession
   * rows in/out and the audit counts print as one JSON line; the audit
   * must tile (stage counts sum to total) or the run fails loudly.
   *
-  * Usage: `runMain graft.tools.CurationBench <corpusDir> [minQuality]`
+  * Usage: `runMain graft.tools.CurationBench <corpusDir> [minQuality]
+  * [minLmScore]` — a positive `minLmScore` adds the LM fluency floor
+  * (stage 3 then also anti-filters on [[graft.analytics.TextOps
+  * .textLmScore]], served from the `lm_doc_score` DerivedZone since
+  * round 15; the floor's zone build lands in the cold run, the warm run
+  * reads it back).
   */
 object CurationBench {
 
@@ -32,7 +37,7 @@ object CurationBench {
   }
 
   private def once(spark: SparkSession, corpus: String, minQuality: Double,
-                   outDir: String): (String, Map[String, Long]) = {
+                   minLmScore: Double, outDir: String): (String, Map[String, Long]) = {
     val p = new CurationPipeline(spark, corpus)
     val (total, tTotal) = timed(Tables.documents(spark, corpus).count())
     // localCheckpoint is EAGER — build it inside the timed block so the
@@ -43,22 +48,32 @@ object CurationBench {
     val (nearIds, tNear) = timed(p.nearDupIds()
       .join(exactIds, Seq("doc_id"), "left_anti").localCheckpoint())
     val near = nearIds.count()
+    val out = p.curated(minQuality, minLmScore)
     val (_, tWrite) = timed {
-      p.curated(minQuality).write.mode("overwrite")
-        .partitionBy("lang").parquet(outDir)
+      out.write.mode("overwrite").partitionBy("lang").parquet(outDir)
     }
-    val (kept, tAudit) = timed(spark.read.parquet(outDir).count())
+    // explicit schema: an everything-filtered run writes no data files and
+    // inference would fail — kept=0 is the honest answer (CurationPipeline
+    // .run applies the same rule)
+    val (kept, tAudit) =
+      timed(spark.read.schema(out.schema).parquet(outDir).count())
     // INDEPENDENT quality count — recomputed from the inputs (dedup
-    // survivors scoring under the floor), NOT derived as total-minus-the-
-    // rest, so the tiling require genuinely cross-checks the curated
-    // write+read-back against the stage counts instead of holding by
-    // construction.
-    val quality = graft.Tables.documents(spark, corpus).select("doc_id")
+    // survivors scoring under the quality floor, or — when the LM
+    // fluency floor is on — under either floor), NOT derived as
+    // total-minus-the-rest, so the tiling require genuinely cross-checks
+    // the curated write+read-back against the stage counts instead of
+    // holding by construction.
+    import org.apache.spark.sql.functions.col
+    val survivors = graft.Tables.documents(spark, corpus).select("doc_id")
       .join(exactIds.unionByName(nearIds), Seq("doc_id"), "left_anti")
       .join(graft.analytics.TextOps.textQuality(spark, corpus)
         .select("doc_id", "quality"), "doc_id")
-      .filter(org.apache.spark.sql.functions.col("quality") < minQuality)
-      .count()
+    val quality = (if (minLmScore > 0)
+      survivors
+        .join(graft.analytics.TextOps.textLmScore(spark, corpus)
+          .select("doc_id", "lm_score"), "doc_id")
+        .filter(col("quality") < minQuality || col("lm_score") < minLmScore)
+    else survivors.filter(col("quality") < minQuality)).count()
     require(exact + near + quality + kept == total,
       s"audit does not tile: total=$total exact=$exact near=$near " +
         s"quality=$quality kept=$kept")
@@ -75,9 +90,13 @@ object CurationBench {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: CurationBench <corpusDir> [minQuality]")
+    require(args.nonEmpty,
+      "usage: CurationBench <corpusDir> [minQuality] [minLmScore]")
     val corpus = args(0)
     val minQuality = if (args.length > 1) args(1).toDouble else 0.35
+    // optional LM fluency floor (0 = off, the historical shape): when on,
+    // the chain exercises the lm_doc_score DerivedZone end-to-end
+    val minLmScore = if (args.length > 2) args(2).toDouble else 0.0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Same width discipline as graft.Bench: Tuning's prescription for
     // the corpus' on-disk bytes (override honored) — a pinned core-count
@@ -96,16 +115,16 @@ object CurationBench {
       val outDir = java.nio.file.Files
         .createTempDirectory("graft_curation_bench").resolve("out").toString
       val t0 = System.nanoTime()
-      val (coldStages, audit) = once(spark, corpus, minQuality, outDir)
+      val (coldStages, audit) = once(spark, corpus, minQuality, minLmScore, outDir)
       val coldWall = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
-      val (warmStages, audit2) = once(spark, corpus, minQuality, outDir)
+      val (warmStages, audit2) = once(spark, corpus, minQuality, minLmScore, outDir)
       val warmWall = (System.nanoTime() - t1) / 1e9
       require(audit == audit2, s"non-deterministic audit: $audit vs $audit2")
       val auditJson = audit.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       val json =
-        s"""{"metric":"curation_bench","corpus":"$corpus","min_quality":$minQuality,""" +
+        s"""{"metric":"curation_bench","corpus":"$corpus","min_quality":$minQuality,"min_lm_score":$minLmScore,""" +
           s""""shuffle_partitions":$width,""" +
           s""""cold_wall_sec":${"%.2f".format(coldWall)},""" +
           s""""warm_wall_sec":${"%.2f".format(warmWall)},""" +

@@ -89,6 +89,26 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(tiles("tokens_per_mchar") > 0 && tiles("boilerplate_ppm") >= 0)
   }
 
+  test("a floor that filters EVERYTHING reports kept=0, not a schema-inference error") {
+    // round-15 catch: an over-aggressive threshold (here an unreachable
+    // quality floor) writes a data-file-less curated dir; the read-back
+    // must count 0 under the write's explicit schema instead of dying
+    // with UNABLE_TO_INFER_SCHEMA
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "en"),
+      (1L, "epsilon zeta eta theta", "en"))
+    val dir = SparkTestSession.tempDir("curation-allfiltered")
+    docs.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkTestSession.tempDir("curated-empty")
+    val audit = new CurationPipeline(spark, dir).run(out, minQuality = 2.0)
+    assert(audit("kept") == 0L, s"nothing can clear quality>=2.0: $audit")
+    assert(audit("quality_filtered") == audit("total_docs") -
+      audit("exact_dups_removed") - audit("near_dups_removed"))
+  }
+
   test("audit on an empty corpus fails with a clear message, not a div-by-zero") {
     val dir = SparkTestSession.tempDir("curation-empty")
     Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
