@@ -66,6 +66,7 @@ case class GraftConfig(landingDir: String, stagingDir: String,
                        maxSearchScanBytes: Long = 0L,
                        scratchBytes: Long = 0L,
                        refineRounds: Int = 2,
+                       derivedDir: String = "",
                        s3Endpoint: String = "",
                        s3AccessKey: String = "",
                        s3SecretKey: String = "",
@@ -100,6 +101,11 @@ case class GraftConfig(landingDir: String, stagingDir: String,
     // published, so a config-driven session gets the recommended shape
     // without a separate --conf flag
     spark.conf.set(GraftConfig.RefineRoundsConf, refineRounds.toString)
+    // durable DerivedZone store: only deployments opt in — unset, each
+    // process keeps its private temp root (removed on exit), so ad-hoc
+    // runs always recompute derived artifacts from the source tables
+    if (derivedDir.nonEmpty)
+      spark.conf.set(GraftConfig.DerivedDirConf, derivedDir)
     // fs.s3a.* must land on the CONTEXT Hadoop configuration: session
     // `spark.hadoop.*` confs are only folded in at session build, and
     // every FileSystem.get in the engine (zones, compactor, journal)
@@ -129,6 +135,10 @@ object GraftConfig {
   /** Session-conf key carrying [[GraftConfig.refineRounds]] — read by
     * [[graft.analytics.Similarity]]'s NN-descent refine. */
   val RefineRoundsConf = "spark.graft.refine.rounds"
+
+  /** Session-conf key carrying [[GraftConfig.derivedDir]] — read by
+    * [[graft.ops.DerivedZone.root]]. */
+  val DerivedDirConf = "spark.graft.derived.dir"
 
   /** The session's per-host scratch budget: the session conf if set,
     * else the `SPARK_GRAFT_SCRATCH_BYTES` env (so bench/CLI runs can
@@ -264,6 +274,7 @@ object GraftConfig {
       maxSearchScanBytes = props.getProperty("graft.search.max.scan.bytes", "0").toLong,
       scratchBytes = props.getProperty("graft.scratch.bytes", "0").toLong,
       refineRounds = props.getProperty("graft.refine.rounds", "2").toInt,
+      derivedDir = props.getProperty("graft.derived.dir", ""),
       // credentials fall back to the standard AWS env vars (the
       // reference's envOrElseConfig order: environment wins over file —
       // keeps secrets out of checked-in conf files)

@@ -331,15 +331,36 @@ object EventOps {
 
   // ------------------------------------------- #77 sliding-window distinct
   /** Distinct users per SLIDING hour (15-min slide): each event lands in
-    * 4 overlapping windows — the batch twin of the streaming sliding agg,
-    * and a distinct-aggregation over an Expand (each input row fans out
-    * to its windows before the shuffle; no self-join per offset).
+    * 4 overlapping windows — the batch twin of the streaming sliding agg.
+    *
+    * Scale shape (round 15, guide §2.3/§2.4 — measured, see
+    * OPTIMIZATION_r15.md): the previous form (`groupBy(window(...))` +
+    * `countDistinct`) Expands every event ×4 BEFORE its distinct
+    * shuffle, so the one fact-sized exchange carried 4N rows of
+    * (16-byte window struct, user) — the window fan-out is pure
+    * duplication that the exchange does not need. This form shuffles
+    * the fact ONCE, ×1, as slim (slot, user) pairs hash-partitioned by
+    * `user_id` alone; because every later key — (slot, user) and
+    * (wslot, user) — contains `user_id`, BOTH distinct levels and the
+    * ×4 window expansion run entirely inside that one partitioning
+    * (zero further fact exchanges; the only other exchange moves one
+    * row per non-empty window). An event's 4 windows are exactly
+    * `wslot ∈ [slot−3, slot]` (window start s ≡ 0 mod 900 with
+    * s ≤ t < s+3600), so `explode(sequence(slot-3, slot))` reproduces
+    * `window("1 hour","15 minutes")` assignment row-for-row.
     */
   def slidingDistinct(spark: SparkSession, dir: String): DataFrame =
     withSec(Tables.events(spark, dir))
-      .groupBy(window(timestamp_seconds(col("sec")), "1 hour", "15 minutes"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
-      .select(Tables.tsStr(col("window.start")).as("window_start"), col("n_users"))
+      .select(expr("sec div 900").as("slot"), col("user_id"))
+      .repartition(col("user_id"))
+      .dropDuplicates("slot", "user_id")
+      .select(explode(sequence(col("slot") - 3, col("slot"))).as("wslot"),
+        col("user_id"))
+      .dropDuplicates("wslot", "user_id")
+      .groupBy("wslot")
+      .agg(count(lit(1)).as("n_users"))
+      .select(Tables.tsStr(timestamp_seconds(col("wslot") * 900)).as("window_start"),
+        col("n_users"))
       .orderBy("window_start")
 
   val slidingDistinctSql: String =

@@ -71,10 +71,18 @@ object Relational {
     */
   def q3Join(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    // Round 15 (guide §3.3): fold the BUILDING-segment customer filter
+    // into ORDERS before the fact join — the previous order
+    // ((l⋈o)⋈c) shuffled the joined fact stream a second time on
+    // custkey just to discard ~4/5 of it; joining o⋈c first reduces the
+    // orders side ~5× before the only fact-fact exchange, and the
+    // custkey exchange now moves slim order rows instead of joined
+    // lineitem rows. Inner joins commute; the result is unchanged.
     val o = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-01-01"))
+      .join(c, col("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
     val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-01-01"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0).as("revenue"))
       .select(col("l_orderkey"), col("revenue"), tsStr(col("o_orderdate")).as("orderdate"), col("o_orderpriority"))
@@ -776,24 +784,40 @@ object Relational {
   // ------------------------------- #82 EXISTS aggregation (Q4 shape)
   /** TPC-H Q4 shape (adapted: no commit/receipt dates, so "late" means a
     * lineitem shipped more than 30 days after the order date): order
-    * counts per priority where a correlated EXISTS holds. Expressed on
-    * the SQL surface so Catalyst's decorrelation (EXISTS → left-semi on
-    * `l_orderkey` with the date conjunct in the join) is what runs —
-    * the fact table is never re-scanned per outer row.
+    * counts per priority where a correlated EXISTS holds.
+    *
+    * Scale shape (round 15, guide §2.3 — measured, see
+    * OPTIMIZATION_r15.md): `o_orderdate` is constant per order, so the
+    * correlated EXISTS collapses to a per-order aggregate —
+    * `max(l_shipdate) > o_orderdate + 30d` — and the fact side crosses
+    * its exchange as ONE row per order instead of one per lineitem
+    * (map-side partial max; lineitem files are clustered by orderkey, so
+    * the partial compacts ~4 lines → 1 before the shuffle). Rounds 1-14
+    * ran the literal EXISTS through Catalyst's decorrelation instead —
+    * correct, but a left-semi shuffles every raw (orderkey, shipdate)
+    * row because join inputs get no partial aggregation. Two further
+    * exact prunings ride the outer filter: only orders in the 1996
+    * window survive, so a qualifying line needs `l_shipdate >
+    * 1996-01-31` (orderdate ≥ 1996-01-01 ⇒ orderdate+30d ≥ 1996-01-31)
+    * — a RANGE predicate that reaches the lineitem scan as a pushed
+    * filter — and orders whose lines all miss it drop before the join.
+    * Inner join ≡ EXISTS here: an order with no surviving line fails
+    * EXISTS, and per-order `max` over the survivors decides the date
+    * conjunct exactly.
     */
   def orderPriorityExists(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("orders_q4")
-    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_q4")
-    spark.sql(
-      """SELECT o_orderpriority, count(*) AS order_count
-        |FROM orders_q4 o
-        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-        |  AND EXISTS (SELECT 1 FROM lineitem_q4 l
-        |              WHERE l.l_orderkey = o.o_orderkey
-        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAYS)
-        |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin)
+    val lastShip = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1996-01-31"))
+      .groupBy("l_orderkey")
+      .agg(max(col("l_shipdate")).as("max_shipdate"))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("max_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
   }
 
   val orderPriorityExistsSql: String =
@@ -873,14 +897,22 @@ object Relational {
           .filter(col("n_name").isin(n1, n2))),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
-    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    // Round 15 (guide §3.3): attach the (2-of-25-nations) customer dim
+    // to ORDERS before the fact join — the previous order joined cust
+    // onto the (l⋈supp⋈o) stream, re-shuffling every joined fact row by
+    // custkey to keep the ~8% with a qualifying customer; reducing
+    // orders first shrinks the orderkey exchange's orders side ~12× and
+    // drops the joined-stream custkey exchange entirely. Inner joins on
+    // disjoint keys commute; the result is unchanged.
+    val oc = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      .join(cust, col("o_custkey") === cust("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
     val l = Tables.lineitem(spark, dir).select(
       col("l_orderkey"), col("l_suppkey"),
       year(col("l_shipdate")).as("l_year"),
       (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_c4"))
     l.join(supp, l("l_suppkey") === supp("s_suppkey"))
-      .join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(cust, o("o_custkey") === cust("c_custkey"))
+      .join(oc, l("l_orderkey") === oc("o_orderkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy("supp_nation", "cust_nation", "l_year")
       .agg((sum(col("rev_c4")) / 10000.0).as("revenue"))
@@ -1217,8 +1249,6 @@ object Relational {
         .as("rev_c4"))
     val p = Tables.part(spark, dir)
       .filter(col("p_type") === "STANDARD").select("p_partkey")
-    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
-      year(col("o_orderdate")).as("o_year"))
     val custAsia = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
       .join(broadcast(nat.select(col("n_nationkey"), col("n_regionkey"))),
         col("c_nationkey") === col("n_nationkey"))
@@ -1226,13 +1256,23 @@ object Relational {
           .filter(col("r_name") === "ASIA").select("r_regionkey")),
         col("n_regionkey") === col("r_regionkey"))
       .select("c_custkey")
+    // Round 15 (guide §3.3): apply the ASIA-customer semi to ORDERS
+    // before the fact join — previously the semi ran on the joined
+    // (l⋈p⋈o) stream, shuffling every joined fact row by custkey just
+    // to drop the ~80% non-ASIA share; semi-reducing orders first
+    // shrinks the orderkey exchange's right side ~5× and the custkey
+    // exchange moves slim (orderkey, custkey, year) rows. Semi ⋈ and
+    // inner join on disjoint keys commute; the result is unchanged.
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+      year(col("o_orderdate")).as("o_year"))
+      .join(custAsia, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_year"))
     val suppNat = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
       .join(broadcast(nat.select(col("n_nationkey").as("sn_key"), col("n_name"))),
         col("s_nationkey") === col("sn_key"))
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
     l.join(p, col("l_partkey") === col("p_partkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(custAsia, col("o_custkey") === col("c_custkey"), "left_semi")
       .join(suppNat, col("l_suppkey") === col("s_suppkey"))
       .groupBy("o_year")
       .agg(sum(col("rev_c4")).as("total_c4"),
@@ -1337,11 +1377,25 @@ object Relational {
     * aggregation (per-(part,supplier) → per-part) joined back on the
     * group key, feeding a supplier rollup.
     *
-    * Scale shape: the part filter is a LEFT SEMI on the fact scan; the
-    * per-part total RE-AGGREGATES the per-pair frame (never a second
-    * fact scan); both aggregates are map-side combined and the
-    * pair⋈total join is co-keyed on l_partkey. Strict integer halves
-    * (qty_c·2 > total_c) — no ratios, no floats.
+    * Scale shape (round 15, guide §2.4 — measured, see
+    * OPTIMIZATION_r15.md): a strict majority (`qty·2 > total`) can hold
+    * for AT MOST ONE supplier per part, and if it holds it is held by
+    * the per-part argmax — two suppliers tied at the max qty m would
+    * need 2m > total ≥ 2m. So the nested aggregation needs NO join-back
+    * at all (the round-14 shape joined `perPair` against its own
+    * re-aggregation on l_partkey — the same two-consumers-of-one-subtree
+    * pattern that cost `q_waiting_suppliers` a doubled fact pipeline in
+    * round 11): per part, `max(struct(qty, suppkey))` + `sum(qty)` in
+    * ONE pass over the per-pair frame, filter `2·max > total`, and the
+    * argmax's suppkey IS the dominant supplier. The part filter stays a
+    * LEFT SEMI on the fact scan; at scale that semi is a sort-merge
+    * join whose exchange already hash-partitions the fact by
+    * `l_partkey`, and both aggregations cluster on supersets of that
+    * key — so past the broadcast threshold the whole chain runs on ONE
+    * fact exchange, zero join-backs. The struct tiebreak on suppkey is
+    * unreachable when the filter passes (uniqueness above), so the
+    * result is deterministic. Strict integer halves (qty_c·2 > total_c)
+    * — no ratios, no floats.
     */
   def dominantSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val lf = Tables.lineitem(spark, dir)
@@ -1351,10 +1405,11 @@ object Relational {
         col("l_partkey") === col("p_partkey"), "left_semi")
     val perPair = lf.groupBy("l_partkey", "l_suppkey")
       .agg(sum(col("qty_c")).as("pair_qty_c"))
-    val perPart = perPair.groupBy(col("l_partkey").as("pk"))
-      .agg(sum(col("pair_qty_c")).as("part_qty_c"))
-    val dominant = perPair.join(perPart, col("l_partkey") === col("pk"))
-      .filter(col("pair_qty_c") * 2L > col("part_qty_c"))
+    val dominant = perPair.groupBy("l_partkey")
+      .agg(sum(col("pair_qty_c")).as("part_qty_c"),
+        max(struct(col("pair_qty_c"), col("l_suppkey"))).as("mx"))
+      .filter(col("mx.pair_qty_c") * 2L > col("part_qty_c"))
+      .select(col("mx.l_suppkey").as("l_suppkey"))
     Tables.supplier(spark, dir)
       .join(dominant.groupBy(col("l_suppkey"))
           .agg(count(lit(1)).as("n_parts_dominated")),

@@ -225,24 +225,26 @@ object TextOps {
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val toks = split(col("text"), " ")
-    // gram stats in their OWN projection: columns carried through an
-    // explode get re-evaluated per generated row, which would run the
-    // 3-gram kernel once per token instead of once per doc
-    val gstats = Tables.documents(spark, dir).select(
-      col("doc_id"),
-      size(graft.functions.GraftFunctions.ngrams(toks, 3, distinct = false)).as("n_g3"),
-      size(graft.functions.GraftFunctions.ngrams(toks, 3, distinct = true)).as("n_g3_distinct"))
-    val tf = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .groupBy("doc_id")
-      .agg(sum(col("tf")).as("n_tokens"), max(col("tf")).as("max_tf"))
-    tf.join(gstats, "doc_id")
-      .select(col("doc_id"), col("n_tokens"),
+    // Round 15 (guide §2.4): per-doc n_tokens/max_tf come from the
+    // graft_gopher_stats compiled kernel — ONE linear pass per document
+    // inside the scan projection. The previous shape exploded the token
+    // stream and aggregated it twice ((doc,tok) tf, then per-doc
+    // max/sum): two fact-sized exchanges plus a join back to the gram
+    // projection, all to recover two integers the kernel already
+    // maintains. The kernel's token contract (split(-1) byte-equality,
+    // empties kept) is spec-pinned bit-identical to the exploded form;
+    // n_tokens casts back to long so the output schema is unchanged.
+    // Zero exchanges remain except the final ORDER BY.
+    Tables.documents(spark, dir).select(
+        col("doc_id"),
+        graft.functions.GraftFunctions.gopherStats(col("text")).as("st"),
+        size(graft.functions.GraftFunctions.ngrams(toks, 3, distinct = false)).as("n_g3"),
+        size(graft.functions.GraftFunctions.ngrams(toks, 3, distinct = true)).as("n_g3_distinct"))
+      .select(col("doc_id"), col("st.n_tokens").cast("long").as("n_tokens"),
         when(col("n_g3") > 0,
           round(lit(1.0) - col("n_g3_distinct") / col("n_g3"), 6)).otherwise(0.0)
           .as("dup_g3_frac"),
-        round(col("max_tf") / col("n_tokens"), 6).as("top_token_share"))
+        round(col("st.max_tf") / col("st.n_tokens"), 6).as("top_token_share"))
       .orderBy("doc_id")
   }
 
@@ -1543,20 +1545,26 @@ object TextOps {
     * is emitting markup, mojibake or binary spill, and the ppm columns
     * make the drift diffable across crawls.
     *
-    * Scale shape: the class counts are per-row `regexp_replace` lengths
-    * in one codegen'd projection, collapsed map-side by the bounded
-    * `source` key — a 100 TB scan shuffles |sources| rows. The ppm
-    * shares are integer division on exact longs.
+    * Scale shape: the class counts come from the `graft_charclass_stats`
+    * compiled kernel — ONE byte scan per document, no intermediate
+    * strings (round 15, guide §2.4: the previous form ran three
+    * `regexp_replace` passes per row, each materializing a stripped
+    * copy of the document just to take its length; kernel equality with
+    * that form is spec-pinned in SigExpressionsSpec) — collapsed
+    * map-side by the bounded `source` key, so a 100 TB scan shuffles
+    * |sources| rows. The ppm shares are integer division on exact
+    * longs.
     */
   def textCharsetProfile(spark: SparkSession, dir: String): DataFrame = {
-    def classLen(re: String): Column =
-      length(regexp_replace(col("text"), re, "")).cast("long")
+    graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
       .select(col("source"),
-        length(col("text")).cast("long").as("n_chars"),
-        classLen("[^a-z]").as("n_letter"),
-        classLen("[^0-9]").as("n_digit"),
-        classLen("[^ ]").as("n_space"))
+        graft.functions.GraftFunctions.charClassStats(col("text")).as("cc"))
+      .select(col("source"),
+        col("cc.n_chars").cast("long").as("n_chars"),
+        col("cc.n_letter").cast("long").as("n_letter"),
+        col("cc.n_digit").cast("long").as("n_digit"),
+        col("cc.n_space").cast("long").as("n_space"))
       .withColumn("n_other",
         col("n_chars") - col("n_letter") - col("n_digit") - col("n_space"))
       .groupBy("source")

@@ -437,6 +437,40 @@ object Sig {
       Array[Any](spaces + 1, counts.size, sumCC, hapax))
   }
 
+  /** One-pass per-document character-class counts — the compiled kernel
+    * behind `text_charset_profile` (round 15, guide §2.4/§1.2 "per-task
+    * work"). The declarative form ran THREE `regexp_replace` passes per
+    * row, each materializing a stripped copy of the document, just to
+    * take the copies' lengths. This is one byte scan, zero
+    * allocations:
+    *  - `n_chars`  = codepoints (`length(text)`: bytes that are not
+    *    UTF-8 continuation bytes);
+    *  - `n_letter` = bytes in `[a-z]` ≡
+    *    `length(regexp_replace(text, "[^a-z]", ""))` (the class is
+    *    ASCII-only, and every byte of a multi-byte codepoint is ≥ 0x80,
+    *    so byte-wise and character-wise counting agree);
+    *  - `n_digit`  = bytes in `[0-9]`, same argument;
+    *  - `n_space`  = `' '` bytes, same argument. */
+  def charClassStats(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val b = s.getBytes
+    var chars = 0
+    var letter = 0
+    var digit = 0
+    var space = 0
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if ((c & 0xc0) != 0x80) chars += 1
+      if (c >= 'a' && c <= 'z') letter += 1
+      else if (c >= '0' && c <= '9') digit += 1
+      else if (c == ' ') space += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](chars, letter, digit, space))
+  }
+
   /** Single-pass text canonicalization: ASCII lowercase, every byte
     * outside `[a-z0-9]` becomes a space, runs of spaces collapse to one,
     * leading/trailing spaces dropped. Byte-for-byte equal to
@@ -848,6 +882,22 @@ case class GopherStats(child: Expression, stops: Seq[String]) extends UnaryExpre
   override protected def withNewChildInternal(c: Expression): GopherStats = copy(child = c)
 }
 
+/** `graft_charclass_stats(string) -> struct<n_chars:int, n_letter:int,
+  * n_digit:int, n_space:int>` — see [[Sig.charClassStats]]. */
+case class CharClassStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_letter", IntegerType, nullable = false),
+    StructField("n_digit", IntegerType, nullable = false),
+    StructField("n_space", IntegerType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    Sig.charClassStats(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sig.charClassStats($c)")
+  override protected def withNewChildInternal(c: Expression): CharClassStats =
+    copy(child = c)
+}
+
 /** `graft_normalize(string) -> string` — see [[Sig.normalizeText]]. */
 case class NormalizeText(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -977,6 +1027,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => GopherStats(args.head, Sig.GopherStops), "built-in")
     reg.createOrReplaceTempFunction("graft_diversity_stats",
       (args: Seq[Expression]) => DiversityStats(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_charclass_stats",
+      (args: Seq[Expression]) => CharClassStats(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_scrub",
       (args: Seq[Expression]) => ScrubPii(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_winnow",
@@ -1013,6 +1065,7 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(nBuckets))
   def gopherStats(c: Column): Column = call_function("graft_gopher_stats", c)
   def diversityStats(c: Column): Column = call_function("graft_diversity_stats", c)
+  def charClassStats(c: Column): Column = call_function("graft_charclass_stats", c)
   def scrub(c: Column): Column = call_function("graft_scrub", c)
   def winnow(grams: Column, w: Int): Column =
     call_function("graft_winnow", grams, org.apache.spark.sql.functions.lit(w))

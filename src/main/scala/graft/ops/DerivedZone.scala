@@ -259,13 +259,33 @@ private[graft] object DerivedZone {
     else readString(fs, p).split("\n").toSeq.filter(_.nonEmpty)
   }
 
-  /** Zone root: `spark.graft.derived.dir` when set, else a stable
-    * directory under the system temp dir — shared by every session on the
-    * machine, which is the point (cross-JVM reuse).
+  /** Zone root: `spark.graft.derived.dir` when set, else a PER-PROCESS
+    * directory under the system temp dir, removed on JVM exit.
+    *
+    * The default is deliberately process-scoped: within one process the
+    * zone still amortizes a shared build across every query that needs
+    * it (and across sessions of that process), but a fresh invocation
+    * always recomputes from the source parquet — benchmark and
+    * verification runs can never be accelerated by artifacts a previous
+    * run left behind. Deployments that WANT cross-job reuse (the
+    * compactor's staging-zone economics on a long-lived warehouse) opt
+    * in by pointing `spark.graft.derived.dir` at durable shared storage
+    * (see conf/graft.conf.example); the fingerprint revalidation logic
+    * is identical either way.
     */
   def root(spark: SparkSession): String =
-    spark.conf.getOption("spark.graft.derived.dir").getOrElse(
-      s"${System.getProperty("java.io.tmpdir")}/graft-derived")
+    spark.conf.getOption("spark.graft.derived.dir").getOrElse(processDefaultRoot)
+
+  private lazy val processDefaultRoot: String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-derived-${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }))
+    dir
+  }
 
   private[ops] def md5(s: String): String =
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))

