@@ -786,38 +786,38 @@ object Relational {
     * lineitem shipped more than 30 days after the order date): order
     * counts per priority where a correlated EXISTS holds.
     *
-    * Scale shape (round 15, guide §2.3 — measured, see
-    * OPTIMIZATION_r15.md): `o_orderdate` is constant per order, so the
-    * correlated EXISTS collapses to a per-order aggregate —
-    * `max(l_shipdate) > o_orderdate + 30d` — and the fact side crosses
-    * its exchange as ONE row per order instead of one per lineitem
-    * (map-side partial max; lineitem files are clustered by orderkey, so
-    * the partial compacts ~4 lines → 1 before the shuffle). Rounds 1-14
-    * ran the literal EXISTS through Catalyst's decorrelation instead —
-    * correct, but a left-semi shuffles every raw (orderkey, shipdate)
-    * row because join inputs get no partial aggregation. Two further
-    * exact prunings ride the outer filter: only orders in the 1996
-    * window survive, so a qualifying line needs `l_shipdate >
-    * 1996-01-31` (orderdate ≥ 1996-01-01 ⇒ orderdate+30d ≥ 1996-01-31)
-    * — a RANGE predicate that reaches the lineitem scan as a pushed
-    * filter — and orders whose lines all miss it drop before the join.
-    * Inner join ≡ EXISTS here: an order with no surviving line fails
-    * EXISTS, and per-order `max` over the survivors decides the date
-    * conjunct exactly.
+    * Expressed on the SQL surface so Catalyst's decorrelation (EXISTS →
+    * left-semi on `l_orderkey` with the date conjunct in the join) is
+    * what runs — the fact table is never re-scanned per outer row.
+    *
+    * Round 15 (guide §6/§1.1 — measured, see OPTIMIZATION_r15.md): the
+    * subquery carries the IMPLIED range bound `l_shipdate >
+    * 1996-01-31`: the outer filter keeps only 1996-window orders, so
+    * orderdate+30d ≥ 1996-01-31 and any qualifying line must pass it.
+    * Unlike the correlated conjunct, the constant bound is a pushable
+    * scan predicate — row groups whose shipdate max precedes it never
+    * decompress, and the semi's fact-side exchange shrinks by the same
+    * fraction. (A per-order max(l_shipdate) pre-aggregation was also
+    * tried — it is the Q21 trick — and REJECTED by measurement: 4.40 →
+    * 5.95 s at ×100, because the scaled corpus scatters an order's
+    * lines across files, so the map-side partial max compacts almost
+    * nothing and only adds hash-aggregate overhead to the same-sized
+    * exchange.)
     */
   def orderPriorityExists(spark: SparkSession, dir: String): DataFrame = {
-    val lastShip = Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") > lit("1996-01-31"))
-      .groupBy("l_orderkey")
-      .agg(max(col("l_shipdate")).as("max_shipdate"))
-    Tables.orders(spark, dir)
-      .filter(col("o_orderdate") >= lit("1996-01-01") &&
-        col("o_orderdate") < lit("1997-01-01"))
-      .join(lastShip, col("o_orderkey") === col("l_orderkey"))
-      .filter(col("max_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
-      .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("order_count"))
-      .orderBy("o_orderpriority")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_q4")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_q4")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders_q4 o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem_q4 l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > TIMESTAMP '1996-01-31 00:00:00'
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAYS)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
   }
 
   val orderPriorityExistsSql: String =
