@@ -24,6 +24,53 @@ object Similarity {
   private[graft] val K = 5
   private val NQueries = 10
 
+  // ------------------------------------------ shared ANN artifacts (r15)
+  /** The expensive deterministic stages of this family — the capped kNN
+    * graph, its NN-descent refinement, the exact ground-truth top-k of
+    * the bounded recall sample, and the trained-PQ ADC top-k — are each
+    * consumed by SEVERAL declared queries (the graph alone by four), and
+    * every consumer used to rebuild its own copy: knn_graph_recall
+    * scanned embeddings 14×, knn_graph_refine_recall 9× per run. A real
+    * vector platform builds the index ONCE and runs every recall gate /
+    * refinement / query against the published artifact — rebuilding the
+    * graph per evaluation is work ∝ consumers, not ∝ data. These zones
+    * publish each artifact once per (process, dataset) and serve the
+    * read-back parquet (the `doc_quality`/`text_tf_df` pattern:
+    * process-scoped root, so a fresh run always recomputes from source;
+    * builds are flagged in the bench via `zone_built`). All artifact
+    * columns are longs and round-6 doubles — the parquet round trip is
+    * bit-exact, and every consumer's output is oracle-pinned unchanged. */
+  private[graft] val graphEdgesZone =
+    new graft.ops.DerivedZone("knn_graph_edges", Seq("embeddings.parquet"))
+  private[graft] val graphCodesZone =
+    new graft.ops.DerivedZone("knn_graph_codes", Seq("embeddings.parquet"))
+  private[graft] val exactTopZone =
+    new graft.ops.DerivedZone("knn_exact_topk", Seq("embeddings.parquet"))
+  private[graft] val pqTopZone =
+    new graft.ops.DerivedZone("pq_adc_topk", Seq("embeddings.parquet"))
+
+  /** The production capped graph `(q_id, rank, n_id, cosine)`, zone-backed. */
+  private def graphEdges(spark: SparkSession, dir: String): DataFrame =
+    graphEdgesZone.get(spark, dir)(
+      knnGraphFrame(spark, Tables.embeddings(spark, dir)))
+
+  /** Exact brute-force top-k for the bounded sample (`vec_id <
+    * GraphRecallNQ`), zone-backed. Per-query top-k lists are independent,
+    * so every exact-baseline consumer is a filter of this one artifact:
+    * [[knnBrute]] (and through it [[knnRecall]] / [[knnPqRecall]]) takes
+    * `q_id < NQueries`; the graph recall gates take the full sample. */
+  private def exactTopSample(spark: SparkSession, dir: String): DataFrame =
+    exactTopZone.get(spark, dir) {
+      val base = normed(spark, dir)
+      val queries = base.filter(col("vec_id") < GraphRecallNQ)
+        .select(col("vec_id").as("q_id"), col("ed"), col("nrm"))
+      val scored = base.as("c")
+        .join(broadcast(queries.as("q")), col("q.q_id") =!= col("c.vec_id"))
+        .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
+          round(cosAB, 6).as("cosine"))
+      topK(scored, K)
+    }
+
   /** Bounded-heap top-k per `q_id` over `scored(q_id, n_id, cosine)`,
     * ordered (cosine DESC, n_id ASC), emitted as ranked rows. */
   private def topK(scored: DataFrame, k: Int, dedupeIds: Boolean = false): DataFrame =
@@ -61,16 +108,13 @@ object Similarity {
     * broadcast against the full table — one pass, no shuffle of the big
     * side; top-k folds map-side in the bounded-heap aggregate.
     */
-  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
-    val base = normed(spark, dir)
-    val queries = base.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("ed"), col("nrm"))
-    val scored = base.as("c")
-      .join(broadcast(queries.as("q")), col("q.q_id") =!= col("c.vec_id"))
-      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
-        round(cosAB, 6).as("cosine"))
-    topK(scored, K)
-  }
+  def knnBrute(spark: SparkSession, dir: String): DataFrame =
+    // the 10-query exact baseline is a per-q filter of the shared
+    // 30-query exact artifact (per-q top-k lists are independent) —
+    // one broadcast corpus pass serves this, knn_recall, knn_pq_recall
+    // and both graph recall gates
+    exactTopSample(spark, dir).filter(col("q_id") < NQueries)
+      .orderBy("q_id", "rank")
 
   val knnBruteSql: String =
     s"""WITH $normedSql,
@@ -267,7 +311,7 @@ object Similarity {
 
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    knnGraphFrame(spark, Tables.embeddings(spark, dir))
+    graphEdges(spark, dir).orderBy("q_id", "rank")
   }
 
   /** Spec hook: the `(vec_id, tbl, bucket, cell)` frame [[knnGraphFrame]]
@@ -480,13 +524,7 @@ object Similarity {
     */
   def knnGraphRecall(spark: SparkSession, dir: String): DataFrame = {
     val (base, codes) = graphRecallFrames(spark, dir)
-    val sample = base.filter(col("vec_id") < GraphRecallNQ)
-    val exactScored = normed(spark, dir).as("c")
-      .join(broadcast(sample.select(col("vec_id").as("q_id"), col("ed"),
-        col("nrm")).as("q")), col("q.q_id") =!= col("c.vec_id"))
-      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
-        round(cosAB, 6).as("cosine"))
-    val exact = topK(exactScored, K).select(col("q_id"), col("n_id"))
+    val exact = exactTopSample(spark, dir).select(col("q_id"), col("n_id"))
     val nExact = exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
     val perCap = GraphRecallCaps.map { cap =>
       val approx = graphSampleEdges(base, codes, cap)
@@ -526,7 +564,11 @@ object Similarity {
                                        dir: String): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(spark)
     val base = vecBase(Tables.embeddings(spark, dir))
-    (base, codedTables(base, GraphTables))
+    // zone-backed codes: the recall harness re-reads this frame TWICE PER
+    // CAP (divisor aggregate + cell join — 8 lineage replays of the
+    // N·T·24-plane coding per run); the published slim frame makes each
+    // replay a 4-long-column parquet scan
+    (base, graphCodesZone.get(spark, dir)(codedTables(base, GraphTables)))
   }
 
   val knnGraphRecallSql: String = {
@@ -609,18 +651,37 @@ object Similarity {
     r
   }
 
+  /** One zone per configured round count (rounds change the artifact, so
+    * they key its name; the map stays size ≤ the distinct configs seen). */
+  private val refinedZones =
+    new java.util.concurrent.ConcurrentHashMap[Int, graft.ops.DerivedZone]()
+
+  /** The refined graph `(q_id, rank, n_id, cosine)` after the configured
+    * NN-descent rounds, zone-backed: the refinement starts from the
+    * PUBLISHED capped graph ([[graphEdges]]) instead of replaying the
+    * whole graph build, and its own output is published for the recall
+    * gate ([[knnGraphRefineRecall]]) — previously both queries re-ran
+    * build + refine end-to-end. */
+  private def refinedEdges(spark: SparkSession, dir: String): DataFrame = {
+    val rounds = refineRounds(spark)
+    refinedZones.computeIfAbsent(rounds, r =>
+        new graft.ops.DerivedZone(s"knn_graph_refined_r$r", Seq("embeddings.parquet")))
+      .get(spark, dir) {
+        val base = vecBase(Tables.embeddings(spark, dir))
+        var edges = graphEdges(spark, dir)
+          .select(col("q_id"), col("n_id"), col("cosine"))
+        var out: DataFrame = null
+        for (_ <- 1 to rounds) {
+          out = refineRound(base, edges)
+          edges = out.select(col("q_id"), col("n_id"), col("cosine"))
+        }
+        out
+      }
+  }
+
   def knnGraphRefine(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val vectors = Tables.embeddings(spark, dir)
-    val base = vecBase(vectors)
-    var edges = knnGraphFrame(spark, vectors)
-      .select(col("q_id"), col("n_id"), col("cosine"))
-    var out: DataFrame = null
-    for (_ <- 1 to refineRounds(spark)) {
-      out = refineRound(base, edges)
-      edges = out.select(col("q_id"), col("n_id"), col("cosine"))
-    }
-    out
+    refinedEdges(spark, dir).orderBy("q_id", "rank")
   }
 
   /** One NN-descent round over an explicit `(q_id, n_id, cosine)` edge
@@ -707,16 +768,10 @@ object Similarity {
     * (linear) full-graph round, since a node's two-hop candidates need
     * its neighbors' full lists. */
   def knnGraphRefineRecall(spark: SparkSession, dir: String): DataFrame = {
-    val refined = knnGraphRefine(spark, dir)
+    graft.functions.GraftFunctions.register(spark)
+    val refined = refinedEdges(spark, dir)
       .filter(col("q_id") < GraphRecallNQ).select(col("q_id"), col("n_id"))
-    val sample = vecBase(Tables.embeddings(spark, dir))
-      .filter(col("vec_id") < GraphRecallNQ)
-    val exactScored = normed(spark, dir).as("c")
-      .join(broadcast(sample.select(col("vec_id").as("q_id"), col("ed"),
-        col("nrm")).as("q")), col("q.q_id") =!= col("c.vec_id"))
-      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
-        round(cosAB, 6).as("cosine"))
-    val exact = topK(exactScored, K).select(col("q_id"), col("n_id"))
+    val exact = exactTopSample(spark, dir).select(col("q_id"), col("n_id"))
     val nExact = exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
     val hits = exact.join(refined, Seq("q_id", "n_id"))
       .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
@@ -1088,12 +1143,19 @@ object Similarity {
     * untrained seed codebook — the composite's subject is the routing;
     * the codebook choice is orthogonal and benchmarked here.)
     */
-  def knnPq(spark: SparkSession, dir: String): DataFrame = {
-    // four consumers (training, encode, distance tables) — materialize
-    // the subvector frame once; blocks are ContextCleaner-reaped
-    val sub = pqSub(spark, dir).localCheckpoint()
-    pqAdcTopK(sub, pqTrainedMemo(spark, dir, sub))
-  }
+  /** Trained-codebook ADC top-k, zone-backed: the full encode + ADC pass
+    * is shared by [[knnPq]] and [[knnPqRecall]]'s trained leg (each used
+    * to run its own). The artifact is NQueries·K rows of exact integers. */
+  private def pqTrainedTop(spark: SparkSession, dir: String): DataFrame =
+    pqTopZone.get(spark, dir) {
+      // four consumers (training, encode, distance tables) — materialize
+      // the subvector frame once; blocks are ContextCleaner-reaped
+      val sub = pqSub(spark, dir).localCheckpoint()
+      pqAdcTopK(sub, pqTrainedMemo(spark, dir, sub))
+    }
+
+  def knnPq(spark: SparkSession, dir: String): DataFrame =
+    pqTrainedTop(spark, dir).orderBy("q_id", "rank")
 
   /** #101 knn_pq_recall: recall@k of the TRAINED-codebook PQ index
     * against the exact brute-force baseline, reported beside the
@@ -1109,8 +1171,9 @@ object Similarity {
     */
   def knnPqRecall(spark: SparkSession, dir: String): DataFrame = {
     val sub = pqSub(spark, dir).localCheckpoint()
+    // two consumers, but the exact baseline is now a zone read
+    // (materialized parquet) — no checkpoint needed
     val exact = knnBrute(spark, dir).select(col("q_id"), col("n_id"))
-      .localCheckpoint() // two consumers (both recall joins)
     def recallOf(top: DataFrame, name: String): DataFrame = {
       val hits = exact.join(top.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"))
         .groupBy("q_id").agg(count(lit(1)).as(s"n_hits_$name"))
@@ -1121,7 +1184,7 @@ object Similarity {
           round(coalesce(col(s"n_hits_$name"), lit(0L)) / col("n_exact"), 6)
             .as(s"recall_$name"))
     }
-    recallOf(pqAdcTopK(sub, pqTrainedMemo(spark, dir, sub)), "trained")
+    recallOf(pqTrainedTop(spark, dir), "trained")
       .join(recallOf(pqAdcTopK(sub, pqSeed(sub)), "seeded"), Seq("q_id"))
       .orderBy("q_id")
   }
@@ -1260,11 +1323,17 @@ object Similarity {
     val codebook = sub.filter(col("vec_id") < PqCodes)
       .select(col("m"), col("vec_id").cast("int").as("code"), col("sv").as("cs"))
     val d2 = graft.functions.GraftFunctions.l2sq(col("sv"), col("cs"))
+    // LONG-ENCODED argmin (d2·16 + code, code < 16, d2 ≥ 0): a primitive
+    // min(long) HashAggregate — min(struct(d2, code)) plans SortAggregate
+    // (non-primitive buffer, per-partition sort of the corpus×M frame);
+    // same fix pqEncode carries, applied here in round 15 (guide §1.2.2)
     val codes = sub.join(broadcast(codebook), "m")
-      .select(col("vec_id"), col("label"), col("m"), col("code"), d2.as("d2"))
+      .select(col("vec_id"), col("label"), col("m"),
+        (d2 * PqCodes + col("code")).as("ec"))
       .groupBy("vec_id", "label", "m")
-      .agg(min(struct(col("d2"), col("code"))).as("a"))
-      .select(col("vec_id"), col("label"), col("m"), col("a.code").as("code"))
+      .agg(min(col("ec")).as("ec"))
+      .select(col("vec_id"), col("label"), col("m"),
+        (col("ec") % PqCodes).cast("int").as("code"))
     val dtab = sub.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("m"), col("sv"))
       .join(broadcast(codebook), "m")
@@ -1368,13 +1437,16 @@ object Similarity {
     val cents = base.filter(col("vec_id") < KmeansK)
       .select(col("vec_id").as("cid"), col("qv").as("cq"))
     val d2 = graft.functions.GraftFunctions.l2sq(col("qv"), col("cq"))
-    // argmin(cid by d2): min over (d2, cid) structs orders lexicographically,
-    // giving deterministic tie-breaks on the smaller centroid id
+    // argmin(cid by d2), LONG-ENCODED (d2·K + cid, cid < K, d2 ≥ 0): same
+    // deterministic smaller-cid tie-break as min(struct(d2, cid)), but a
+    // primitive min(long) HashAggregate instead of the SortAggregate the
+    // struct buffer forces (pqEncode's documented fix, applied round 15).
+    // No overflow: d2 ≤ 64·(2·10³·max|e|)² milli-unit² ≪ 2⁶³/K.
     val assigned = base.crossJoin(broadcast(cents))
-      .select(col("vec_id"), d2.as("d2"), col("cid"))
+      .select(col("vec_id"), (d2 * KmeansK + col("cid")).as("ec"))
       .groupBy("vec_id")
-      .agg(min(struct(col("d2"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cluster_id"))
+      .agg(min(col("ec")).as("ec"))
+      .select(col("vec_id"), (col("ec") % KmeansK).as("cluster_id"))
     val dims = (0 until 4).map(d =>
       (sum(element_at(col("qv"), d + 1)) / count(lit(1))).as(s"c$d"))
     assigned.join(base, "vec_id")

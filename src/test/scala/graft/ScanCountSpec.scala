@@ -59,10 +59,15 @@ class ScanCountSpec extends AnyFunSuite {
     *    additionally scan a broadcast ≤30-row sample branch and an exact
     *    baseline BY DESIGN — they are measurement tools):
     *    centroid_ivf (4), dedup_embedding (3), kmeans_iter (3),
-    *    knn_graph (3), knn_graph_refine (4), knn_recall (4),
-    *    knn_ivf_pq (6), knn_graph_refine_recall (9), knn_graph_recall (14),
-    *    knn_brute / knn_filtered / knn_hard_negatives / knn_lsh /
-    *    knn_range (2);
+    *    knn_ivf_pq (6), knn_filtered / knn_hard_negatives / knn_lsh /
+    *    knn_range (2). Round 15 moved the shared graph / exact-baseline /
+    *    trained-PQ artifacts to DerivedZones (`knn_graph_edges`,
+    *    `knn_graph_codes`, `knn_exact_topk`, `pq_adc_topk`), so
+    *    knn_brute, knn_graph, knn_graph_refine, knn_graph_refine_recall
+    *    and knn_pq_recall now scan embeddings 0× in the query plan
+    *    (zone reads only — was 2/3/4/9 and knn_graph_recall's 14), and
+    *    knn_recall / knn_graph_recall dropped to 2 (the LSH / per-cap
+    *    scoring side);
     *  - storage_info reads one slim stats pass per zone table (1 each —
     *    listed only because it touches three big tables).
     */
@@ -103,17 +108,19 @@ class ScanCountSpec extends AnyFunSuite {
     // dedup_threshold_sweep wraps dedup_embedding's pair frame verbatim
     "dedup_threshold_sweep" -> Map("embeddings" -> 3),
     "kmeans_iter" -> Map("embeddings" -> 3),
-    "knn_brute" -> Map("embeddings" -> 2),
+    // knn_brute / knn_graph / knn_graph_refine / knn_graph_refine_recall /
+    // knn_pq / knn_pq_recall: zone-backed since round 15 — 0 embeddings
+    // scans in the query plan, covered by the default budget of 1
     "knn_filtered" -> Map("embeddings" -> 2),
-    "knn_graph" -> Map("embeddings" -> 3),
-    "knn_graph_recall" -> Map("embeddings" -> 14),
-    "knn_graph_refine" -> Map("embeddings" -> 4),
-    "knn_graph_refine_recall" -> Map("embeddings" -> 9),
+    // knn_graph_recall: per-cap scoring joins against the vector base;
+    // exchange reuse collapses the four caps' scans to 2 (was 14 before
+    // the codes/exact zones)
+    "knn_graph_recall" -> Map("embeddings" -> 2),
     "knn_hard_negatives" -> Map("embeddings" -> 2),
     "knn_ivf_pq" -> Map("embeddings" -> 6),
     "knn_lsh" -> Map("embeddings" -> 2),
     "knn_range" -> Map("embeddings" -> 2),
-    "knn_recall" -> Map("embeddings" -> 4))
+    "knn_recall" -> Map("embeddings" -> 2))
 
   test("every registered query stays within its declared big-table scan budget") {
     val over = scala.collection.mutable.ListBuffer.empty[String]
