@@ -48,6 +48,10 @@ object Similarity {
     new graft.ops.DerivedZone("knn_exact_topk", Seq("embeddings.parquet"))
   private[graft] val pqTopZone =
     new graft.ops.DerivedZone("pq_adc_topk", Seq("embeddings.parquet"))
+  private[graft] val ivfCentroidZone =
+    new graft.ops.DerivedZone("ivf_centroids", Seq("embeddings.parquet"))
+  private[graft] val pqSeedCodesZone =
+    new graft.ops.DerivedZone("pq_seed_codes", Seq("embeddings.parquet"))
 
   /** The production capped graph `(q_id, rank, n_id, cosine)`, zone-backed. */
   private def graphEdges(spark: SparkSession, dir: String): DataFrame =
@@ -908,16 +912,28 @@ object Similarity {
     * those lists. Centroid dims are rounded to 3 dp in both engines so the
     * (order-dependent) float aggregation can't leak into results.
     */
+  /** Per-label coarse-quantizer centroids `(label, ed, nrm)`,
+    * zone-backed: [[centroidIvf]] and [[knnIvfPq]] used to aggregate the
+    * identical centroid table from the full corpus independently; the
+    * zone builds it once and both routers read ≤|labels| rows. Serving
+    * the materialized round-3 dims to every consumer also removes any
+    * exposure to float-avg accumulation order differing between runs. */
+  private def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
+    ivfCentroidZone.get(spark, dir) {
+      val base = normed(spark, dir)
+      val centAggs = (0 until 64).map(i =>
+        round(avg(element_at(col("ed"), i + 1)), 3).as(s"c$i"))
+      base.groupBy("label")
+        .agg(centAggs.head, centAggs.tail: _*)
+        .select(col("label"),
+          array((0 until 64).map(i => col(s"c$i")): _*).as("ed"))
+        .withColumn("nrm",
+          sqrt(graft.functions.GraftFunctions.dotp(col("ed"), col("ed"))))
+    }
+
   def centroidIvf(spark: SparkSession, dir: String): DataFrame = {
     val base = normed(spark, dir)
-    val centAggs = (0 until 64).map(i =>
-      round(avg(element_at(col("ed"), i + 1)), 3).as(s"c$i"))
-    val cents = base.groupBy("label")
-      .agg(centAggs.head, centAggs.tail: _*)
-      .select(col("label"),
-        array((0 until 64).map(i => col(s"c$i")): _*).as("ed"))
-      .withColumn("nrm",
-        sqrt(graft.functions.GraftFunctions.dotp(col("ed"), col("ed"))))
+    val cents = ivfCentroids(spark, dir)
     val queries = base.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("ed"), col("nrm"))
     val qc = cents.as("c").crossJoin(broadcast(queries.as("q")))
@@ -1101,12 +1117,47 @@ object Similarity {
                             sub: DataFrame): DataFrame =
     pqCbMemo.get(spark, dir)(pqTrained(sub).localCheckpoint())
 
+  /** Corpus codes under the SEED codebook `(vec_id, label, m, code)`,
+    * zone-backed: [[knnIvfPq]]'s encode and [[knnPqRecall]]'s seeded leg
+    * run the identical nearest-seed assignment over the whole corpus
+    * (exact integer milli-unit math — the parquet round trip is exact).
+    * `label` rides along for the IVF router; code-only consumers drop it. */
+  private def pqSeedCodes(spark: SparkSession, dir: String): DataFrame =
+    pqSeedCodesZone.get(spark, dir) {
+      val sub = pqSubLabeled(spark, dir)
+      val cb = pqSeed(sub.drop("label"))
+      sub.join(broadcast(cb), "m")
+        .select(col("vec_id"), col("label"), col("m"),
+          (pqD2 * PqCodes + col("code")).as("ec"))
+        .groupBy("vec_id", "label", "m")
+        .agg(min(col("ec")).as("ec"))
+        .select(col("vec_id"), col("label"), col("m"),
+          (col("ec") % PqCodes).cast("int").as("code"))
+    }
+
+  /** [[pqSub]] plus the `label` column (the IVF router's list key). */
+  private def pqSubLabeled(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), e => round(e.cast("double") * 1000).cast("long")).as("qv"))
+    val ms = spark.range(PqM).select(col("id").cast("int").as("m"))
+    base.crossJoin(broadcast(ms))
+      .select(col("vec_id"), col("label"), col("m"),
+        slice(col("qv"), col("m") * PqSub + 1, lit(PqSub)).as("sv"))
+  }
+
   /** ADC top-k for a given codebook: encode the corpus, build per-query
     * distance tables, sum over stored codes, bounded-heap top-k. */
-  private def pqAdcTopK(sub: DataFrame, cb: DataFrame): DataFrame = {
-    val codes = pqEncode(sub, cb)
+  private def pqAdcTopK(sub: DataFrame, cb: DataFrame): DataFrame =
+    pqAdcTopKFromCodes(pqEncode(sub, cb), sub, cb)
+
+  /** [[pqAdcTopK]] body over an EXPLICIT code frame — lets a consumer
+    * serve the corpus encode from a published zone; `subQ` only needs the
+    * query rows (`vec_id < NQueries`). */
+  private def pqAdcTopKFromCodes(codes: DataFrame, subQ: DataFrame,
+                                 cb: DataFrame): DataFrame = {
     // ADC distance table: exact query subvector vs every codebook entry
-    val dtab = sub.filter(col("vec_id") < NQueries)
+    val dtab = subQ.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("m"), col("sv"))
       .join(broadcast(cb), "m")
       .select(col("q_id"), col("m"), col("code"), pqD2.as("qd2"))
@@ -1170,7 +1221,11 @@ object Similarity {
     * [[PqCodes]]/[[PqIters]], which only changes constants here).
     */
   def knnPqRecall(spark: SparkSession, dir: String): DataFrame = {
-    val sub = pqSub(spark, dir).localCheckpoint()
+    // the corpus-wide subvector frame is no longer needed here: the
+    // trained top-k and the seeded corpus codes are zone-served, so only
+    // the seed/query rows (vec_id < 16) are derived in-plan
+    val subSmall = pqSub(spark, dir)
+      .filter(col("vec_id") < math.max(PqCodes, NQueries))
     // two consumers, but the exact baseline is now a zone read
     // (materialized parquet) — no checkpoint needed
     val exact = knnBrute(spark, dir).select(col("q_id"), col("n_id"))
@@ -1185,7 +1240,9 @@ object Similarity {
             .as(s"recall_$name"))
     }
     recallOf(pqTrainedTop(spark, dir), "trained")
-      .join(recallOf(pqAdcTopK(sub, pqSeed(sub)), "seeded"), Seq("q_id"))
+      .join(recallOf(pqAdcTopKFromCodes(
+          pqSeedCodes(spark, dir).select(col("vec_id"), col("m"), col("code")),
+          subSmall, pqSeed(subSmall)), "seeded"), Seq("q_id"))
       .orderBy("q_id")
   }
 
@@ -1295,16 +1352,9 @@ object Similarity {
     */
   def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    // --- IVF routing in float space (identical to centroidIvf) ---
+    // --- IVF routing in float space (the shared zone centroidIvf reads) ---
     val nb = normed(spark, dir)
-    val centAggs = (0 until 64).map(i =>
-      round(avg(element_at(col("ed"), i + 1)), 3).as(s"c$i"))
-    val cents = nb.groupBy("label")
-      .agg(centAggs.head, centAggs.tail: _*)
-      .select(col("label"),
-        array((0 until 64).map(i => col(s"c$i")): _*).as("ed"))
-      .withColumn("nrm",
-        sqrt(graft.functions.GraftFunctions.dotp(col("ed"), col("ed"))))
+    val cents = ivfCentroids(spark, dir)
     val fq = nb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("ed"), col("nrm"))
     val qc = cents.as("c").crossJoin(broadcast(fq.as("q")))
@@ -1313,27 +1363,15 @@ object Similarity {
     val wc = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("plabel"))
     val probes = qc.withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= 2).select(col("q_id"), col("plabel"))
-    // --- PQ encode + ADC over the probed lists (identical to knnPq) ---
-    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"),
-      transform(col("embedding"), e => round(e.cast("double") * 1000).cast("long")).as("qv"))
-    val ms = spark.range(PqM).select(col("id").cast("int").as("m"))
-    val sub = base.crossJoin(broadcast(ms))
-      .select(col("vec_id"), col("label"), col("m"),
-        slice(col("qv"), col("m") * PqSub + 1, lit(PqSub)).as("sv"))
+    // --- ADC over the probed lists: corpus codes come from the shared
+    // seed-codes zone (knn_pq_recall's seeded leg reads the same encode);
+    // only the seed/query subvector rows are derived in-plan ---
+    val sub = pqSubLabeled(spark, dir)
+      .filter(col("vec_id") < math.max(PqCodes, NQueries))
     val codebook = sub.filter(col("vec_id") < PqCodes)
       .select(col("m"), col("vec_id").cast("int").as("code"), col("sv").as("cs"))
     val d2 = graft.functions.GraftFunctions.l2sq(col("sv"), col("cs"))
-    // LONG-ENCODED argmin (d2·16 + code, code < 16, d2 ≥ 0): a primitive
-    // min(long) HashAggregate — min(struct(d2, code)) plans SortAggregate
-    // (non-primitive buffer, per-partition sort of the corpus×M frame);
-    // same fix pqEncode carries, applied here in round 15 (guide §1.2.2)
-    val codes = sub.join(broadcast(codebook), "m")
-      .select(col("vec_id"), col("label"), col("m"),
-        (d2 * PqCodes + col("code")).as("ec"))
-      .groupBy("vec_id", "label", "m")
-      .agg(min(col("ec")).as("ec"))
-      .select(col("vec_id"), col("label"), col("m"),
-        (col("ec") % PqCodes).cast("int").as("code"))
+    val codes = pqSeedCodes(spark, dir)
     val dtab = sub.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("m"), col("sv"))
       .join(broadcast(codebook), "m")

@@ -58,8 +58,10 @@ class ScanCountSpec extends AnyFunSuite {
     *    branches over the embeddings table; the recall harnesses
     *    additionally scan a broadcast ≤30-row sample branch and an exact
     *    baseline BY DESIGN — they are measurement tools):
-    *    centroid_ivf (4), dedup_embedding (3), kmeans_iter (3),
-    *    knn_ivf_pq (6), knn_filtered / knn_hard_negatives / knn_lsh /
+    *    centroid_ivf (3 — the coarse quantizer moved to the shared
+    *    `ivf_centroids` zone), dedup_embedding (3), kmeans_iter (3),
+    *    knn_ivf_pq (3 — centroids + corpus encode both zone-served, the
+    *    in-plan scans are the query/seed rows and routing), knn_filtered / knn_hard_negatives / knn_lsh /
     *    knn_range (2). Round 15 moved the shared graph / exact-baseline /
     *    trained-PQ artifacts to DerivedZones (`knn_graph_edges`,
     *    `knn_graph_codes`, `knn_exact_topk`, `pq_adc_topk`), so
@@ -103,21 +105,25 @@ class ScanCountSpec extends AnyFunSuite {
     // scalar shape, same class as q_avg_yearly
     "text_bm25" -> Map("documents" -> 2),
     "text_repetition" -> Map("documents" -> 2),
-    "centroid_ivf" -> Map("embeddings" -> 4),
+    "centroid_ivf" -> Map("embeddings" -> 3),
     "dedup_embedding" -> Map("embeddings" -> 3),
     // dedup_threshold_sweep wraps dedup_embedding's pair frame verbatim
     "dedup_threshold_sweep" -> Map("embeddings" -> 3),
     "kmeans_iter" -> Map("embeddings" -> 3),
     // knn_brute / knn_graph / knn_graph_refine / knn_graph_refine_recall /
-    // knn_pq / knn_pq_recall: zone-backed since round 15 — 0 embeddings
-    // scans in the query plan, covered by the default budget of 1
+    // knn_pq: zone-backed since round 15 — 0 embeddings scans in the
+    // query plan, covered by the default budget of 1
     "knn_filtered" -> Map("embeddings" -> 2),
+    // knn_pq_recall: trained top-k and seeded corpus codes are
+    // zone-served; the two remaining scans are the vec_id<16 pruned
+    // seed-codebook and query-distance-table rows of the seeded leg
+    "knn_pq_recall" -> Map("embeddings" -> 2),
     // knn_graph_recall: per-cap scoring joins against the vector base;
     // exchange reuse collapses the four caps' scans to 2 (was 14 before
     // the codes/exact zones)
     "knn_graph_recall" -> Map("embeddings" -> 2),
     "knn_hard_negatives" -> Map("embeddings" -> 2),
-    "knn_ivf_pq" -> Map("embeddings" -> 6),
+    "knn_ivf_pq" -> Map("embeddings" -> 3),
     "knn_lsh" -> Map("embeddings" -> 2),
     "knn_range" -> Map("embeddings" -> 2),
     "knn_recall" -> Map("embeddings" -> 2))
