@@ -113,18 +113,32 @@ object CluesoOps {
     * [[LatestState.snapshot]] (argmax-join form) vs the oracle's window
     * formulation (the reference's own plan shape).
     */
+  /** The HEAD snapshot is itself a published artifact (round 15): FOUR
+    * registered queries (snapshot/search/pagination/list_objects) ran the
+    * same argmax merge over the full op-log zone per query — the merge is
+    * deterministic (event ids are unique per key), so the reference's
+    * staging-zone economics apply one level up: merge once per dataset,
+    * serve the ≤|visible keys| result to every consumer. Downstream
+    * predicates (search WHERE, keyset cursors, prefix drill-downs) push
+    * into the zone's parquet scan. Exact longs, exact-half doubles and a
+    * UTC-rendered string — the round trip is bit-safe. */
+  private val snapshotZone = new graft.ops.DerivedZone("bucket_snapshot",
+    Seq("events.parquet"))
+
   /** Unordered snapshot core — callers that filter/paginate on top apply
     * their own total order, so the sort happens once, at the top. */
   private def mvccSnapshotCore(spark: SparkSession, dir: String): DataFrame =
-    LatestState.snapshot(opLog(spark, dir),
-        keyCols = Seq("object_key"), versionCol = "event_id",
-        isDelete = col("event_type") === "error")
-      .select(
-        col("object_key"),
-        col("event_id").as("last_event_id"),
-        col("event_type").as("last_type"),
-        (col("v_c") / 100.0).as("value"),
-        date_format(timestamp_seconds(col("sec")), "yyyy-MM-dd HH:mm:ss").as("ts"))
+    snapshotZone.get(spark, dir) {
+      LatestState.snapshot(opLog(spark, dir),
+          keyCols = Seq("object_key"), versionCol = "event_id",
+          isDelete = col("event_type") === "error")
+        .select(
+          col("object_key"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"),
+          (col("v_c") / 100.0).as("value"),
+          date_format(timestamp_seconds(col("sec")), "yyyy-MM-dd HH:mm:ss").as("ts"))
+    }
 
   def mvccSnapshot(spark: SparkSession, dir: String): DataFrame =
     mvccSnapshotCore(spark, dir).orderBy("object_key")
