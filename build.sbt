@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench contract needs the one-line JSON printed by graft.Bench to be
+// the LAST stdout line of `sbt "runMain graft.Bench"`. sbt's epilogue
+// ("[success] Total time: ...") lands on stdout AFTER the forked program's
+// output and has made the driver's JSON capture unparseable since round 12
+// (BENCH_r12..r15 all carry parsed:null). Suppressing it changes no build
+// or test semantics — failures still print [error] and exit nonzero.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not by another setting —
+// exclude it from the unused-key lint so batch runs stay warning-free.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

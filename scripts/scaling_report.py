@@ -119,19 +119,32 @@ survive regeneration).
 ## Notable scalers (by the last step's ratio)
 
 """
+    # build-carrying flag per point, straight from Bench's zone_built
+    # (derived-zone builds that ran inside the timed reps): a ✓ row's
+    # seconds include one-time materialization, so cross-point ratios on
+    # it compare builds, not steady state — the mechanical split the
+    # round-15 verdict asked for instead of hand narrative.
+    def zb_chain(k):
+        return "/".join("✓" if p.get("zone_built", {}).get(k) else "·"
+                        for p in pts)
     notable = "".join(
         f"- `{k}` {fmt_chain(ratios(k))}× "
-        f"({fmt_chain([p['queries'][k] for p in pts], '{:.2f}')} s)\n"
+        f"({fmt_chain([p['queries'][k] for p in pts], '{:.2f}')} s; "
+        f"builds {zb_chain(k)})\n"
         for k in rows[:6])
     cols = " | ".join(f"{l} s" for l in labels)
     rcols = " | ".join(f"×{i + 1}" for i in range(len(pts) - 1))
     table = (f"\n## Full table (sorted by last-step ratio)\n\n"
-             f"| query | {cols} | {rcols} |\n"
-             f"|{' --- |' * (1 + len(pts) + len(pts) - 1)}\n"
+             f"`build-carrying?` = per point, did a derived-zone build run "
+             f"inside the timed reps (Bench's `zone_built`); ✓ rows carry "
+             f"one-time materialization cost in that point's seconds.\n\n"
+             f"| query | {cols} | {rcols} | build-carrying? |\n"
+             f"|{' --- |' * (2 + len(pts) + len(pts) - 1)}\n"
              + "".join(
                  "| `" + k + "` | "
                  + " | ".join(f"{p['queries'][k]:.2f}" for p in pts) + " | "
-                 + " | ".join(f"{r:.1f}×" for r in ratios(k)) + " |\n"
+                 + " | ".join(f"{r:.1f}×" for r in ratios(k))
+                 + " | " + zb_chain(k) + " |\n"
                  for k in rows))
     warm = ""
     warm_path = args[-1].replace(".json", "_warm.json")

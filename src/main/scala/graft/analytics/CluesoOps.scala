@@ -123,7 +123,27 @@ object CluesoOps {
     * into the zone's parquet scan. Exact longs, exact-half doubles and a
     * UTC-rendered string — the round trip is bit-safe. */
   private val snapshotZone = new graft.ops.DerivedZone("bucket_snapshot",
-    Seq("events.parquet"))
+    Seq("events.parquet"), rev = 2)
+
+  /** `sec` (epoch seconds ≥ 0) rendered as "yyyy-MM-dd HH:mm:ss" in UTC by
+    * pure integer arithmetic — `date_format(timestamp_seconds(...))`
+    * renders under `spark.sql.session.timeZone`, and a PERSISTED string
+    * (the snapshot zone) built by a non-UTC publisher would serve wrong
+    * rows to UTC sessions under an opt-in shared durable zone root
+    * (round-15 advice). Dates are timezone-less in Spark, so
+    * `date_add(epoch, days)` + the h/m/s remainders render identically in
+    * every session; under UTC sessions the output is bit-identical to the
+    * old expression (oracle-gated). The zone rev is bumped so durable
+    * roots rebuild. */
+  private[graft] def utcTs: Column =
+    concat(
+      date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+        expr("cast(sec div 86400 as int)")).cast("string"),
+      lit(" "),
+      format_string("%02d:%02d:%02d",
+        expr("(sec % 86400) div 3600"),
+        expr("(sec % 3600) div 60"),
+        expr("sec % 60")))
 
   /** Unordered snapshot core — callers that filter/paginate on top apply
     * their own total order, so the sort happens once, at the top. */
@@ -137,7 +157,7 @@ object CluesoOps {
           col("event_id").as("last_event_id"),
           col("event_type").as("last_type"),
           (col("v_c") / 100.0).as("value"),
-          date_format(timestamp_seconds(col("sec")), "yyyy-MM-dd HH:mm:ss").as("ts"))
+          utcTs.as("ts"))
     }
 
   def mvccSnapshot(spark: SparkSession, dir: String): DataFrame =

@@ -197,103 +197,144 @@ object Dedup {
   private[graft] val sharedMemo =
     new graft.ops.DerivedZone("dedup_shared_counts", Seq("documents.parquet"))
 
+  /** Packing radix for the `(doc_id, n)` → one-long posting encoding:
+    * `dn = doc_id · 2²⁰ + n`. The build VERIFIES per dataset (one
+    * driver-side aggregate over the size frame) that every doc's capped
+    * shingle-set size is < 2²⁰ (a doc would need ~megatokens of text to
+    * break that) and that `0 ≤ doc_id < 2⁶³/2²⁰ ≈ 8.8·10¹²` — ids or
+    * sizes outside the bounds fall back to the unpacked shape. Ordering
+    * is preserved: `a.doc_id < b.doc_id ⇔ a.dn < b.dn` (doc_id owns the
+    * high bits; equal doc ids never pair). */
+  private val DnRadix = 1L << 20
+
   private def sharedCounts(spark: SparkSession, dir: String): DataFrame =
     sharedMemo.get(spark, dir) {
-      // Build shape re-derived from the round-11 ×1000 full-suite failure
-      // (bench_scaling_x1000_full_run1.json: SparkOutOfMemory in the pair
-      // aggregate, then a disk-full rebuild): at 5M docs the candidate
-      // pair table is ~1.1B rows, and the old shape pushed it through a
-      // session-width (32) exchange — ~35M pair keys per final aggregate
-      // task — then joined the doc sizes back onto it TWICE (two more
-      // 1.1B-row exchanges). Three fixes, all scale-rules already used
-      // elsewhere in the engine:
-      //  - the pair aggregate (and the self-join feeding it) runs at a
-      //    width ∝ posting-list size (1 partition per ~1M postings, the
-      //    connectedComponents sizing rule) instead of the session pin,
-      //    so per-task hash state stays ~constant at every SF;
-      //  - the capped posting list is cached COLUMNAR (`persist`,
-      //    compressed) instead of localCheckpoint's raw deserialized
-      //    row blocks — the 100× point measured ~10+ GB as rows; the
-      //    shingle checkpoint is gone entirely (shingling is one cheap
-      //    compiled-kernel projection — recomputing it twice costs CPU
-      //    linear in the corpus, not executor storage);
-      //  - each doc's capped-set size is attached to the posting list
-      //    BEFORE the self-join, so (na, nb) ride the aggregate keys
-      //    (functionally dependent on the pair — group count unchanged)
-      //    and the two size join-backs on the pair table disappear.
+      // Build shape, round 16 (guide §1.2/§2.3/§2.4; stage decomposition
+      // measured by tools/NgramBuildProbe at ×1000 — see
+      // OPTIMIZATION_r16.md). The round-15 shape spent ~2/3 of the build
+      // BEFORE pair generation: the df-cap stage shingled the corpus
+      // TWICE (once under the df aggregate, once under the join's probe
+      // side) and exchanged the shingle stream twice (202.7 s of the
+      // 305 s isolated build), and the size-attach stage round-tripped
+      // the capped postings through a doc_id exchange plus a repartition
+      // back to the shingle key (89.4 s). Three changes:
+      //  - ONE shingling pass and ONE corpus exchange: the raw posting
+      //    stream is hash-clustered by shingle once and persisted; the
+      //    df count, the cap filter (a zero-exchange in-partition
+      //    shuffled-hash join against the ≤1-row-per-shingle rare frame)
+      //    and the per-shingle posting lists all run inside that
+      //    partitioning.
+      //  - The width is derived from the documents table's ON-DISK bytes
+      //    (driver-side metadata walk, no counting job): measured at
+      //    ×1000, 853 MB of compressed documents → 260.4M capped
+      //    postings, i.e. ~4 MiB per 1M postings — the same ~1M-postings
+      //    -per-partition rule the old nPost-counted sizing enforced,
+      //    now known before the first job. Still data-proportional,
+      //    still capped at 2048, still floored at the session width.
+      //  - (na, nb) ride the pair exchange PACKED: one long per side
+      //    (`doc_id·2³² + n`) instead of two — 24-byte pair rows instead
+      //    of 40 — whenever the dataset's doc ids fit 31 bits (verified
+      //    per build; the unpacked shape remains the fallback). The
+      //    shard-pass sizing uses the packed bytes/pair constant, so the
+      //    same scratch budget needs 3 passes instead of 4 at ×1000
+      //    (each pass re-probes the full posting list — fewer passes is
+      //    CPU saved, not just disk).
       // Only pairs that can pass EITHER downstream filter materialize:
       // containment ≥ jaccard always, so containment ≥ 0.5 is a superset
       // of jaccard ≥ 0.5 and containment ≥ 0.8. The filtered near-dup
-      // table is the small artifact the zone publishes (the DerivedZone
-      // parquet write is the materialization; the localCheckpoint below
-      // only exists so the posting cache can be dropped before the write).
-      val ex = shingled(spark, dir)
+      // table is the small artifact the zone publishes.
+      val docBytes = graft.ops.SessionMemo.dataBytes(spark,
+        Seq(s"$dir/documents.parquet"))
+      val parts = math.max(spark.sessionState.conf.numShufflePartitions,
+        math.min(2048, (docBytes / (4L << 20)).toInt + 1))
+      val exS = shingled(spark, dir)
         .select(col("doc_id"), explode(col("sh")).as("s"))
-      val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
+        .repartition(parts, col("s"))
+        .persist()
+      val rare = exS.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") <= ShingleDfCap)
         .select("s")
-      val exC = ex.join(rare, "s").select("doc_id", "s").persist()
-      val nPost = exC.count()
-      val parts = math.max(spark.sessionState.conf.numShufflePartitions,
-        math.min(2048, (nPost / 1000000L).toInt + 1))
-      // the one unavoidable exchange is pair-keyed: Σ_s df·(df−1)/2 rows
-      // (EXACTLY linear in corpus size by the df cap — measured 126.6M at
-      // ×100 → 1.266B at ×1000, tools/PairProbe). At ×1000 that shuffle
-      // is ~45-50 GB on disk — beyond one host's scratch in a full-suite
-      // run (the round-11 disk-full failures). PAIR-SPACE SHARDING bounds
-      // the high-water: pass k joins only the a-side docs with
-      // hash(doc_id) % passes == k against the full posting list, so
-      // every pair (keyed by its SMALLER id, the a-side) lands in exactly
-      // one pass, per-pass aggregates are complete (the b-side list is
-      // whole), the ≥0.5 containment filter applies per pass, and each
-      // pass's shuffle files are ContextCleaner-reaped before the next
-      // starts — disk high-water ∝ pairs/passes.
-      //
-      // The pass count is a RESOURCE decision, not a host constant: the
-      // deployment declares its per-host scratch budget
-      // (`spark.graft.scratch.bytes`, via GraftConfig or env) and
-      // Tuning.pairShardPasses converts the measured pair count into the
-      // number of shards whose per-pass shuffle fits it. No budget (the
-      // default) is the cluster case — shuffle scratch is an aggregate
-      // resource — and the build runs ONE pass with no counting job, no
-      // slicing and no inter-pass hygiene; this sandbox's bench runs
-      // declare ~30 GB and land on 4 passes at ×1000 pair volumes.
+      // both sides inherit the s-partitioning, so this join plans with
+      // ZERO exchanges; the SHUFFLE_HASH hint builds the 1-row-per-
+      // shingle rare side per partition instead of sort-merge-sorting
+      // the full posting stream
+      val exC = exS.join(rare.hint("SHUFFLE_HASH"), "s")
+        .select("doc_id", "s").persist()
+      val sizes = exC.groupBy("doc_id").agg(count(lit(1)).as("n")).persist()
+      // one driver-side stats job on the (persisted, ≤|docs|-row) size
+      // frame: materializes exS → exC → sizes in a single pass so the raw
+      // stream can be dropped, and bounds the id/size domain for the
+      // packed encoding
+      val stats = sizes.agg(min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi"), max(col("n")).as("mx")).first()
+      exS.unpersist()
+      val packed = stats.isNullAt(0) ||
+        (stats.getLong(0) >= 0L && stats.getLong(2) < DnRadix &&
+          stats.getLong(1) < Long.MaxValue / DnRadix)
       val scratchBudget = graft.GraftConfig.scratchBytes(spark)
       val passes =
         if (scratchBudget <= 0L) 1
         else {
           // sum() over zero rows is NULL: a corpus whose shingles are all
           // above the df cap (or an empty corpus) must size as 0 pairs,
-          // not NPE (connectedComponents guards the same pattern)
+          // not NPE (connectedComponents guards the same pattern).
+          // Zero-exchange: exC is s-partitioned, so the per-shingle count
+          // aggregates in place.
           val pairCnt = exC.groupBy("s").agg(count(lit(1)).as("c"))
             .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
               .cast("long")).first().getLong(0)
-          graft.ops.Tuning.pairShardPasses(pairCnt, scratchBudget)
+          graft.ops.Tuning.pairShardPasses(pairCnt, scratchBudget,
+            bytesPerPair = if (packed) graft.ops.Tuning.PackedPairScratchBytesPerPair
+            else graft.ops.Tuning.PairScratchBytesPerPair)
         }
-      val sizes = exC.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // cached (columnar) rather than re-exchanged: every pass's join
       // reads it partition-local — the s-clustering from the repartition
-      // survives the cache, so no pass pays a posting-list shuffle
-      val posts = exC.join(sizes, "doc_id")
-        .repartition(parts, col("s")).persist()
+      // survives the cache, so no pass pays a posting-list shuffle. The
+      // doc_id join for the size attach is the one remaining extra
+      // exchange: broadcasting sizes instead would be ∝ corpus doc count
+      // (fails at 100 TB), so the slim (doc_id, n) round trip stays.
+      val posts =
+        (if (packed) exC.join(sizes, "doc_id")
+          .select((col("doc_id") * DnRadix + col("n")).as("dn"), col("s"))
+        else exC.join(sizes, "doc_id"))
+          .repartition(parts, col("s")).persist()
       val passResults = (0 until passes).map { k =>
-        val aSide =
-          if (passes == 1) posts
-          else posts.filter(pmod(hash(col("doc_id")), lit(passes)) === k)
+        val slice =
+          if (packed) pmod(hash(expr(s"dn div $DnRadix")), lit(passes))
+          else pmod(hash(col("doc_id")), lit(passes))
+        val aSide = if (passes == 1) posts else posts.filter(slice === k)
         // SHUFFLE_HASH on the sliced build side: a sort-merge join here
         // sorts the 260M-row posting list — sort spill the disk pays on
-        // top of the pair shuffle; the hash build is ~1M rows per task
-        val passPairs = aSide.as("a").hint("SHUFFLE_HASH")
-          .join(posts.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-            col("a.n").as("na"), col("b.n").as("nb"))
-          .repartition(parts, col("a_id"), col("b_id"))
-          .groupBy("a_id", "b_id", "na", "nb")
-          .agg(count(lit(1)).as("shared"))
-          // only pairs that can pass EITHER downstream filter materialize:
-          // containment ≥ jaccard always, so containment ≥ 0.5 is a
-          // superset of jaccard ≥ 0.5 and containment ≥ 0.8
+        // top of the pair shuffle; the hash build is ~1M rows per task.
+        // PAIR-SPACE SHARDING (round 11): pass k joins only the a-side
+        // docs with hash % passes == k against the full posting list, so
+        // every pair (keyed by its SMALLER id, the a-side) lands in
+        // exactly one pass, per-pass aggregates are complete, the ≥0.5
+        // containment filter applies per pass, and each pass's shuffle
+        // files are ContextCleaner-reaped before the next starts — disk
+        // high-water ∝ pairs/passes. The pass count is a RESOURCE
+        // decision (`spark.graft.scratch.bytes` via GraftConfig/env); no
+        // budget (the default) is the cluster case and runs ONE pass.
+        val passPairs = (if (packed)
+          aSide.as("a").hint("SHUFFLE_HASH")
+            .join(posts.as("b"),
+              col("a.s") === col("b.s") && col("a.dn") < col("b.dn"))
+            .select(col("a.dn").as("adn"), col("b.dn").as("bdn"))
+            .repartition(parts, col("adn"), col("bdn"))
+            .groupBy("adn", "bdn")
+            .agg(count(lit(1)).as("shared"))
+            .select(expr(s"adn div $DnRadix").as("a_id"),
+              expr(s"bdn div $DnRadix").as("b_id"), col("shared"),
+              expr(s"adn % $DnRadix").as("na"), expr(s"bdn % $DnRadix").as("nb"))
+        else
+          aSide.as("a").hint("SHUFFLE_HASH")
+            .join(posts.as("b"),
+              col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+              col("a.n").as("na"), col("b.n").as("nb"))
+            .repartition(parts, col("a_id"), col("b_id"))
+            .groupBy("a_id", "b_id", "na", "nb")
+            .agg(count(lit(1)).as("shared")))
           .filter(col("shared") / least(col("na"), col("nb")) >= 0.5)
           .select("a_id", "b_id", "shared", "na", "nb")
           .localCheckpoint() // small filtered table; ends the pass's lineage
@@ -311,6 +352,7 @@ object Dedup {
       }
       val pairs = passResults.reduce(_.unionByName(_))
       posts.unpersist()
+      sizes.unpersist()
       exC.unpersist()
       pairs
     }

@@ -1323,14 +1323,63 @@ object Relational {
     * the order-year join is the only fact-fact shuffle; the final rollup
     * is a handful of (nation, year) groups, map-side combined.
     */
+  /** Whether the orders table plausibly broadcasts under the session
+    * threshold — a metadata-only on-disk byte check (no job). Used to
+    * choose SHUFFLE_HASH vs the planner's own (broadcast) pick in the
+    * fact⋈orders joins (§3.1): at small SFs the broadcast join filters
+    * map-side and a forced shuffle would be a pure regression; past the
+    * threshold the planner's fallback is a SortMergeJoin that SORTS both
+    * fact sides, which the hash build avoids. Compressed parquet bytes
+    * understate in-memory size, so this only disables the hint when
+    * broadcast is clearly in play. */
+  private def ordersBroadcast(spark: SparkSession, dir: String): Boolean =
+    graft.ops.SessionMemo.dataBytes(spark, Seq(s"$dir/orders.parquet")) <=
+      spark.sessionState.conf.autoBroadcastJoinThreshold
+
   def profitByNation(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir).select(
+    // Round 16 (measured on the ×1000 AQE-final plan — three SortMergeJoins,
+    // each exchanging AND sorting the fact: 600M lineitem rows moved by
+    // l_partkey although only 12.5% survive the widget join, then 75M by
+    // orderkey, then 75M RAW rows by suppkey):
+    //  - §3.2 Bloom pre-filter: the widget slice's p_partkey set (2.5M keys
+    //    at ×1000, ~3 MB at 1% fpp) drops definitely-non-widget lines
+    //    BEFORE the fact's first exchange — false positives are removed by
+    //    the join itself, so the result is unchanged at any fpp. The
+    //    filter is sized by an exact count of the slice (one cheap
+    //    dim-table pass), never by an estimate.
+    //  - §3.1 SHUFFLE_HASH on the slice/orders build sides: the fact
+    //    stream probes per-partition hash maps instead of being SORTED
+    //    twice; both build sides stay bounded per partition at every
+    //    scale because they are partitioned by their own keys (the
+    //    promoShare argument).
+    //  - §2.3 aggregate before the shuffle: the supplier rollup needs only
+    //    per-(suppkey, year) partial sums (exact integer sums — regrouping
+    //    is associative), so the suppkey exchange moves ≤ |suppliers|·|years|
+    //    pre-aggregated rows instead of every surviving line.
+    val l0 = Tables.lineitem(spark, dir).select(
       col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
       (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
         .as("rev_c4"),
       cents(col("l_quantity")).as("qty_c"))
     val p = Tables.part(spark, dir).filter(col("p_name").contains("widget"))
       .select(col("p_partkey"), cents(col("p_retailprice")).as("retail_c"))
+    val nWidget = p.count()
+    // Both the Bloom pre-filter and the SHUFFLE_HASH strategy only pay
+    // when the slice CANNOT broadcast (a broadcast join already filters
+    // the fact map-side before any exchange, §3.2's own cost rule) — the
+    // decision is data-adaptive, from the measured slice count against
+    // the session broadcast threshold, never a pinned strategy.
+    val sliceBroadcasts = nWidget * 32L <=
+      spark.sessionState.conf.autoBroadcastJoinThreshold
+    val l =
+      if (nWidget == 0) l0.limit(0)
+      else if (sliceBroadcasts) l0
+      else {
+        val bf = p.stat.bloomFilter("p_partkey", nWidget, 0.01)
+        val bfB = spark.sparkContext.broadcast(bf)
+        val mightMatch = udf((k: Long) => bfB.value.mightContainLong(k))
+        l0.filter(mightMatch(col("l_partkey")))
+      }
     val o = Tables.orders(spark, dir).select(col("o_orderkey"),
       year(col("o_orderdate")).as("o_year"))
     val sn = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
@@ -1338,11 +1387,15 @@ object Relational {
           .select(col("n_nationkey"), col("n_name"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("nation"))
-    l.join(p, col("l_partkey") === col("p_partkey"))
-      .join(o, col("l_orderkey") === col("o_orderkey"))
+    val pSide = if (sliceBroadcasts) p else p.hint("SHUFFLE_HASH")
+    val oSide = if (ordersBroadcast(spark, dir)) o else o.hint("SHUFFLE_HASH")
+    l.join(pSide, col("l_partkey") === col("p_partkey"))
+      .join(oSide, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_suppkey", "o_year")
+      .agg(sum(col("rev_c4") - col("retail_c") * col("qty_c")).as("part_c4"))
       .join(sn, col("l_suppkey") === col("s_suppkey"))
       .groupBy("nation", "o_year")
-      .agg(sum(col("rev_c4") - col("retail_c") * col("qty_c")).as("profit_c4"))
+      .agg(sum(col("part_c4")).as("profit_c4"))
       .select(col("nation"), col("o_year"), col("profit_c4"),
         (col("profit_c4") / 10000.0).as("profit"))
       .orderBy(col("nation"), col("o_year").desc)
@@ -1469,8 +1522,20 @@ object Relational {
   def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val perPair = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
-        col("l_orderkey") === col("o_orderkey"))
+      // SHUFFLE_HASH build on the (slimmer) orders side when orders can't
+      // broadcast — round 16, §3.1: the ×1000 AQE-final plan kept a
+      // SortMergeJoin here, which SORTS all 600M fact rows (and 150M
+      // orders) on top of the two exchanges the join fundamentally needs.
+      // The hash build stays bounded per partition at every scale because
+      // orders is partitioned by its own join key and the width grows
+      // with data (Tuning) — the promoShare argument. Size-adaptive (a
+      // broadcastable orders side keeps the planner's own pick); measured
+      // isolated ×1000 min-of-3: 107.6 → 79.0 s (OPTIMIZATION_r16.md).
+      .join({
+        val o = Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderdate"))
+        if (ordersBroadcast(spark, dir)) o else o.hint("SHUFFLE_HASH")
+      }, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
           .cast("int").as("is_late"))

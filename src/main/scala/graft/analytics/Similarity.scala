@@ -530,8 +530,9 @@ object Similarity {
     val (base, codes) = graphRecallFrames(spark, dir)
     val exact = exactTopSample(spark, dir).select(col("q_id"), col("n_id"))
     val nExact = exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+    val edgesByCap = graphSampleEdgesAllCaps(base, codes, GraphRecallCaps)
     val perCap = GraphRecallCaps.map { cap =>
-      val approx = graphSampleEdges(base, codes, cap)
+      val approx = edgesByCap(cap)
       val hits = exact.join(approx, Seq("q_id", "n_id"))
         .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
       nExact.join(hits, Seq("q_id"), "left")
@@ -540,6 +541,57 @@ object Similarity {
           round(coalesce(col("n_hits"), lit(0L)) / col("n_exact"), 6).as("recall"))
     }
     perCap.reduce(_ unionAll _).orderBy("cap", "q_id")
+  }
+
+  /** [[graphSampleEdges]] for EVERY cap from one shared pass (round 16,
+    * guide §2.4/§1.2 — remove redundant passes): each cap's cell id is a
+    * power-of-two prefix coarsening of the SAME code (the divisor comes
+    * from one `(tbl, bucket)` count), so cell equality under any cap
+    * implies bucket equality and pairs(cap) ⊆ bucket-level pairs. The
+    * sample's bucket-level candidate rows are therefore generated ONCE
+    * (carrying both sides' codes) and their exact cosines scored ONCE;
+    * each cap leg is then just the in-row divisor predicate
+    * `q_code div dvs = n_code div dvs` + the pair dedupe + top-k over the
+    * shared scored frame. Previously every cap replayed the code probe,
+    * the pair dedupe AND the two vector-base scoring joins (4× each per
+    * run). The q-side scoring join reads only the pushed-down
+    * `vec_id < GraphRecallNQ` slice. The three shared frames are
+    * localCheckpoint-ed — all are sample-bounded (≤ |sample|·T·|bucket|
+    * id rows), and without the cut each cap leg would replay their
+    * lineage, resurrecting the per-cap passes this removes.
+    * Per-cap equivalence with [[graphSampleEdges]] (itself pinned to
+    * [[knnGraph]] by `Round9OpsSpec`) is pinned by `Round16OptSpec`. */
+  private[graft] def graphSampleEdgesAllCaps(base: DataFrame, codes: DataFrame,
+                                             caps: Seq[Int]): Map[Int, DataFrame] = {
+    val cnt = codes.groupBy("tbl", "bucket").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val cands = codes.filter(col("vec_id") < GraphRecallNQ)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"),
+        col("code").as("q_code"))
+      .join(codes.select(col("vec_id").as("n_id"), col("tbl"), col("bucket"),
+        col("code").as("n_code")), Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .localCheckpoint()
+    val qBase = base.filter(col("vec_id") < GraphRecallNQ)
+      .select(col("vec_id").as("q_id"), col("ed").as("q_ed"),
+        col("nrm").as("q_nrm"))
+    val scored = cands.select("q_id", "n_id").distinct()
+      .join(broadcast(qBase), "q_id")
+      .join(base.select(col("vec_id").as("n_id"), col("ed").as("n_ed"),
+        col("nrm").as("n_nrm")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        round(graft.functions.GraftFunctions.dotp(col("q_ed"), col("n_ed")) /
+          (col("q_nrm") * col("n_nrm")), 6).as("cosine"))
+      .localCheckpoint()
+    caps.map { cap =>
+      val dvs = cnt.select(col("tbl"), col("bucket"),
+        cellDivisor(expr(s"(cnt + ${cap - 1}) div $cap")).as("dvs"))
+      val capPairs = cands.join(broadcast(dvs), Seq("tbl", "bucket"))
+        .filter(expr("q_code div dvs") === expr("n_code div dvs"))
+        .select("q_id", "n_id").distinct()
+      cap -> topK(scored.join(capPairs, Seq("q_id", "n_id")), K)
+        .select(col("q_id"), col("n_id"))
+    }.toMap
   }
 
   /** The production [[knnGraph]] candidate rule replayed for a bounded
@@ -1368,14 +1420,12 @@ object Similarity {
     // only the seed/query subvector rows are derived in-plan ---
     val sub = pqSubLabeled(spark, dir)
       .filter(col("vec_id") < math.max(PqCodes, NQueries))
-    val codebook = sub.filter(col("vec_id") < PqCodes)
-      .select(col("m"), col("vec_id").cast("int").as("code"), col("sv").as("cs"))
-    val d2 = graft.functions.GraftFunctions.l2sq(col("sv"), col("cs"))
+    val codebook = pqSeed(sub.drop("label"))
     val codes = pqSeedCodes(spark, dir)
     val dtab = sub.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("m"), col("sv"))
       .join(broadcast(codebook), "m")
-      .select(col("q_id"), col("m"), col("code"), d2.as("qd2"))
+      .select(col("q_id"), col("m"), col("code"), pqD2.as("qd2"))
     val scored = codes
       .join(broadcast(probes), codes("label") === probes("plabel"))
       .join(broadcast(dtab), Seq("q_id", "m", "code"))

@@ -406,11 +406,27 @@ object TextOps {
 
   private def tfDfFrame(spark: SparkSession, dir: String): DataFrame =
     tfDfMemo.get(spark, dir) {
-      val terms = Tables.documents(spark, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      tf.join(dfreq, "term").select(col("doc_id"), col("term"), col("tf"), col("df"))
+      // Round 16 (§1.2 step 1, measured by tools/NgramBuildProbe): the
+      // old build exchanged the RAW token stream to aggregate tf —
+      // 270.7M (doc, term) rows and 110 s of the 186 s ×1000 build. The
+      // per-doc term counts are computable in-row (graft_term_counts,
+      // identical counts by construction, spec-pinned), so tf now
+      // emerges MAP-SIDE from one compiled pass; the one exchange left
+      // clusters the already-aggregated tf rows (116M at ×1000) by term,
+      // and both df (count over the term partition — a window, so the
+      // two consumers of the exchange cannot diverge under per-branch
+      // column pruning and replay the scan, the round-11
+      // q_waiting_suppliers defect class) and the tf⋈df attach run
+      // inside that partitioning with zero further exchanges.
+      graft.functions.GraftFunctions.register(spark)
+      val tf = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(graft.functions.GraftFunctions
+          .termCounts(split(col("text"), " "))).as("tc"))
+        .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+        .repartition(col("term"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("term")
+      tf.withColumn("df", count(lit(1)).over(w))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"))
     }
 
   /** Per-document keyword extraction: the term maximizing

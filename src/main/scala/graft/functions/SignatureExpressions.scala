@@ -195,6 +195,35 @@ object Sig {
     new GenericArrayData(out.toArray)
   }
 
+  /** Per-document term frequencies: one `(term, tf)` entry per DISTINCT
+    * token of `arr`, in first-occurrence order (deterministic). The
+    * map-side form of `explode(tokens) → count per (doc, term)` — the
+    * counts are identical by construction; folding them in-row removes
+    * the corpus-sized token exchange from the tf/df build (round 16;
+    * the downstream aggregates/joins are order-insensitive). */
+  def termCounts(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val counts = new java.util.LinkedHashMap[
+      org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val c = counts.get(t)
+      if (c == null) counts.put(t, Array(1L)) else c(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue()(0)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Sequential (index-order) dot product — bit-identical to the
     * `zip_with`+`aggregate` fold and to the oracle's `list_reduce` sum. */
   def dot(x: ArrayData, y: ArrayData): Double = {
@@ -769,6 +798,19 @@ case class NGrams(child: Expression, n: Int, distinct: Boolean) extends UnaryExp
   override protected def withNewChildInternal(c: Expression): NGrams = copy(child = c)
 }
 
+/** `graft_term_counts(array<string>) ->
+  * array<struct<term:string, tf:bigint>>` — see [[Sig.termCounts]]. */
+case class TermCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Sig.termCounts(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sig.termCounts($c)")
+  override protected def withNewChildInternal(c: Expression): TermCounts = copy(child = c)
+}
+
 /** `graft_dot(array<double>, array<double>) -> double` — see [[Sig.dot]]. */
 case class DotProduct(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -1006,6 +1048,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => DotProductF(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_l2sq",
       (args: Seq[Expression]) => L2Sq(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_term_counts",
+      (args: Seq[Expression]) => TermCounts(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_ngrams",
       (args: Seq[Expression]) => NGrams(args(0),
         intLiteral("graft_ngrams", "n", args(1)),
@@ -1046,6 +1090,7 @@ object GraftFunctions {
   def dotp(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def dotpf(a: Column, b: Column): Column = call_function("graft_dotf", a, b)
   def l2sq(a: Column, b: Column): Column = call_function("graft_l2sq", a, b)
+  def termCounts(toks: Column): Column = call_function("graft_term_counts", toks)
   def ngrams(toks: Column, n: Int, distinct: Boolean): Column =
     call_function("graft_ngrams", toks,
       org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(distinct))

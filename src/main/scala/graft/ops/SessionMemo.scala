@@ -108,6 +108,16 @@ private[graft] object SessionMemo {
     parts.sorted.toSeq
   }
 
+  /** Total on-disk bytes of the data files under `paths` — the
+    * driver-side input-size measurement behind size-derived shuffle
+    * widths (metadata-only, no Spark jobs). */
+  def dataBytes(spark: SparkSession, paths: Seq[String]): Long =
+    listEntries(spark, paths).iterator.filterNot(_.endsWith(":absent")).map { e =>
+      val i2 = e.lastIndexOf(':')
+      val i1 = e.lastIndexOf(':', i2 - 1)
+      e.substring(i1 + 1, i2).toLong
+    }.sum
+
   /** The file path of a [[listEntries]] entry (strip the trailing
     * `:len:mtime` fields). */
   def entryPath(e: String): String = {

@@ -54,6 +54,15 @@ object Tuning {
     * high-water, not an average). */
   val PairScratchBytesPerPair: Long = 96L
 
+  /** [[PairScratchBytesPerPair]] for the round-16 PACKED pair rows: the
+    * pair shuffle now carries 2 longs (`(doc<<32|n)` per side, 24-byte
+    * UnsafeRows) instead of 4 (40 bytes) — 0.6× the measured 96 B/pair
+    * high-water is 57.6, rounded up to 64 for margin (the constant is a
+    * high-water bound, so rounding must go up). Verified at ×1000: the
+    * 3-pass build (422M pairs/pass) stays inside the same 30 GB budget
+    * the 4-pass unpacked build needed. */
+  val PackedPairScratchBytesPerPair: Long = 64L
+
   /** Pass count for the pair-space-sharded shared-counts build
     * ([[graft.analytics.Dedup]]): the number of disjoint a-side shards
     * needed so one pass's pair shuffle fits the per-host scratch budget.
@@ -68,12 +77,14 @@ object Tuning {
     * passes) — past the cap, more scratch is the answer, not more
     * passes. */
   def pairShardPasses(pairCount: Long, scratchBudgetBytes: Long,
-                      maxPasses: Int = 8): Int = {
+                      maxPasses: Int = 8,
+                      bytesPerPair: Long = PairScratchBytesPerPair): Int = {
     require(pairCount >= 0, "pairCount must be non-negative")
     require(maxPasses >= 1, "maxPasses must be >= 1")
+    require(bytesPerPair >= 1, "bytesPerPair must be >= 1")
     if (scratchBudgetBytes <= 0L) 1
     else {
-      val perPass = math.max(1L, scratchBudgetBytes / PairScratchBytesPerPair)
+      val perPass = math.max(1L, scratchBudgetBytes / bytesPerPair)
       val needed = (pairCount + perPass - 1) / perPass
       math.max(1L, math.min(needed, maxPasses.toLong)).toInt
     }

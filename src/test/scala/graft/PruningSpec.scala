@@ -93,6 +93,96 @@ class PruningSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.derived.dir")
   }
 
+  test("mvcc_asof pruning survives a delta-published zone generation chain") {
+    // Round-16 pin (verdict item 7): the op-log zone's read path unions
+    // one partitioned parquet root PER GENERATION after an append-aware
+    // delta publish. The asof watermark must prune op_part directories in
+    // EVERY branch of that union, not just the single-generation layout
+    // the test above covers.
+    val root = SparkTestSession.tempDir("zone-root-asof-chain")
+    spark.conf.set("spark.graft.derived.dir", root)
+    try {
+      val dir = SparkTestSession.tempDir("asof-chain-data")
+      import spark.implicits._
+      Seq(
+        (1L, 1L, "purchase", 10.0, 1000000000L, """{"k":"1"}"""),
+        (2L, 800000L, "purchase", 20.0, 2000000000L, """{"k":"2"}"""),
+        (3L, 1000001L, "purchase", 30.0, 3000000000L, """{"k":"3"}"""),
+        (4L, 3500000L, "purchase", 40.0, 4000000000L, """{"k":"4"}"""))
+        .toDF("user_id", "event_id", "event_type", "value", "ts", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      // materialize the first generation (full build)
+      val (fullsBefore, deltasBefore) = graft.analytics.CluesoOps.opLogZoneStats
+      graft.analytics.CluesoOps.mvccAsof(spark, dir).collect()
+
+      // APPEND one new events file (old files untouched) — the zone must
+      // refresh as a DELTA generation, producing a 2-generation chain
+      val tmp = SparkTestSession.tempDir("asof-chain-append")
+      Seq((5L, 7900000L, "purchase", 50.0, 5000000000L, """{"k":"5"}"""))
+        .toDF("user_id", "event_id", "event_type", "value", "ts", "props")
+        .write.mode("overwrite").parquet(tmp)
+      val src = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).iterator()
+      var moved = false
+      while (src.hasNext && !moved) {
+        val p = src.next()
+        if (p.toString.endsWith(".parquet")) {
+          java.nio.file.Files.move(p, java.nio.file.Paths.get(
+            s"$dir/events.parquet/part-append-${p.getFileName}"))
+          moved = true
+        }
+      }
+      assert(moved, "no parquet file to append")
+
+      // new head 7900000 → watermark 1975000 → keep op_part <= 1
+      val q = graft.analytics.CluesoOps.mvccAsof(spark, dir)
+      val keys = q.collect().map(_.getString(0)).toSeq
+      assert(keys == Seq("1:1", "2:2", "3:3"), s"asof keys: $keys")
+      val (fulls, deltas) = graft.analytics.CluesoOps.opLogZoneStats
+      assert(fulls == fullsBefore + 1 && deltas == deltasBefore + 1,
+        s"expected one full + one delta build, got Δfull=${fulls - fullsBefore} " +
+          s"Δdelta=${deltas - deltasBefore}")
+
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(s.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => allScans(r.child)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(allScans)
+      }
+      val scans = allScans(q.queryExecution.executedPlan)
+      // the union read has one scan branch per generation
+      assert(scans.size >= 2, s"expected >=2 generation scans, got ${scans.size}")
+      scans.foreach { s =>
+        assert(s.partitionFilters.nonEmpty,
+          s"asof watermark must prune every generation branch: ${s.metadata}")
+      }
+      // across the whole chain only op_part <= 1 files may be read: the
+      // delta generation holds op_part=7 only, so its branches read ZERO.
+      // The argmax merge reads the log more than once, so compare each
+      // scan against the pruned file count of ITS OWN generation dir.
+      import scala.jdk.CollectionConverters._
+      val genDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && p.toString.contains("op_part="))
+        .map(_.toString).toSeq
+        .groupBy(f => f.substring(0, f.indexOf("/op_part=")))
+      assert(genDirs.size == 2, s"expected 2 generations, got ${genDirs.keySet}")
+      val keptByGen = genDirs.map { case (g, fs) =>
+        g -> fs.count(f => f.contains("op_part=0") || f.contains("op_part=1")).toLong
+      }
+      assert(keptByGen.values.sum < genDirs.values.map(_.size).sum,
+        "chain should hold op_part dirs above the watermark")
+      scans.foreach { s =>
+        val loc = s.metadata("Location")
+        val kept = keptByGen.collectFirst {
+          case (g, k) if loc.contains(g.substring(g.lastIndexOf('/') + 1)) => k
+        }.getOrElse(fail(s"scan location $loc matches no generation dir"))
+        assert(s.metrics("numFiles").value == kept,
+          s"scan at $loc read ${s.metrics("numFiles").value} files, pruned set is $kept")
+      }
+    } finally spark.conf.unset("spark.graft.derived.dir")
+  }
+
   test("predicate and projection push down into the parquet scan") {
     val q = Tables.documents(spark, sf)
       .filter(col("doc_id") < 10).select("doc_id", "lang")
